@@ -1,0 +1,55 @@
+"""Benchmark runner: every suite query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), warm JVM, median of 3, one JSON line on stdout.
+
+Protocol per BASELINE.md: local[$SPARK_GRAFT_CPUS], AQE on, defaults
+otherwise. Timing includes full result materialization (collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_aws_data_engineering_spark.plans.testdata_queries import QUERIES
+from healthcare_aws_data_engineering_spark.session import get_spark
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).collect()  # warm-up: JVM, file listing, codegen
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from .latest import first_last_delta, latest_per_key  # noqa: F401
+from .pivot import max_case_pivot  # noqa: F401

@@ -1,0 +1,559 @@
+"""Driver-facing query suite: every implemented SURVEY §2 operator expressed
+over the driver's testdata tables, paired with a DuckDB oracle SQL string.
+
+Contract (see ``__spark_entry__.py``): each entry of :data:`QUERIES` is a
+callable ``(spark, sf_dir) -> DataFrame``; :data:`ORACLE` holds the ANSI-SQL
+equivalent that DuckDB runs on the same parquet (views pre-registered by the
+driver). Row-count + schema + order-insensitive value hash must match.
+
+Cross-engine float determinism
+------------------------------
+Floating-point *aggregation* order differs between engines, so naive
+``SUM(double)`` can differ in late digits and break the value hash. Every
+float aggregate here uses the **decimal-sum pattern**: per-row double math
+(bit-identical in both engines) → ``CAST(... AS DECIMAL(p,s))`` (identical
+rounding of identical doubles) → exact integer-backed ``SUM`` → ``CAST``
+back to ``DOUBLE`` (identical) → optional scalar double math on the already
+identical sums. No step depends on row order, so results match bit-for-bit.
+
+Argmax determinism: every latest/top-k is tie-broken by the row id
+(``event_id``), per SURVEY §7.4.5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..operators.latest import first_last_delta, latest_per_key
+from ..sources.tables import load_table, observation_view_from_events
+from .reports import cvd_report, prediabetes_report
+
+# Analyte-key mapping for the events→observation analog (FIXTURES.md §5).
+EVENTS_CVD_KEYS = {
+    "hdl": "click",
+    "ldl": "view",
+    "trig": "purchase",
+    "total_chol": "signup",
+}
+EVENTS_T2D_NUMERIC_KEYS = {"a1c": "signup", "glucose_blood": "click"}
+EVENTS_T2D_URINE_KEYS = ("view", "error")
+
+# props is a tiny JSON doc '{"k": NN}'; derive a qualitative result string
+# from k the same way on both engines (exercises LOWER(TRIM(...)) + IN-list
+# normalization of Athena_queries_for_reports.sql:106-108,134-140).
+_K_REGEX = r'"k":\s*(\d+)'
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return observation_view_from_events(_events(spark, sf_dir))
+
+
+def _qualitative_value_string(props) -> F.Column:
+    k = F.regexp_extract(props, _K_REGEX, 1).try_cast("int")
+    return (
+        F.when(k < 25, F.lit("Negative"))
+        .when(k < 50, F.lit("  Trace "))
+        .when(k < 75, F.lit("POSITIVE"))
+        .otherwise(F.lit("neg"))
+    )
+
+
+_QUAL_SQL = """CASE
+      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 25 THEN 'Negative'
+      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 50 THEN '  Trace '
+      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 75 THEN 'POSITIVE'
+      ELSE 'neg' END"""
+
+
+def _dsum(expr: str, scale: int = 6) -> str:
+    """SQL fragment: order-independent exact sum of a per-row double expr.
+
+    Scale 6 because every per-row expression here is a product of ≤3
+    two-decimal factors — exactly representable at 6 decimals, and the double
+    sits far closer to that 6-dp value than to any rounding midpoint, so both
+    engines' double→decimal casts agree. (Higher scales run into the engines'
+    differing shortest-repr vs exact-binary cast digits.)
+    """
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def dsum(col: F.Column, scale: int = 6) -> F.Column:
+    """Spark twin of :func:`_dsum`."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Report queries (flagship; SURVEY §2 W1 + A2 + F7/F8/F9 composition)
+# --------------------------------------------------------------------------
+
+
+def q_report_cvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cvd_report(_obs(spark, sf_dir), keys=EVENTS_CVD_KEYS)
+
+
+_REPORT_CVD_SQL = """
+WITH observations AS (
+  SELECT user_id AS patient_id, event_type AS code_display, value AS value_quantity,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_type IN ('click','view','purchase','signup')
+), piv AS (
+  SELECT patient_id,
+    MAX(CASE WHEN code_display = 'click'    THEN TRY_CAST(value_quantity AS DOUBLE) END) AS hdl,
+    MAX(CASE WHEN code_display = 'view'     THEN TRY_CAST(value_quantity AS DOUBLE) END) AS ldl,
+    MAX(CASE WHEN code_display = 'purchase' THEN TRY_CAST(value_quantity AS DOUBLE) END) AS trig,
+    MAX(CASE WHEN code_display = 'signup'   THEN TRY_CAST(value_quantity AS DOUBLE) END) AS total_chol
+  FROM observations WHERE rn = 1 GROUP BY patient_id
+)
+SELECT patient_id AS patient,
+  hdl,
+  CASE WHEN hdl IS NULL THEN 'n/a'
+       WHEN hdl >= 60 THEN 'Protective'
+       WHEN hdl BETWEEN 40 AND 59 THEN 'Normal'
+       WHEN hdl < 40 THEN 'Low' END AS hdl_status,
+  ldl,
+  CASE WHEN ldl IS NULL THEN 'n/a'
+       WHEN ldl >= 160 THEN 'High'
+       WHEN ldl BETWEEN 130 AND 159 THEN 'Borderline'
+       WHEN ldl BETWEEN 100 AND 129 THEN 'Near optimal'
+       WHEN ldl < 100 THEN 'Optimal' END AS ldl_status,
+  trig,
+  CASE WHEN trig IS NULL THEN 'n/a'
+       WHEN trig >= 200 THEN 'High'
+       WHEN trig BETWEEN 150 AND 199 THEN 'Borderline'
+       WHEN trig < 150 THEN 'Normal' END AS triglycerides_status,
+  total_chol,
+  CASE WHEN total_chol IS NULL THEN 'n/a'
+       WHEN total_chol >= 240 THEN 'High'
+       WHEN total_chol BETWEEN 200 AND 239 THEN 'Borderline'
+       WHEN total_chol < 200 THEN 'Desirable' END AS total_chol_status,
+  CASE WHEN ldl >= 130 OR trig >= 150 OR hdl < 40 OR total_chol >= 240 THEN 'At risk'
+       WHEN hdl IS NULL AND ldl IS NULL AND trig IS NULL AND total_chol IS NULL
+         THEN 'Insufficient data'
+       ELSE 'Likely normal' END AS overall_cvd_risk
+FROM piv
+"""
+
+
+def q_report_prediabetes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    obs = ev.select(
+        F.col("event_id").alias("observation_id"),
+        F.col("user_id").alias("patient_id"),
+        F.col("event_type").alias("code_display"),
+        F.col("value").alias("value_quantity"),
+        F.col("ts").alias("effective_datetime"),
+        _qualitative_value_string(F.col("props")).alias("value_string"),
+    )
+    return prediabetes_report(
+        obs,
+        numeric_keys=EVENTS_T2D_NUMERIC_KEYS,
+        urine_keys=EVENTS_T2D_URINE_KEYS,
+    )
+
+
+_REPORT_PREDIABETES_SQL = f"""
+WITH observations AS (
+  SELECT user_id AS patient_id, event_type AS code_display, value AS value_quantity,
+         {_QUAL_SQL} AS value_string,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_type IN ('signup','click','view','error')
+), piv AS (
+  SELECT patient_id,
+    MAX(CASE WHEN code_display = 'signup' THEN TRY_CAST(value_quantity AS DOUBLE) END) AS a1c,
+    MAX(CASE WHEN code_display = 'click'  THEN TRY_CAST(value_quantity AS DOUBLE) END) AS glucose_blood,
+    MAX(CASE WHEN code_display IN ('view','error') THEN LOWER(TRIM(value_string)) END) AS glucose_urine_txt
+  FROM observations WHERE rn = 1 GROUP BY patient_id
+)
+SELECT patient_id AS patient,
+  a1c,
+  CASE WHEN a1c IS NULL THEN 'n/a'
+       WHEN a1c >= 6.5 THEN 'Diabetes'
+       WHEN a1c >= 5.7 THEN 'Prediabetes'
+       ELSE 'Normal' END AS a1c_status,
+  glucose_blood,
+  CASE WHEN glucose_blood IS NULL THEN 'n/a'
+       WHEN glucose_blood >= 126 THEN 'Diabetes'
+       WHEN glucose_blood BETWEEN 100 AND 125 THEN 'Prediabetes'
+       WHEN glucose_blood BETWEEN 70 AND 99 THEN 'Normal'
+       WHEN glucose_blood < 70 THEN 'Low' END AS glucose_blood_status,
+  glucose_urine_txt,
+  CASE WHEN glucose_urine_txt IS NULL THEN 'n/a'
+       WHEN glucose_urine_txt IN ('positive','pos') THEN 'Abnormal'
+       WHEN glucose_urine_txt IN ('trace') THEN 'Borderline'
+       WHEN glucose_urine_txt IN ('negative','neg') THEN 'Normal'
+       ELSE 'n/a' END AS glucose_urine_status,
+  CASE WHEN a1c >= 6.5 OR glucose_blood >= 126 OR glucose_urine_txt IN ('positive','pos')
+         THEN 'Diabetes likely (lab criteria met)'
+       WHEN (a1c BETWEEN 5.7 AND 6.4) OR (glucose_blood BETWEEN 100 AND 125)
+            OR glucose_urine_txt = 'trace'
+         THEN 'Prediabetes / Elevated risk'
+       WHEN a1c IS NULL AND glucose_blood IS NULL AND glucose_urine_txt IS NULL
+         THEN 'Insufficient data'
+       ELSE 'Normal' END AS overall_t2d_risk
+FROM piv
+"""
+
+# --------------------------------------------------------------------------
+# Core relational operators (SURVEY §2.2/2.4/2.5/2.6, §2.3 joins)
+# --------------------------------------------------------------------------
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest value per (patient, analyte) — hash-agg strategy."""
+    obs = _obs(spark, sf_dir)
+    out = latest_per_key(
+        obs,
+        keys=["patient_id", "code_display"],
+        order_col="effective_datetime",
+        value_cols=["value_quantity"],
+        tiebreak="observation_id",
+    )
+    return out.select(
+        "patient_id",
+        "code_display",
+        F.col("value_quantity").alias("latest_value"),
+        F.col("effective_datetime").alias("latest_ts"),
+    )
+
+
+_LATEST_PER_KEY_SQL = """
+SELECT user_id AS patient_id, event_type AS code_display,
+       value AS latest_value, ts AS latest_ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the generic groupBy/agg surface (A1/
+    A2 family) at scale — single hash aggregate with partial map-side agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+        (dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+        (dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum("l_quantity")} AS sum_qty,
+  {_dsum("l_extendedprice")} AS sum_base_price,
+  {_dsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+  {_dsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+  {_dsum("l_quantity")} / COUNT(*) AS avg_qty,
+  {_dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+  {_dsum("l_discount")} / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: conformed-key equi-joins. Dims (nation, region) are broadcast —
+    no shuffle for them; customer⋈orders is the only real shuffle and AQE
+    may demote it to broadcast at small SF."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(dim, customer.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = f"""
+SELECT r_name, n_name, {_dsum("o_totalprice")} AS revenue, COUNT(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + P6: COUNT(col) under equality+range predicate
+    (AWS_Athena_queries.sql:79-93 shape)."""
+    obs = _obs(spark, sf_dir)
+    return obs.filter(
+        (F.col("code_display") == "click") & (F.col("value_quantity") < 70)
+    ).agg(F.count("value_quantity").alias("n_low"))
+
+
+_FILTERED_COUNT_SQL = """
+SELECT COUNT(value) AS n_low FROM events
+WHERE event_type = 'click' AND value < 70
+"""
+
+
+def q_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/O1: BETWEEN on the timestamp (repaired AWS_Athena_queries.sql:75-77)."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        F.col("ts").between(
+            F.lit("2024-01-05 00:00:00").cast("timestamp"),
+            F.lit("2024-01-10 00:00:00").cast("timestamp"),
+        )
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+
+
+_BETWEEN_FILTER_SQL = """
+SELECT event_id, user_id, event_type, value, ts FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
+def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + P10: IN-list filter with null-safe value guard."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        F.col("event_type").isin("signup", "error")
+        & F.col("value").isNotNull()
+        & (F.col("value") < 1.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+_ISIN_FILTER_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('signup','error') AND value IS NOT NULL AND value < 1.0
+"""
+
+
+def q_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: keyed dedup (Glue_tranformation_json_parquet.py:92,116,137,183).
+    ``dropDuplicates`` keeps an arbitrary row; for determinism we keep the
+    first row by event_id — same single hash-agg shape."""
+    ev = _events(spark, sf_dir)
+    first_key = F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.min("event_id").alias("event_id"),
+        F.min_by(F.col("ts"), first_key).alias("ts"),
+        F.min_by(F.col("event_type"), first_key).alias("event_type"),
+        F.min_by(F.col("value"), first_key).alias("value"),
+    )
+
+
+_KEYED_DEDUP_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_frequency_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: frequency count of code_display (test.py:629-631)."""
+    return (
+        _obs(spark, sf_dir)
+        .groupBy("code_display")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_FREQUENCY_COUNT_SQL = "SELECT event_type AS code_display, COUNT(*) AS cnt FROM events GROUP BY event_type"
+
+
+def q_daily_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: calendar-bucket rollup, last record per (patient, bucket)
+    (mrp_website.py:787-798; day buckets since the testdata spans one month)."""
+    ev = _events(spark, sf_dir)
+    day = F.to_date(F.col("ts"))
+    return (
+        ev.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(
+            F.max_by(
+                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("last_value")
+        )
+    )
+
+
+_DAILY_LATEST_SQL = """
+SELECT user_id, day, last_value FROM (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4: top-k by value within each group, deterministic tiebreak.
+    At scale this is a per-partition partial top-k then a bounded-state
+    window; k is tiny so the window state is negligible."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+_TOP3_SQL = """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/F20: per-patient degree-1 fit of value over date ordinal
+    (mrp_website.py:671-685). Closed form from exact decimal sums, scalar
+    double math on identical operands → bit-exact vs the oracle.
+    Single hash aggregate; no window, no UDF, no collect."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "double"
+    )
+    y = F.col("value")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    denom = agg.n * agg.sxx - agg.sx * agg.sx
+    slope = F.when(
+        denom != 0, (agg.n * agg.sxy - agg.sx * agg.sy) / denom
+    )
+    intercept = (agg.sy - slope * agg.sx) / agg.n
+    return agg.filter(agg.n >= 3).select(
+        "user_id",
+        agg.n.cast("long").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+_LINEAR_TREND_SQL = f"""
+WITH sums AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_dsum("CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)")} AS sx,
+    {_dsum("value")} AS sy,
+    {_dsum("CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) * value")} AS sxy,
+    {_dsum("CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) * CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)")} AS sxx
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_points,
+  CASE WHEN n*sxx - sx*sx <> 0 THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END AS slope,
+  (sy - CASE WHEN n*sxx - sx*sx <> 0 THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END * sx)/n AS intercept
+FROM sums WHERE n >= 3
+"""
+
+
+def q_first_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: first→last change + per-step slope over each patient's ordered
+    series (test.py:669-675, mrp_website.py:534-541)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return first_last_delta(
+        ev,
+        keys=["user_id"],
+        order_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+_FIRST_LAST_DELTA_SQL = """
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC,  event_id ASC)  AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'error' AND value IS NOT NULL
+)
+SELECT user_id,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+  MAX(CASE WHEN rn_d = 1 THEN value END) - MAX(CASE WHEN rn_a = 1 THEN value END) AS delta,
+  CASE WHEN MAX(n) > 1 THEN
+    (MAX(CASE WHEN rn_d = 1 THEN value END) - MAX(CASE WHEN rn_a = 1 THEN value END))
+      / (MAX(n) - 1) END AS slope_per_step,
+  MAX(n) AS n_points
+FROM ranked GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "report_cvd": q_report_cvd,
+    "report_prediabetes": q_report_prediabetes,
+    "latest_per_key": q_latest_per_key,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "filtered_count": q_filtered_count,
+    "between_filter": q_between_filter,
+    "isin_filter": q_isin_filter,
+    "keyed_dedup": q_keyed_dedup,
+    "frequency_count": q_frequency_count,
+    "daily_latest": q_daily_latest,
+    "top3_per_group": q_top3_per_group,
+    "linear_trend": q_linear_trend,
+    "first_last_delta": q_first_last_delta,
+}
+
+ORACLE: dict[str, str] = {
+    "report_cvd": _REPORT_CVD_SQL,
+    "report_prediabetes": _REPORT_PREDIABETES_SQL,
+    "latest_per_key": _LATEST_PER_KEY_SQL,
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+    "filtered_count": _FILTERED_COUNT_SQL,
+    "between_filter": _BETWEEN_FILTER_SQL,
+    "isin_filter": _ISIN_FILTER_SQL,
+    "keyed_dedup": _KEYED_DEDUP_SQL,
+    "frequency_count": _FREQUENCY_COUNT_SQL,
+    "daily_latest": _DAILY_LATEST_SQL,
+    "top3_per_group": _TOP3_SQL,
+    "linear_trend": _LINEAR_TREND_SQL,
+    "first_last_delta": _FIRST_LAST_DELTA_SQL,
+}
