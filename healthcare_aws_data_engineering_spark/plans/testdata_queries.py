@@ -521,6 +521,250 @@ FROM ranked GROUP BY user_id
 """
 
 # --------------------------------------------------------------------------
+# Scoring layer (SURVEY §2.8 F10–F13, §2.4 A5/A8) over an events-derived
+# wide labs table: 5 analytes ← 5 event types, latest value per
+# (user, month), scaled into clinically meaningful ranges.
+# --------------------------------------------------------------------------
+
+_LABS_MAP = {  # analyte -> (event_type, scale divisor)
+    "LDL": ("click", 1.0),
+    "HDL": ("view", 1.0),
+    "A1c": ("signup", 50.0),
+    "GlucoseBlood": ("purchase", 1.0),
+    "Hemoglobin": ("error", 10.0),
+}
+
+
+def _monthly_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    aggs = []
+    for analyte, (etype, scale) in _LABS_MAP.items():
+        cond = F.col("event_type") == etype
+        val = F.max_by(F.when(cond, F.col("value")), F.when(cond, ordk))
+        aggs.append((val / F.lit(scale)).alias(analyte))
+    return ev.groupBy(
+        F.col("user_id").alias("patient_id"), month.alias("month")
+    ).agg(*aggs)
+
+
+_MONTHLY_LABS_SQL = """
+  SELECT user_id AS patient_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+    MAX(CASE WHEN event_type = 'click'    THEN value END) / 1.0  AS ldl,
+    MAX(CASE WHEN event_type = 'view'     THEN value END) / 1.0  AS hdl,
+    MAX(CASE WHEN event_type = 'signup'   THEN value END) / 50.0 AS a1c,
+    MAX(CASE WHEN event_type = 'purchase' THEN value END) / 1.0  AS glucoseblood,
+    MAX(CASE WHEN event_type = 'error'    THEN value END) / 10.0 AS hemoglobin
+  FROM (
+    SELECT user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('month', ts), event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+  GROUP BY 1, 2
+"""
+
+
+def q_wellness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11 + A8 + A5 composition: penalty binning → weighted disease
+    subscores → renormalized wellness, on the monthly labs table. The whole
+    scoring stack is a single projection over one hash aggregate."""
+    from .wellness import score_rows
+
+    labs = _monthly_labs(spark, sf_dir)
+    scored = score_rows(labs.withColumn("date", F.col("month").cast("timestamp")))
+    return scored.select(
+        "patient_id",
+        "month",
+        F.col("subscore_cardiovascular").alias("sub_cardio"),
+        F.col("subscore_prediabetes").alias("sub_prediabetes"),
+        F.col("subscore_anemia").alias("sub_anemia"),
+        "wellness",
+        F.col("wellness_confidence").alias("confidence"),
+        F.col("label_cardiovascular").alias("cardio_label"),
+        F.col("label_prediabetes").alias("prediabetes_label"),
+        F.array_join("patterns", ",").alias("patterns"),
+    )
+
+
+# Penalty CASE ladders mirror functions/scoring.py::PENALTY_REFS exactly;
+# arithmetic term order mirrors the Column-expression fold so doubles match
+# bit-for-bit (see module docstring).
+_WELLNESS_MONTHLY_SQL = f"""
+WITH labs AS ({_MONTHLY_LABS_SQL}),
+pens AS (
+  SELECT *,
+    CASE WHEN ldl IS NULL THEN 0 WHEN ldl < 100 THEN 0 WHEN ldl < 130 THEN 1
+         WHEN ldl < 160 THEN 2 ELSE 3 END AS pen_ldl,
+    CASE WHEN hdl IS NULL THEN 0 WHEN hdl < 40 THEN 3 WHEN hdl < 60 THEN 0
+         ELSE 0 END AS pen_hdl,
+    CASE WHEN a1c IS NULL THEN 0 WHEN a1c < 5.7::DOUBLE THEN 0 WHEN a1c < 6.5::DOUBLE THEN 2
+         ELSE 3 END AS pen_a1c,
+    CASE WHEN glucoseblood IS NULL THEN 0 WHEN glucoseblood < 100 THEN 0
+         WHEN glucoseblood < 126 THEN 2 ELSE 3 END AS pen_glu,
+    CASE WHEN hemoglobin IS NULL THEN 0 WHEN hemoglobin < 12.0::DOUBLE THEN 2
+         WHEN hemoglobin < 16.5::DOUBLE THEN 0 ELSE 2 END AS pen_hgb
+  FROM labs
+),
+subs AS (
+  SELECT *,
+    CASE WHEN (0.0::DOUBLE + CASE WHEN ldl IS NOT NULL THEN 0.40::DOUBLE ELSE 0.0::DOUBLE END
+                   + CASE WHEN hdl IS NOT NULL THEN 0.20::DOUBLE ELSE 0.0::DOUBLE END
+                   + 0.0::DOUBLE + 0.0::DOUBLE) > 0
+      THEN GREATEST(0.0::DOUBLE, LEAST(100.0::DOUBLE,
+           100.0::DOUBLE - (0.0::DOUBLE + CASE WHEN ldl IS NOT NULL THEN pen_ldl * 0.40::DOUBLE ELSE 0.0::DOUBLE END
+                        + CASE WHEN hdl IS NOT NULL THEN pen_hdl * 0.20::DOUBLE ELSE 0.0::DOUBLE END
+                        + 0.0::DOUBLE + 0.0::DOUBLE) * (100.0::DOUBLE / 3.0::DOUBLE))) END AS sub_cardio,
+    CASE WHEN (0.0::DOUBLE + CASE WHEN a1c IS NOT NULL THEN 0.60::DOUBLE ELSE 0.0::DOUBLE END
+                   + CASE WHEN glucoseblood IS NOT NULL THEN 0.40::DOUBLE ELSE 0.0::DOUBLE END) > 0
+      THEN GREATEST(0.0::DOUBLE, LEAST(100.0::DOUBLE,
+           100.0::DOUBLE - (0.0::DOUBLE + CASE WHEN a1c IS NOT NULL THEN pen_a1c * 0.60::DOUBLE ELSE 0.0::DOUBLE END
+                        + CASE WHEN glucoseblood IS NOT NULL THEN pen_glu * 0.40::DOUBLE ELSE 0.0::DOUBLE END)
+                   * (100.0::DOUBLE / 3.0::DOUBLE))) END AS sub_prediabetes,
+    CASE WHEN (0.0::DOUBLE + CASE WHEN hemoglobin IS NOT NULL THEN 0.6::DOUBLE ELSE 0.0::DOUBLE END + 0.0::DOUBLE) > 0
+      THEN GREATEST(0.0::DOUBLE, LEAST(100.0::DOUBLE,
+           100.0::DOUBLE - (0.0::DOUBLE + CASE WHEN hemoglobin IS NOT NULL THEN pen_hgb * 0.6::DOUBLE ELSE 0.0::DOUBLE END
+                        + 0.0::DOUBLE) * (100.0::DOUBLE / 3.0::DOUBLE))) END AS sub_anemia
+  FROM pens
+)
+SELECT patient_id, month, sub_cardio, sub_prediabetes, sub_anemia,
+  CASE WHEN (0.0::DOUBLE + CASE WHEN sub_cardio IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+                 + CASE WHEN sub_prediabetes IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+                 + 0.0::DOUBLE + 0.0::DOUBLE
+                 + CASE WHEN sub_anemia IS NOT NULL THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END) > 0
+    THEN (0.0::DOUBLE + CASE WHEN sub_cardio IS NOT NULL THEN sub_cardio * 0.25::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN sub_prediabetes IS NOT NULL THEN sub_prediabetes * 0.25::DOUBLE ELSE 0.0::DOUBLE END
+              + 0.0::DOUBLE + 0.0::DOUBLE
+              + CASE WHEN sub_anemia IS NOT NULL THEN sub_anemia * 0.15::DOUBLE ELSE 0.0::DOUBLE END)
+         / (0.0::DOUBLE + CASE WHEN sub_cardio IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN sub_prediabetes IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+                + 0.0::DOUBLE + 0.0::DOUBLE
+                + CASE WHEN sub_anemia IS NOT NULL THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END) END AS wellness,
+  (0.0::DOUBLE + CASE WHEN sub_cardio IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+       + CASE WHEN sub_prediabetes IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+       + 0.0::DOUBLE + 0.0::DOUBLE
+       + CASE WHEN sub_anemia IS NOT NULL THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END) AS confidence,
+  CASE WHEN ldl IS NULL AND hdl IS NULL THEN 'Insufficient data'
+       WHEN GREATEST(pen_ldl, pen_hdl, 0, 0) >= 3 OR (pen_ldl >= 2 AND pen_hdl >= 1)
+         THEN 'At risk' ELSE 'Likely normal' END AS cardio_label,
+  CASE WHEN a1c IS NULL AND glucoseblood IS NULL THEN 'Insufficient data'
+       WHEN pen_a1c >= 3 OR pen_glu >= 3 THEN 'Diabetes likely (lab criteria met)'
+       WHEN pen_a1c >= 2 OR pen_glu >= 2 THEN 'Prediabetes / Elevated risk'
+       ELSE 'Normal' END AS prediabetes_label,
+  CONCAT(
+    CASE WHEN ldl IS NOT NULL AND hdl IS NOT NULL
+              AND (ldl >= 160 OR (ldl >= 130 AND hdl < 40))
+         THEN 'high_ldl_low_hdl' ELSE '' END,
+    CASE WHEN a1c IS NOT NULL AND glucoseblood IS NOT NULL
+              AND a1c >= 5.7::DOUBLE AND glucoseblood >= 100
+         THEN CASE WHEN ldl IS NOT NULL AND hdl IS NOT NULL
+                        AND (ldl >= 160 OR (ldl >= 130 AND hdl < 40))
+                   THEN ',elevated_a1c_glucose' ELSE 'elevated_a1c_glucose' END
+         ELSE '' END,
+    CASE WHEN hemoglobin IS NOT NULL AND hemoglobin < 12.0::DOUBLE
+         THEN CASE WHEN (ldl IS NOT NULL AND hdl IS NOT NULL
+                         AND (ldl >= 160 OR (ldl >= 130 AND hdl < 40)))
+                        OR (a1c IS NOT NULL AND glucoseblood IS NOT NULL
+                            AND a1c >= 5.7::DOUBLE AND glucoseblood >= 100)
+                   THEN ',low_hemoglobin' ELSE 'low_hemoglobin' END
+         ELSE '' END) AS patterns
+FROM subs
+"""
+
+
+def q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18–F21: per-patient 12-month linear forecast with widening CI over
+    the purchase series — closed-form fit from exact decimal sums, then the
+    monthly future grid via explode(sequence(...)). One hash aggregate +
+    a 12× fan-out; no window, no UDF."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("double")
+    y = F.col("value")
+    agg = ev.groupBy(F.col("user_id").alias("patient_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(F.abs(y)).alias("sabs"),
+        F.max(F.col("ts").cast("date")).alias("last_date"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    denom = n * sxx - sx * sx
+    m = (n * sxy - sx * sy) / denom
+    b = (sy - m * sx) / n
+    sigma2 = (
+        syy / n + (m * m) * (sxx / n) + b * b
+        - 2 * m * (sxy / n) - 2 * b * (sy / n) + 2 * m * b * (sx / n)
+    )
+    fitted = agg.filter((n >= 3) & (denom != 0)).select(
+        "patient_id",
+        m.alias("m"),
+        b.alias("b"),
+        F.sqrt(F.greatest(F.lit(1e-12), sigma2)).alias("sigma"),
+        F.greatest(F.lit(1.0), F.col("sabs") / n).alias("baseline"),
+        "last_date",
+    )
+    grid = fitted.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(12))).alias("k")
+    )
+    future = F.add_months(F.trunc(F.col("last_date"), "month"), F.col("k"))
+    xf = F.datediff(future, F.lit("1970-01-01").cast("date")).cast("double")
+    yhat = F.col("m") * xf + F.col("b")
+    ci = F.col("sigma") + (F.col("k").cast("double") / F.lit(12.0)) * 0.15 * F.col("baseline")
+    return grid.select(
+        "patient_id",
+        F.col("k").alias("month_ahead"),
+        future.alias("future_month"),
+        yhat.alias("yhat"),
+        (yhat - ci).alias("lower"),
+        (yhat + ci).alias("upper"),
+    )
+
+
+_FORECAST_SQL = f"""
+WITH sums AS (
+  SELECT user_id AS patient_id,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_dsum("CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE)")} AS sx,
+    {_dsum("value")} AS sy,
+    {_dsum("CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) * value")} AS sxy,
+    {_dsum("CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) * CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE)")} AS sxx,
+    {_dsum("value * value")} AS syy,
+    {_dsum("ABS(value)")} AS sabs,
+    MAX(CAST(ts AS DATE)) AS last_date
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+fitted AS (
+  SELECT patient_id, last_date,
+    (n*sxy - sx*sy)/(n*sxx - sx*sx) AS m,
+    (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n AS b,
+    SQRT(GREATEST(1e-12,
+      syy/n + ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * (sxx/n)
+      + ((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n) * ((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n)
+      - 2 * ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * (sxy/n)
+      - 2 * ((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n) * (sy/n)
+      + 2 * ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * ((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n) * (sx/n)
+    )) AS sigma,
+    GREATEST(1.0, sabs/n) AS baseline
+  FROM sums WHERE n >= 3 AND n*sxx - sx*sx <> 0
+)
+SELECT patient_id, k AS month_ahead,
+  CAST(date_trunc('month', last_date) + to_months(CAST(k AS INT)) AS DATE) AS future_month,
+  m * CAST(datediff('day', DATE '1970-01-01',
+        CAST(date_trunc('month', last_date) + to_months(CAST(k AS INT)) AS DATE)) AS DOUBLE) + b AS yhat,
+  (m * CAST(datediff('day', DATE '1970-01-01',
+        CAST(date_trunc('month', last_date) + to_months(CAST(k AS INT)) AS DATE)) AS DOUBLE) + b)
+    - (sigma + (CAST(k AS DOUBLE) / 12.0) * 0.15 * baseline) AS lower,
+  (m * CAST(datediff('day', DATE '1970-01-01',
+        CAST(date_trunc('month', last_date) + to_months(CAST(k AS INT)) AS DATE)) AS DOUBLE) + b)
+    + (sigma + (CAST(k AS DOUBLE) / 12.0) * 0.15 * baseline) AS upper
+FROM fitted CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS k)
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -539,6 +783,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top3_per_group": q_top3_per_group,
     "linear_trend": q_linear_trend,
     "first_last_delta": q_first_last_delta,
+    "wellness_monthly": q_wellness_monthly,
+    "forecast": q_forecast,
 }
 
 ORACLE: dict[str, str] = {
@@ -556,4 +802,6 @@ ORACLE: dict[str, str] = {
     "top3_per_group": _TOP3_SQL,
     "linear_trend": _LINEAR_TREND_SQL,
     "first_last_delta": _FIRST_LAST_DELTA_SQL,
+    "wellness_monthly": _WELLNESS_MONTHLY_SQL,
+    "forecast": _FORECAST_SQL,
 }
