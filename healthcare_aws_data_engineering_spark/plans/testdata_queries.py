@@ -787,6 +787,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .training_data_queries import TRAINING_ORACLE, TRAINING_QUERIES  # noqa: E402
+
+QUERIES.update(TRAINING_QUERIES)
+
 ORACLE: dict[str, str] = {
     "report_cvd": _REPORT_CVD_SQL,
     "report_prediabetes": _REPORT_PREDIABETES_SQL,
@@ -805,3 +809,5 @@ ORACLE: dict[str, str] = {
     "wellness_monthly": _WELLNESS_MONTHLY_SQL,
     "forecast": _FORECAST_SQL,
 }
+
+ORACLE.update(TRAINING_ORACLE)

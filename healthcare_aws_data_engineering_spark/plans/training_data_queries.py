@@ -1,0 +1,287 @@
+"""Driver-facing queries for the training-data extension operators
+(dedup / similarity / text analysis) over ``documents`` and ``embeddings``.
+
+Oracle notes:
+- md5 is the only hash both engines share, so the oracle-checked LSH
+  pipeline uses the md5 backend; the xxhash64 production path is covered by
+  the rows-only queries + pytest recall checks.
+- cosine top-k uses the exact (decimal-accumulated) dot product on both
+  sides — order-independent, bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.tables import load_table
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_SQL = """
+  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                ELSE array_to_string(ws, ' ') END AS shingle
+    FROM w, unnest(generate_series(1, greatest(1, len(ws)-2))) AS t(i)
+  )
+"""
+
+# minhash signature: 6 permutations (md5 backend), 3 bands of 2
+_SIG_SQL = """
+  sig AS (
+    SELECT doc_id,
+      min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
+      min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
+      min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5
+    FROM sh GROUP BY doc_id
+  ),
+  bands AS (
+    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bh FROM sig
+    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+    UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+  ),
+  capped AS (
+    SELECT * FROM (
+      SELECT band, bh, doc_id,
+             COUNT(*) OVER (PARTITION BY band, bh) AS bucket_n
+      FROM bands
+    ) WHERE bucket_n BETWEEN 2 AND 50
+  ),
+  lsh_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ----------------------------------------------------------------- queries --
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup group table: normalized-content hash → keeper + count
+    (dup_count=1 groups included so the check is substantial on a corpus
+    with no exact dups)."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(T.normalize_text(F.col("text")).cast("binary"))
+    return docs.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, md5 backend (6 perms, 3 bands of 2) —
+    the full shingle→signature→band→bucket-join pipeline, oracle-checked."""
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=6, bands=3, backend="md5", max_bucket=50
+    )
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL}
+SELECT doc_a, doc_b FROM lsh_pairs
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard verification over the LSH candidates."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=6, bands=3, backend="md5", max_bucket=50)
+    return D.ngram_jaccard(docs, pairs)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL}, {_SIG_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_intersect
+  FROM lsh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_intersect,
+       sa.n + sb.n - i.n_intersect AS n_union,
+       CAST(i.n_intersect AS DOUBLE) / CAST(greatest(sa.n + sb.n - i.n_intersect, 1) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 bit votes) — no SQL-expressible
+    oracle (engine-specific 64-bit hash); driver records rows-only, recall
+    is pytest-verified against exact Jaccard."""
+    return D.simhash_pairs(_docs(spark, sf_dir), bands=4, max_hamming=6)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 — the exact
+    baseline, decimal-accumulated dot products for oracle bit-equality."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(embs, queries, k=10, exact=True)
+
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id <> query_id
+),
+terms AS (
+  SELECT query_id, neighbor_id,
+    CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS qc,
+    CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS qq,
+    CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS cc
+  FROM pairs, unnest(generate_series(1, 64)) AS t(i)
+),
+sums AS (
+  SELECT query_id, neighbor_id,
+    CAST(SUM(CAST(qc AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(qq AS DECIMAL(28,12))) AS DOUBLE) AS nq,
+    CAST(SUM(CAST(cc AS DECIMAL(28,12))) AS DOUBLE) AS nc
+  FROM terms GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM sums
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-10 — the scale path
+    (equi-join on signature bands instead of a cross join). xxhash64-derived
+    planes → rows-only check; recall vs brute force is pytest-verified."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(embs, queries, k=10, planes=16, bands=8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token counts (ws + BPE-ish), punctuation
+    ratio, mean word length, stopword-profile language ID, quality score,
+    content fingerprint. Pure projection."""
+    return T.text_stats(_docs(spark, sf_dir)).drop("text")
+
+
+_TEXT_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, text,
+    length(text) AS n_chars_actual,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    string_split_regex(trim(text), '\s+') AS ws,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS hits_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS hits_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b')) AS hits_fr,
+    len(regexp_extract_all(lower(text), '\b(el|de|la|que|y|en|los|una)\b')) AS hits_es
+  FROM documents
+),
+d AS (
+  SELECT *,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE list_sum(list_transform(ws, w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END
+      AS n_tokens_bpe_ish,
+    n_punct / greatest(length(text), 1) AS punct_ratio,
+    list_sum(list_transform(ws, w -> length(w))) / greatest(len(ws), 1) AS mean_word_len,
+    hits_en / greatest(n_tokens, 1) AS s_en,
+    hits_de / greatest(n_tokens, 1) AS s_de,
+    hits_fr / greatest(n_tokens, 1) AS s_fr,
+    hits_es / greatest(n_tokens, 1) AS s_es
+  FROM base
+)
+SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
+  CAST(n_tokens_bpe_ish AS INT) AS n_tokens_bpe_ish,
+  punct_ratio, mean_word_len,
+  CASE WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_guess,
+  least(length(text) / 200.0, 1.0) * 0.3
+    + least(hits_en / greatest(n_tokens, 1) * 4.0, 1.0) * 0.3
+    + greatest(0.0, 1.0 - (n_punct / greatest(length(text), 1)) * 4.0) * 0.2
+    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+    AS quality,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                          '\s+', ' ', 'g'))) AS fingerprint
+FROM d
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact (normalized md5) + winnowing-style
+    rolling minimum over 16-char grams."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        T.rolling_fingerprint(F.col("text"), window=16).alias("rolling_fp"),
+    )
+
+
+_DOC_FINGERPRINT_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+         '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+  (SELECT min(md5(substr(n.norm, i, 16)))
+   FROM unnest(generate_series(1, greatest(1, length(n.norm) - 15))) AS t(i)) AS rolling_fp
+FROM n
+"""
+
+TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+TRAINING_ORACLE: dict[str, str] = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    # dedup_simhash / ann_lsh_topk: engine-specific 64-bit hashing → no SQL
+    # oracle; the driver records the weaker rows-only check (documented).
+    "ann_cosine_topk": _ANN_COSINE_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+}

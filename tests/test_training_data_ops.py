@@ -1,0 +1,286 @@
+"""Tests for the training-data extension operators (SURVEY §7.2 step 7):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + LSH), and text analysis.
+
+These are extensions beyond the reference (which has no dedup/similarity
+ops); correctness is defined against plain-Python reimplementations on
+small synthetic corpora, plus recall checks of the approximate paths
+against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from healthcare_aws_data_engineering_spark.operators import dedup as D
+from healthcare_aws_data_engineering_spark.operators import similarity as S
+from healthcare_aws_data_engineering_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "pack my box with five dozen liquor jugs"),  # exact dup of 2
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "completely unrelated text about spark dataframes and shuffles"),
+    (6, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 0
+]
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    ws = text.split()
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+# ------------------------------------------------------------------ exact --
+def test_exact_dedup_groups(spark):
+    out = D.exact_dedup(_docs(spark, CORPUS)).collect()
+    assert len(out) == 1
+    (g,) = out
+    assert g.keep_id == 2 and g.dup_count == 2 and g.doc_ids == [2, 3]
+
+
+def test_exact_dedup_normalization(spark):
+    rows = [(0, "Hello,  World!"), (1, "hello world"), (2, "other")]
+    out = D.exact_dedup(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0].doc_ids == [0, 1]
+
+
+# --------------------------------------------------------------- shingles --
+def test_word_shingles_matches_python(spark):
+    df = _docs(spark, CORPUS).select(
+        "doc_id", D.word_shingles(F.col("text")).alias("sh")
+    )
+    for r in df.collect():
+        assert set(r.sh) == _py_shingles(CORPUS[r.doc_id][1]), r.doc_id
+
+
+def test_word_shingles_short_text(spark):
+    df = _docs(spark, [(0, "two words"), (1, "one")]).select(
+        D.word_shingles(F.col("text")).alias("sh")
+    )
+    out = [r.sh for r in df.collect()]
+    assert out == [["two words"], ["one"]]
+
+
+# ---------------------------------------------------------------- minhash --
+def test_minhash_signature_is_min_of_shingle_hashes(spark):
+    """The md5-backend signature must equal the plain-Python min over
+    md5(shingle + '#perm') hex digests."""
+    df = _docs(spark, CORPUS).select(
+        "doc_id", D.minhash_signature(F.col("text"), 4, "md5").alias("sig")
+    )
+    for r in df.collect():
+        sh = _py_shingles(CORPUS[r.doc_id][1])
+        expected = [
+            min(hashlib.md5((s + f"#{p}").encode()).hexdigest() for s in sh)
+            for p in range(4)
+        ]
+        assert list(r.sig) == expected, r.doc_id
+
+
+@pytest.mark.parametrize("backend", ["xxhash64", "md5"])
+def test_minhash_lsh_finds_near_dups(spark, backend):
+    docs = _docs(spark, CORPUS)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            docs, num_perm=8, bands=8, backend=backend
+        ).collect()
+    }
+    # bands=8, rows=1 → candidate iff ANY single minhash matches; the exact
+    # dup pair must always collide, the j≈0.8 pair virtually always.
+    assert (2, 3) in pairs
+    assert (0, 6) in pairs
+    # unrelated docs (zero shared shingles) can never share a minhash
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_lsh_deterministic_across_invocations(spark):
+    """Regression: plan-construction must not leak fresh-variable names
+    into hashed literals (the two-arg-lambda index-binding trap)."""
+    docs = _docs(spark, CORPUS)
+    runs = [
+        frozenset(
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_lsh_pairs(
+                docs, num_perm=8, bands=4, backend="xxhash64"
+            ).collect()
+        )
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
+# ---------------------------------------------------------------- jaccard --
+def test_ngram_jaccard_matches_python(spark):
+    docs = _docs(spark, CORPUS)
+    pairs = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=0, doc_b=6), Row(doc_a=2, doc_b=3)]
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard(docs, pairs).collect()}
+    for (a, b), j in out.items():
+        assert j == pytest.approx(_py_jaccard(CORPUS[a][1], CORPUS[b][1]))
+    assert out[(2, 3)] == 1.0
+
+
+# ---------------------------------------------------------------- simhash --
+def test_simhash_exact_dup_zero_hamming(spark):
+    sig = {
+        r.doc_id: r.sim
+        for r in _docs(spark, CORPUS)
+        .select("doc_id", D.simhash_signature(F.col("text")).alias("sim"))
+        .collect()
+    }
+    assert sig[2] == sig[3]
+    # near-dups land close, unrelated docs far
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(0, 6) < ham(0, 5)
+
+
+def test_simhash_pairs_finds_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(_docs(spark, CORPUS), max_hamming=10).collect()
+    }
+    assert pairs[(2, 3)] == 0
+
+
+# ------------------------------------------------------------- similarity --
+def _vec_rows():
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append(Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(16)]))
+    # 40 = near-dup of 0
+    base = rows[0].embedding
+    rows.append(
+        Row(vec_id=40, embedding=[v + rnd.uniform(-0.01, 0.01) for v in base])
+    )
+    return rows
+
+
+def _py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot / (na * nb)
+
+
+def test_cosine_topk_matches_python(spark):
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    out = S.cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=5).collect()
+    got = [(r.neighbor_id, r.sim) for r in sorted(out, key=lambda r: r.rank)]
+    ref = sorted(
+        (
+            (r.vec_id, _py_cosine(rows[0].embedding, r.embedding))
+            for r in rows
+            if r.vec_id != 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    for g, r in zip(got, ref):
+        assert g[1] == pytest.approx(r[1])
+
+
+def test_lsh_topk_recall(spark):
+    """LSH candidates + rerank must recover most of the exact top-k."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(embs, q, k=5, planes=16, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_embedding_near_dup(spark):
+    embs = spark.createDataFrame(_vec_rows())
+    out = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in S.embedding_near_dup(embs, threshold=0.99, bands=8).collect()
+    }
+    assert (0, 40) in out
+    assert out[(0, 40)] > 0.99
+
+
+def test_hyperplane_signature_distinct_planes(spark):
+    """Regression for the index-binding trap: different vectors must not
+    collapse to degenerate all-equal signatures."""
+    embs = spark.createDataFrame(_vec_rows())
+    sigs = [
+        r.s
+        for r in embs.select(
+            S.hyperplane_signature(F.col("embedding"), 16).alias("s")
+        ).collect()
+    ]
+    assert len(set(sigs)) > 10  # 41 random vectors → many distinct signatures
+    assert any(s not in (0, (1 << 16) - 1) for s in sigs)
+
+
+# ------------------------------------------------------------------- text --
+def test_text_stats_counts(spark):
+    df = _docs(spark, [(0, "Hello world, this is a test."), (1, "")])
+    out = {r.doc_id: r for r in T.text_stats(df).collect()}
+    assert out[0].n_tokens == 6
+    assert out[1].n_tokens == 0
+    assert out[0].punct_ratio == pytest.approx(2 / 28)
+
+
+def test_language_id(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "the cat and the dog sat in the house of the king"),
+            (1, "der Hund und die Katze ist nicht ein Tier zu Hause"),
+            (2, "le chat et la maison est dans les jardins des rois une fois"),
+            (3, "el perro y la casa que est en los campos una vez"),
+        ],
+    )
+    out = {r.doc_id: r.lang_guess for r in T.text_stats(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = _docs(spark, [(0, "Hello,  World!"), (1, "hello world")])
+    fps = [r.f for r in df.select(T.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    """Winnowing-style min-gram fingerprint: identical long substrings →
+    identical rolling fp even with different prefixes."""
+    body = "shared long document body that dominates the gram minimum " * 3
+    df = _docs(spark, [(0, "A " + body), (1, "B " + body)])
+    fps = [
+        r.f
+        for r in df.select(
+            T.rolling_fingerprint(F.col("text"), 16).alias("f")
+        ).collect()
+    ]
+    assert fps[0] == fps[1]
