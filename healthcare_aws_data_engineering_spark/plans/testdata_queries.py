@@ -787,9 +787,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
 from .training_data_queries import TRAINING_ORACLE, TRAINING_QUERIES  # noqa: E402
 
 QUERIES.update(TRAINING_QUERIES)
+QUERIES.update(ML_QUERIES)
 
 ORACLE: dict[str, str] = {
     "report_cvd": _REPORT_CVD_SQL,
@@ -811,3 +813,4 @@ ORACLE: dict[str, str] = {
 }
 
 ORACLE.update(TRAINING_ORACLE)
+ORACLE.update(ML_ORACLE)
