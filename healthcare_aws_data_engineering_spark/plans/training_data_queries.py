@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
+from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..sources.tables import load_table
@@ -264,6 +265,43 @@ SELECT doc_id, md5(norm) AS fingerprint,
 FROM n
 """
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata/stats stage (JVM-only, pre-decode filter) over
+    the deterministic media corpus derived from documents."""
+    return M.media_stats(M.media_from_documents(_docs(spark, sf_dir)))
+
+
+_MEDIA_STATS_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(doc_id % 64 + 16 AS INT) AS width,
+  CAST(doc_id % 48 + 16 AS INT) AS height,
+  16000 AS sample_rate,
+  CAST(length(text) * 10 AS INT) AS duration_ms,
+  CAST(doc_id % 64 + 16 AS INT) * CAST(doc_id % 48 + 16 AS INT) AS n_pixels
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→embed mapInPandas stage (stubbed deterministic codec) —
+    features exploded to (media_id, dim_idx, value) so the driver's hash
+    covers the vector contents. No SQL oracle (blake2b fake codec) →
+    rows-only check; plumbing parity is pytest-verified."""
+    feats = M.media_features(M.media_from_documents(_docs(spark, sf_dir)), dim=8)
+    return feats.select("media_id", "kind", F.posexplode("features").alias("dim_idx", "value"))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1→N mapInPandas fan-out). Rows-only check."""
+    media = M.media_from_documents(_docs(spark, sf_dir))
+    return M.sample_frames(media, every_ms=1000, max_frames=8).select(
+        "media_id", "frame_idx", "frame_ms"
+    )
+
+
 TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -273,6 +311,9 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -284,4 +325,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "media_stats": _MEDIA_STATS_SQL,
+    # media_features / frame_sample: stub codec (blake2b) not SQL-expressible
+    # → rows-only checks.
 }

@@ -1,0 +1,111 @@
+"""Streaming layer tests: Glue-bookmark-parity incremental ingest
+(checkpointed availableNow runs process each raw file exactly once) and
+the watermarked windowed-aggregation extension (streaming result ==
+batch twin on a bounded source).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_aws_data_engineering_spark.sources.tables import load_table
+from healthcare_aws_data_engineering_spark.streaming.incremental import (
+    incremental_fhir_ingest,
+    infer_bundle_schema,
+)
+from healthcare_aws_data_engineering_spark.streaming.windows import (
+    run_available_now_to_memory,
+    windowed_event_counts,
+)
+
+from test_fhir_etl import CONDITION_SINGLE_CC, OBSERVATIONS, PATIENT, bundle
+
+
+def test_incremental_ingest_bookmark_semantics(spark, tmp_path):
+    """Run 1 ingests the initial drop; run 2 with new files appended
+    processes ONLY the new files (no re-processing, no duplicates)."""
+    raw = tmp_path / "raw"
+    curated = tmp_path / "curated"
+    ckpt = tmp_path / "ckpt"
+    raw.mkdir()
+
+    (raw / "drop1.json").write_text(bundle([PATIENT] + OBSERVATIONS))
+    schema = infer_bundle_schema(spark, str(raw))
+    incremental_fhir_ingest(spark, str(raw), str(curated), str(ckpt), schema=schema)
+
+    obs1 = spark.read.parquet(str(curated / "observation"))
+    n1 = obs1.count()
+    assert n1 == len(OBSERVATIONS)
+    assert spark.read.parquet(str(curated / "patient")).count() == 1
+
+    # second drop: one new bundle with one new observation id
+    new_obs = dict(OBSERVATIONS[0])
+    (raw / "drop2.json").write_text(
+        bundle([CONDITION_SINGLE_CC, {**new_obs, "id": "obs-new-1"}])
+    )
+    incremental_fhir_ingest(spark, str(raw), str(curated), str(ckpt), schema=schema)
+
+    obs2 = spark.read.parquet(str(curated / "observation"))
+    assert obs2.count() == n1 + 1  # only the new file's rows appended
+    assert obs2.filter(F.col("observation_id") == "obs-new-1").count() == 1
+    # drop1's observations were NOT re-ingested
+    ids = [r.observation_id for r in obs2.groupBy("observation_id").count()
+           .filter("count > 1").collect()]
+    assert ids == []
+    # condition table appeared from run 2
+    assert spark.read.parquet(str(curated / "condition")).count() == 1
+
+
+def test_incremental_ingest_noop_when_no_new_files(spark, tmp_path):
+    raw = tmp_path / "raw"
+    curated = tmp_path / "curated"
+    ckpt = tmp_path / "ckpt"
+    raw.mkdir()
+    (raw / "a.json").write_text(bundle([PATIENT]))
+    schema = infer_bundle_schema(spark, str(raw))
+    incremental_fhir_ingest(spark, str(raw), str(curated), str(ckpt), schema=schema)
+    n1 = spark.read.parquet(str(curated / "patient")).count()
+    incremental_fhir_ingest(spark, str(raw), str(curated), str(ckpt), schema=schema)
+    assert spark.read.parquet(str(curated / "patient")).count() == n1
+
+
+@pytest.mark.parametrize("window", ["6 hours"])
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, window):
+    """availableNow stream over the sf0.001 events parquet must produce
+    the same finalized windows as the batch aggregation."""
+    sf_dir = "/root/testdata/sf0.001"
+    batch_events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # materialize with µs timestamps so the stream source sees a plain schema
+    src_dir = str(tmp_path / "events_src")
+    batch_events.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    agg = windowed_event_counts(stream, window=window, watermark="1 hour")
+    run_available_now_to_memory(
+        agg, "win_counts", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    expected_df = windowed_event_counts(
+        spark.read.parquet(src_dir), window=window, streaming=False
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in expected_df.collect()
+    }
+    # append mode emits only windows the watermark finalized; the last
+    # window(s) may be withheld — everything emitted must match batch, and
+    # most windows must have been emitted.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert expected[k][0] == v[0] and expected[k][1] == pytest.approx(v[1]), k
+    assert len(got) >= len(expected) - 5 * 2  # ≤ last window per event_type withheld
