@@ -59,17 +59,27 @@ def exact_dedup(
 
 # --------------------------------------------------------------- shingles --
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (projection only)."""
+    """Distinct word n-gram shingles as array<string> (projection only).
+
+    Built by zip_with-folding the word array against its own shifted
+    slices: lambdas only touch their ELEMENT arguments, so the underlying
+    split is evaluated once per row. (A transform whose lambda body calls
+    ``element_at(ws, i+j)`` inlines the whole split expression per element
+    — O(words²) work per document; that shape took ~10x longer.)"""
     ws = F.split(F.trim(text), r"\s+")
     k = F.size(ws)
-    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), k - n))
-    grams = F.transform(
-        starts,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+    grams = ws
+    for j in range(1, n):
+        shifted = F.slice(ws, j + 1, F.greatest(k - j, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    full = F.filter(grams, lambda g: g.isNotNull())
+    return F.when(k >= n, F.array_distinct(full)).otherwise(
         F.array_distinct(F.array(F.concat_ws(" ", ws)))
     )
 

@@ -139,14 +139,21 @@ def lsh_topk(
     width = planes // bands
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vec_col), planes)
-        return df.select(
+        # stage the signature as a real column: the band projections below
+        # reference it `bands` times, and inlining would recompute the
+        # whole planes x dims aggregate per band.
+        staged = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+        )
+        return staged.select(
+            f"{role}_id",
+            f"{role}_vec",
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftrightunsigned(sig, b * width).bitwiseAND(
+                        F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
                             (1 << width) - 1
                         )
                         for b in range(bands)
@@ -185,14 +192,20 @@ def embedding_near_dup(
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed: pair
     fan-out happens only inside signature buckets (size-capped)."""
     width = planes // bands
-    sig = hyperplane_signature(F.col(vec_col), planes)
-    banded = corpus.select(
+    staged = corpus.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    banded = staged.select(
+        "doc",
+        "vec",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(sig, b * width).bitwiseAND((1 << width) - 1)
+                    F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
+                        (1 << width) - 1
+                    )
                     for b in range(bands)
                 ]
             )

@@ -131,17 +131,37 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
-def rolling_fingerprint(text: Column, window: int = 16) -> Column:
+def rolling_fingerprint(
+    text: Column, window: int = 16, pre_normalized: bool = False
+) -> Column:
     """Winnowing-style robust fingerprint: the minimum hash over the
     document's character ``window``-grams of the normalized text — stable
-    under small edits anywhere except the minimal window itself."""
-    norm = normalize_text(text)
+    under small edits anywhere except the minimal window itself.
+
+    PERF: the lambda body references the source string PER ELEMENT, so
+    ``text`` should be a plain column when possible — pass the normalized
+    string as a materialized column + ``pre_normalized=True`` (see
+    :func:`with_normalized`); inlining ``normalize_text`` here would rerun
+    its regexes once per gram (O(len²) regex work per document)."""
+    norm = text if pre_normalized else normalize_text(text)
     n = F.length(norm)
     starts = F.sequence(
         F.lit(1), F.greatest(F.lit(1), n - F.lit(window - 1))
     )
-    grams = F.transform(starts, lambda i: F.substring(norm, i, window))
-    return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+    return F.array_min(
+        F.transform(
+            starts, lambda i: F.md5(F.substring(norm, i, window).cast("binary"))
+        )
+    )
+
+
+def with_normalized(
+    docs: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Stage ``normalize_text`` as a real column so downstream per-element
+    HOFs reference a cheap attribute. Catalyst's CollapseProject keeps the
+    stage (it won't inline non-cheap expressions used more than once)."""
+    return docs.withColumn(out_col, normalize_text(F.col(text_col)))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

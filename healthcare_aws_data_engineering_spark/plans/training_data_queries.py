@@ -244,11 +244,13 @@ FROM d
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact (normalized md5) + winnowing-style
     rolling minimum over 16-char grams."""
-    docs = _docs(spark, sf_dir)
-    return docs.select(
+    staged = T.with_normalized(_docs(spark, sf_dir))
+    return staged.select(
         "doc_id",
-        T.fingerprint(F.col("text")).alias("fingerprint"),
-        T.rolling_fingerprint(F.col("text"), window=16).alias("rolling_fp"),
+        F.md5(F.col("norm_text").cast("binary")).alias("fingerprint"),
+        T.rolling_fingerprint(
+            F.col("norm_text"), window=16, pre_normalized=True
+        ).alias("rolling_fp"),
     )
 
 
