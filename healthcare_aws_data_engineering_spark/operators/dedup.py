@@ -84,6 +84,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _bucket_cap(banded: DataFrame, key_col: str, max_bucket: int) -> DataFrame:
+    """Keep rows whose (band, key) bucket has 2..max_bucket members, via a
+    window count over the bucket shuffle (single subtree — see callers)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", key_col)
+    return banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+    )
+
+
 # ---------------------------------------------------------------- minhash --
 def _shingle_hash(shingle: Column, perm: int, backend: str) -> Column:
     if backend == "xxhash64":
@@ -176,12 +187,13 @@ def minhash_lsh_pairs(
     # over collect_list'd buckets; nested index-capturing lambdas proved
     # non-deterministic under local[32] (codegen lambda-variable races), and
     # the join is the shape that scales anyway (AQE handles bucket skew).
-    sizes = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-    )
-    capped = banded.join(sizes, ["band", "band_hash"]).select(
+    #
+    # The size cap is a WINDOW count over the same (band, band_hash)
+    # shuffle, not a separate groupBy branch: both self-join inputs are
+    # then the identical subtree, so the signature pipeline is computed
+    # once and its exchange is reused (a groupBy-sizes + join shape
+    # compiled to THREE independent recomputations of the signatures).
+    capped = _bucket_cap(banded, "band_hash", max_bucket).select(
         "band", "band_hash", "doc"
     )
     pairs = (
@@ -313,13 +325,8 @@ def simhash_pairs(
         ).alias("band", "band_key"),
     )
     # Bucket self-equi-join (see minhash_lsh_pairs for why not nested
-    # array lambdas); size cap bounds per-bucket pair fan-out.
-    sizes = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-    )
-    capped = banded.join(sizes, ["band", "band_key"]).select(
+    # array lambdas and why the cap is a window, not a groupBy branch).
+    capped = _bucket_cap(banded, "band_key", max_bucket).select(
         "band", "band_key", "doc", "sim"
     )
     pairs = (

@@ -212,13 +212,10 @@ def embedding_near_dup(
         ).alias("band", "band_key"),
     )
     # Bucket self-equi-join (see dedup.minhash_lsh_pairs for why not nested
-    # array lambdas); size cap bounds per-bucket pair fan-out.
-    sizes = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-    )
-    capped = banded.join(sizes, ["band", "band_key"]).select(
+    # array lambdas and why the cap is a window, not a groupBy branch).
+    from .dedup import _bucket_cap
+
+    capped = _bucket_cap(banded, "band_key", max_bucket).select(
         "band", "band_key", "doc", "vec"
     )
     pairs = (
