@@ -267,6 +267,72 @@ SELECT doc_id, md5(norm) AS fingerprint,
 FROM n
 """
 
+# events→labs reference ranges for the severity-ranked selection (O3)
+SEVERITY_RANGES = {
+    "click": (2.0, 40.0),
+    "view": (5.0, 50.0),
+    "purchase": (10.0, 60.0),
+    "signup": (1.0, 30.0),
+    "error": (3.0, 20.0),
+}
+
+
+def q_severity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: latest value per (patient, analyte) → F14 banding → severity
+    rank → abnormal-first top-3 per patient (borderline fallback)."""
+    from ..operators.severity import severity_topk
+
+    events = load_table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    labs = events.groupBy(
+        F.col("user_id").alias("patient_id"),
+        F.col("event_type").alias("analyte"),
+    ).agg(F.max_by("value", order).alias("value"))
+    return severity_topk(labs, SEVERITY_RANGES, k=3)
+
+
+def _severity_sql() -> str:
+    bands = []
+    for analyte, (lo, hi) in SEVERITY_RANGES.items():
+        bands.append(
+            f"WHEN analyte = '{analyte}' THEN CASE"
+            f" WHEN value IS NULL THEN 'Unknown'"
+            f" WHEN value < {0.9 * lo} THEN 'Low'"
+            f" WHEN value < {lo} THEN 'Borderline low'"
+            f" WHEN value <= {hi} THEN 'In range'"
+            f" WHEN value <= {1.2 * hi} THEN 'Borderline high'"
+            f" ELSE 'High' END"
+        )
+    case = "CASE " + " ".join(bands) + " ELSE 'Unknown' END"
+    return f"""
+WITH latest AS (
+  SELECT patient_id, analyte, value FROM (
+    SELECT user_id AS patient_id, event_type AS analyte, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), banded AS (
+  SELECT *, {case} AS status FROM latest
+), sev AS (
+  SELECT *, CASE status WHEN 'High' THEN 0 WHEN 'Low' THEN 0
+            WHEN 'Borderline high' THEN 1 WHEN 'Borderline low' THEN 1
+            WHEN 'In range' THEN 2 ELSE 3 END AS severity
+  FROM banded
+), flagged AS (
+  SELECT *, MIN(severity) OVER (PARTITION BY patient_id) AS min_sev FROM sev
+), kept AS (
+  SELECT patient_id, analyte, value, status, severity,
+         ROW_NUMBER() OVER (PARTITION BY patient_id
+                            ORDER BY severity ASC, analyte ASC) AS rank
+  FROM flagged
+  WHERE severity = 0 OR (min_sev > 0 AND severity = min_sev)
+)
+SELECT patient_id, analyte, value, status, severity, rank
+FROM kept WHERE rank <= 3
+"""
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata/stats stage (JVM-only, pre-decode filter) over
     the deterministic media corpus derived from documents."""
@@ -313,6 +379,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "severity_topk": q_severity_topk,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
@@ -327,6 +394,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "severity_topk": _severity_sql(),
     "media_stats": _MEDIA_STATS_SQL,
     # media_features / frame_sample: stub codec (blake2b) not SQL-expressible
     # → rows-only checks.

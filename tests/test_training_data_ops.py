@@ -284,3 +284,53 @@ def test_rolling_fingerprint_shift_invariance(spark):
         ).collect()
     ]
     assert fps[0] == fps[1]
+
+
+# --------------------------------------------------------------- severity --
+def test_severity_topk_fallback_and_ranking(spark):
+    from pyspark.sql import Row
+
+    from healthcare_aws_data_engineering_spark.operators.severity import (
+        severity_topk,
+    )
+
+    ranges = {"a": (10.0, 20.0), "b": (10.0, 20.0), "c": (10.0, 20.0)}
+    labs = spark.createDataFrame(
+        [
+            # p1: one abnormal (a High), one borderline, one in range →
+            # only the abnormal row surfaces
+            Row(patient_id=1, analyte="a", value=50.0),
+            Row(patient_id=1, analyte="b", value=22.0),
+            Row(patient_id=1, analyte="c", value=15.0),
+            # p2: no abnormal → borderline fallback
+            Row(patient_id=2, analyte="a", value=23.0),
+            Row(patient_id=2, analyte="b", value=15.0),
+            # p3: everything in range → in-range rows surface (min severity)
+            Row(patient_id=3, analyte="a", value=15.0),
+        ]
+    )
+    out = {}
+    for r in severity_topk(labs, ranges, k=6).collect():
+        out.setdefault(r.patient_id, []).append(r)
+    assert [r.analyte for r in out[1]] == ["a"]
+    assert out[1][0].status == "High" and out[1][0].severity == 0
+    assert [r.analyte for r in out[2]] == ["a"]
+    assert out[2][0].status == "Borderline high"
+    assert [r.analyte for r in out[3]] == ["a"]
+    assert out[3][0].status == "In range"
+
+
+def test_severity_topk_limits_k(spark):
+    from pyspark.sql import Row
+
+    from healthcare_aws_data_engineering_spark.operators.severity import (
+        severity_topk,
+    )
+
+    ranges = {c: (10.0, 20.0) for c in "abcdefgh"}
+    labs = spark.createDataFrame(
+        [Row(patient_id=1, analyte=c, value=99.0) for c in "abcdefgh"]
+    )
+    out = severity_topk(labs, ranges, k=6).collect()
+    assert len(out) == 6
+    assert [r.analyte for r in sorted(out, key=lambda r: r.rank)] == list("abcdef")
