@@ -180,6 +180,109 @@ def lsh_topk(
     )
 
 
+def _centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin-distance cell id against literal centroid arrays (first
+    match on ties → deterministic)."""
+    dists = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors are assigned to coarse
+    cells (argmin distance to centroids), each query probes only its
+    ``n_probe`` nearest cells, and candidates are exactly reranked.
+
+    Centroids here are a deterministic sample of the corpus (first
+    ``n_centroids`` by id) rather than trained k-means — the INDEX
+    STRUCTURE and query path are the real thing; swap in
+    ``pyspark.ml.clustering.KMeans`` centers for trained cells.
+
+    Scale shape: assignment is a projection against broadcast-literal
+    centroids (no shuffle); the probe join is an equi-join on cell id, so
+    a query touches ~n_probe/n_centroids of the corpus instead of all of
+    it; rerank cost is |candidates| dot products."""
+    cents = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+    c_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        _centroid_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    # per-query: n_probe nearest cells, exploded to probe rows
+    dists = []
+    for c in cents:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col("query_vec"),
+                    arr,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("d"), F.lit(i).alias("cell"))
+                        for i, d in enumerate(dists)
+                    ]
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        n_probe,
+    )
+    q_probe = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            ranked_cells.alias("__cells"),
+        )
+        .select(
+            "query_id", "query_vec", F.explode("__cells").alias("cell")
+        )
+    )
+    cands = (
+        q_probe.join(c_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -188,6 +188,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(embs, queries, k=10, planes=16, bands=8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 (coarse cells + n_probe probing + exact
+    rerank) — the second ANN scale path besides LSH. Rows-only check
+    (centroids are a driver-side sample); recall vs brute force is
+    pytest-verified."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(embs, queries, k=10, n_centroids=16, n_probe=6)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (hyperplane-LSH bucketed).
+    Threshold 0.35 because the synthetic embeddings are near-orthogonal
+    random vectors (max pairwise cosine ≈ 0.51 at sf0.01) — a production
+    0.9+ threshold would make the check vacuously empty. Rows-only check
+    (xxhash64-derived planes); exactness of the cosine itself is covered
+    by the oracle-checked ann_cosine_topk."""
+    return S.embedding_near_dup(
+        _embs(spark, sf_dir), threshold=0.35, planes=16, bands=8
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token counts (ws + BPE-ish), punctuation
     ratio, mean word length, stopword-profile language ID, quality score,
@@ -377,6 +399,8 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "severity_topk": q_severity_topk,

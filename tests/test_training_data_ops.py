@@ -334,3 +334,25 @@ def test_severity_topk_limits_k(spark):
     out = severity_topk(labs, ranges, k=6).collect()
     assert len(out) == 6
     assert [r.analyte for r in sorted(out, key=lambda r: r.rank)] == list("abcdef")
+
+
+def test_ivf_topk_recall(spark):
+    """IVF cells + probing + rerank must recover most of the exact top-k;
+    with n_probe == n_centroids it must equal brute force exactly."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(embs, q, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(embs, q, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact  # probing every cell == brute force
