@@ -134,3 +134,29 @@ def test_aggregations_have_map_side_partial(spark, name):
     # the exchange must sit between two aggregate nodes
     segs = re.split(r"Exchange hashpartitioning", phys)
     assert len(segs) >= 2 and re.search(r"Aggregate", segs[-1]), phys
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """S2's partitionBy hook (unused in the reference — SURVEY §4 flags it)
+    must yield partition pruning: a filter on the partition column shows up
+    as PartitionFilters on the scan, and only matching directories are read."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(observation_id=i, patient_id=i % 7, obs_year=2020 + (i % 4))
+            for i in range(200)
+        ]
+    )
+    out = str(tmp_path / "obs_part")
+    df.write.partitionBy("obs_year").parquet(out)
+
+    scan = spark.read.parquet(out).filter("obs_year = 2022")
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "obs_year" in m.group(1), plan
+    assert scan.count() == 50
