@@ -180,20 +180,29 @@ def lsh_topk(
     )
 
 
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of squared distances to each centroid — ONE transform
+    over a nested literal centroid array, so the zip/aggregate machinery
+    appears once in the tree instead of once per centroid (compile-time
+    matters: 16 copies of it pushed IVF plan construction to ~10s)."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+
+
 def _centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin-distance cell id against literal centroid arrays (first
-    match on ties → deterministic)."""
-    dists = []
-    for c in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        )
-    darr = F.array(*dists)
+    """argmin-distance cell id (first match on ties → deterministic)."""
+    darr = _cell_dists(vec, centroids)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
@@ -229,34 +238,14 @@ def ivf_topk(
         _centroid_cell(F.col(vec_col), cents).alias("cell"),
     )
     # per-query: n_probe nearest cells, exploded to probe rows
-    dists = []
-    for c in cents:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col("query_vec"),
-                    arr,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        )
+    qdists = _cell_dists(F.col("query_vec"), cents)
+    indexed = F.zip_with(
+        qdists,
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cell")),
+    )
     ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(d.alias("d"), F.lit(i).alias("cell"))
-                        for i, d in enumerate(dists)
-                    ]
-                )
-            ),
-            lambda s: s["cell"],
-        ),
-        1,
-        n_probe,
+        F.transform(F.array_sort(indexed), lambda s: s["cell"]), 1, n_probe
     )
     q_probe = (
         queries.select(
