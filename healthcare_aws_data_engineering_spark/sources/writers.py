@@ -22,9 +22,12 @@ def write_parquet(
     subpath: str,
     partitions: Sequence[str] | None = None,
     mode: str = "append",
+    compression: str = "zstd",
 ) -> str:
+    """zstd by default: ~30% smaller than snappy at comparable read speed —
+    at 100 TB the scan is IO-bound, so smaller files ARE faster queries."""
     path = f"{base_path.rstrip('/')}/{subpath}"
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option("compression", compression)
     if partitions:
         writer = writer.partitionBy(*partitions)
     writer.parquet(path)
