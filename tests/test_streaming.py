@@ -109,3 +109,31 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path, window):
     for k, v in got.items():
         assert expected[k][0] == v[0] and expected[k][1] == pytest.approx(v[1]), k
     assert len(got) >= len(expected) - 5 * 2  # ≤ last window per event_type withheld
+
+
+def test_cli_batch_and_incremental(spark, tmp_path):
+    """__main__ entry point: batch run writes all four tables; a second
+    incremental run with a checkpoint only picks up new files."""
+    from healthcare_aws_data_engineering_spark.__main__ import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "b1.json").write_text(bundle([PATIENT] + OBSERVATIONS))
+
+    curated_b = tmp_path / "curated_batch"
+    assert main(["--raw", str(raw), "--curated", str(curated_b)]) == 0
+    assert spark.read.parquet(str(curated_b / "observation")).count() == len(
+        OBSERVATIONS
+    )
+
+    curated_i = tmp_path / "curated_inc"
+    ckpt = tmp_path / "ckpt"
+    args = ["--raw", str(raw), "--curated", str(curated_i),
+            "--incremental", "--checkpoint", str(ckpt)]
+    assert main(args) == 0
+    n1 = spark.read.parquet(str(curated_i / "observation")).count()
+    (raw / "b2.json").write_text(
+        bundle([{**OBSERVATIONS[0], "id": "obs-cli-new"}])
+    )
+    assert main(args) == 0
+    assert spark.read.parquet(str(curated_i / "observation")).count() == n1 + 1
