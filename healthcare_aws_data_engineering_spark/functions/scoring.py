@@ -80,8 +80,10 @@ def penalty(analyte: str, value: Column) -> Column:
 
 def disease_subscore(disease: str, cols: dict[str, Column] | None = None) -> Column:
     """Subscore 0–100 (``disease_subscore``, mrp_website.py:184-204):
-    ``100 − Σ pᵢwᵢ · 100/3`` over *present* analytes, weights renormalized
-    by present mass, clamped to [0,100]; NULL when nothing is present.
+    ``100 − Σ pᵢwᵢ · 100/3`` over *present* analytes, clamped to [0,100];
+    NULL when nothing is present. Weights are NOT renormalized here —
+    matching mrp_website.py:201-203 (see NOTE below); renormalization
+    happens only at the wellness level.
 
     ``cols`` maps analyte name → Column (defaults to same-named columns,
     absent analytes handled by passing NULL literals explicitly).

@@ -15,7 +15,9 @@ analog is the events table and demographics come from ``customer``:
   DuckDB oracle can replay them).
 
 Scale: one shuffle for the latest-per-key aggregate (map-side partial
-``max_by``), one broadcast-able join to the customer dim.
+``max_by``); the demographics join shuffles only the customer side onto
+the aggregate's existing ``patient_id`` partitioning (no broadcast hint —
+neither side is bounded; AQE may adaptively broadcast when small).
 """
 
 from __future__ import annotations
@@ -69,11 +71,19 @@ def demographics(customer: DataFrame) -> DataFrame:
 
 def feature_table(events: DataFrame, customer: DataFrame) -> DataFrame:
     """All 19 canonical feature columns in fitted order; labs without an
-    events analog are NULL (imputed downstream). Customer dim is small →
-    broadcast join."""
+    events analog are NULL (imputed downstream).
+
+    Join strategy: NO broadcast hint. Both sides are keyed by patient and
+    grow with the user population (customer rows ≈ patients, labs is a
+    per-patient aggregate), so pinning either as the broadcast side is a
+    driver/executor OOM at 100 TB. The labs aggregate already exits its
+    groupBy hash-partitioned on ``patient_id``, so a shuffle join reuses
+    that exchange and only the demo side shuffles; AQE may still demote
+    to broadcast at runtime when a side is genuinely small — that choice
+    is adaptive and safe, an explicit hint is not."""
     labs = latest_value_pivot(events)
     demo = demographics(customer)
-    joined = demo.join(F.broadcast(labs), "patient_id", "left")
+    joined = demo.join(labs, "patient_id", "left")
     cols = [F.col("patient_id")]
     for n in feature_names():
         if n in ("age", "sex") or n in EVENTS_ML_KEYS:

@@ -40,18 +40,47 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalized: bool = True,
+    max_ids: int = 100,
 ) -> DataFrame:
     """Exact duplicate groups: md5 of (normalized) text → min id kept.
     Output: one row per duplicate GROUP (dup_count ≥ 2) with the keeper id.
-    Single hash aggregate; map-side partial agg keeps shuffle tiny."""
+    Single hash aggregate; map-side partial agg keeps shuffle tiny.
+
+    ``doc_ids`` is a bounded SAMPLE of the group capped at ``max_ids``
+    members (the ``max_ids`` smallest ids, so deterministic): a degenerate
+    group — millions of empty/boilerplate docs hashing identically after
+    normalization — must not materialize one unbounded array row at
+    100 TB. The cap is applied BEFORE collect_list (row_number over the
+    same hash partitioning the groupBy needs, so one exchange total) —
+    slicing after a full collect_list would still buffer the whole group.
+    ``dup_count`` is always the exact group size (window count over the
+    uncapped partition); pass ``max_ids=0`` to drop the id list and the
+    window entirely, leaving the pure single-hash-agg scale path."""
+    from pyspark.sql import Window as W
+
     t = F.col(text_col)
     h = F.md5((normalize_text(t) if normalized else t).cast("binary"))
+    if max_ids <= 0:
+        return (
+            docs.groupBy(h.alias("content_hash"))
+            .agg(
+                F.min(F.col(id_col)).alias("keep_id"),
+                F.count(F.lit(1)).alias("dup_count"),
+            )
+            .filter(F.col("dup_count") >= 2)
+        )
+    base = docs.select(h.alias("content_hash"), F.col(id_col).alias("__id"))
+    wp = W.partitionBy("content_hash")
+    ranked = base.withColumn(
+        "__rn", F.row_number().over(wp.orderBy("__id"))
+    ).withColumn("__cnt", F.count(F.lit(1)).over(wp))
     return (
-        docs.groupBy(h.alias("content_hash"))
+        ranked.filter(F.col("__rn") <= max_ids)
+        .groupBy("content_hash")
         .agg(
-            F.min(F.col(id_col)).alias("keep_id"),
-            F.count(F.lit(1)).alias("dup_count"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+            F.min("__id").alias("keep_id"),
+            F.first("__cnt").alias("dup_count"),
+            F.sort_array(F.collect_list("__id")).alias("doc_ids"),
         )
         .filter(F.col("dup_count") >= 2)
     )

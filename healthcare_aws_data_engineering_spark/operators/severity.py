@@ -1,15 +1,19 @@
 """Severity-ranked lab selection (SURVEY §2.6 O3; reference
 ``test.py:528-552``): given per-(patient, analyte) latest values with
 reference ranges, band each value (F14), rank by severity
-(High/Low → 0, Borderline → 1, In range → 2, Unknown → 3), keep the
-abnormal rows — falling back to borderline rows when a patient has no
-abnormal labs — and return at most ``k`` per patient, worst first.
+(High/Low → 0, Borderline → 1, In range → 2, Unknown → 3), keep every
+row with severity rank < 2 — abnormal AND borderline together, exactly
+``abnormal_df = lab_summary_df[severity_rank < 2]`` at test.py:541 —
+and return at most ``k`` per patient, worst first. In range / Unknown
+rows never surface. (The reference's "fall back to borderline" branch
+at test.py:545-549 is dead code: if the rank<2 set is empty, the
+rank==1 set is a subset of it and is empty too; we mirror the effective
+semantics, not the dead branch.)
 
-Distributed shape: banding is a projection; the per-patient "has any
-abnormal" flag is a window max over the patient partition (no extra
-shuffle beyond the ranking window's); top-k is row_number ≤ k. One
-shuffle total, no driver-side loops (the reference does this in pandas
-for one patient at a time).
+Distributed shape: banding is a projection, the keep-filter is a plain
+predicate (no per-patient window needed), top-k is row_number ≤ k over
+one patient-partitioned window. One shuffle total, no driver-side loops
+(the reference does this in pandas for one patient at a time).
 """
 
 from __future__ import annotations
@@ -48,8 +52,8 @@ def severity_topk(
     """Top-k most severe labs per patient.
 
     ``ranges``: analyte → (low, high) reference interval; analytes absent
-    from the map band as Unknown (rank 3) and never surface unless the
-    patient has nothing else."""
+    from the map band as Unknown (rank 3) and never surface — only
+    severity < 2 rows (High/Low/Borderline) are kept, per test.py:541."""
     status = None
     for analyte, (lo, hi) in ranges.items():
         banded = range_status_with_margins(F.col(value_col), lo, hi)
@@ -63,22 +67,13 @@ def severity_topk(
     df = labs.withColumn("status", status).withColumn(
         "severity", severity_rank(F.col("status"))
     )
-    wp = W.partitionBy(patient_col)
-    df = df.withColumn(
-        "__min_sev", F.min("severity").over(wp)
-    )
-    # abnormal rows when any exist for the patient; else borderline rows
-    # (test.py:539-546's fallback); In range/Unknown never selected unless
-    # nothing else exists for the patient
-    kept = df.filter(
-        (F.col("severity") == 0)
-        | ((F.col("__min_sev") > 0) & (F.col("severity") == F.col("__min_sev")))
-    )
+    # test.py:541: abnormal AND borderline together (severity < 2);
+    # In range / Unknown rows are never selected
+    kept = df.filter(F.col("severity") < 2)
     order = W.partitionBy(patient_col).orderBy(
         F.col("severity").asc(), F.col(analyte_col).asc()
     )
     return (
         kept.withColumn("rank", F.row_number().over(order))
         .filter(F.col("rank") <= k)
-        .drop("__min_sev")
     )

@@ -301,7 +301,8 @@ SEVERITY_RANGES = {
 
 def q_severity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: latest value per (patient, analyte) → F14 banding → severity
-    rank → abnormal-first top-3 per patient (borderline fallback)."""
+    rank → severity<2 rows (abnormal + borderline, test.py:541), top-3
+    per patient worst-first."""
     from ..operators.severity import severity_topk
 
     events = load_table(spark, sf_dir, "events")
@@ -341,14 +342,12 @@ WITH latest AS (
             WHEN 'Borderline high' THEN 1 WHEN 'Borderline low' THEN 1
             WHEN 'In range' THEN 2 ELSE 3 END AS severity
   FROM banded
-), flagged AS (
-  SELECT *, MIN(severity) OVER (PARTITION BY patient_id) AS min_sev FROM sev
 ), kept AS (
   SELECT patient_id, analyte, value, status, severity,
          ROW_NUMBER() OVER (PARTITION BY patient_id
                             ORDER BY severity ASC, analyte ASC) AS rank
-  FROM flagged
-  WHERE severity = 0 OR (min_sev > 0 AND severity = min_sev)
+  FROM sev
+  WHERE severity < 2
 )
 SELECT patient_id, analyte, value, status, severity, rank
 FROM kept WHERE rank <= 3

@@ -287,7 +287,10 @@ def test_rolling_fingerprint_shift_invariance(spark):
 
 
 # --------------------------------------------------------------- severity --
-def test_severity_topk_fallback_and_ranking(spark):
+def test_severity_topk_keeps_abnormal_and_borderline(spark):
+    """test.py:541 parity: severity_rank < 2 keeps abnormal AND borderline
+    rows together, worst first; In range / Unknown never surface (the
+    reference's borderline fallback at :545-549 is dead code)."""
     from pyspark.sql import Row
 
     from healthcare_aws_data_engineering_spark.operators.severity import (
@@ -297,27 +300,29 @@ def test_severity_topk_fallback_and_ranking(spark):
     ranges = {"a": (10.0, 20.0), "b": (10.0, 20.0), "c": (10.0, 20.0)}
     labs = spark.createDataFrame(
         [
-            # p1: one abnormal (a High), one borderline, one in range →
-            # only the abnormal row surfaces
+            # p1: one abnormal (a High), one borderline (b), one in range →
+            # abnormal AND borderline surface, worst first
             Row(patient_id=1, analyte="a", value=50.0),
             Row(patient_id=1, analyte="b", value=22.0),
             Row(patient_id=1, analyte="c", value=15.0),
-            # p2: no abnormal → borderline fallback
+            # p2: no abnormal → the borderline row alone
             Row(patient_id=2, analyte="a", value=23.0),
             Row(patient_id=2, analyte="b", value=15.0),
-            # p3: everything in range → in-range rows surface (min severity)
+            # p3: everything in range → NO rows (reference shows nothing)
             Row(patient_id=3, analyte="a", value=15.0),
+            # p4: unmapped analyte only → Unknown, never surfaces
+            Row(patient_id=4, analyte="zzz", value=15.0),
         ]
     )
     out = {}
     for r in severity_topk(labs, ranges, k=6).collect():
         out.setdefault(r.patient_id, []).append(r)
-    assert [r.analyte for r in out[1]] == ["a"]
+    assert [r.analyte for r in out[1]] == ["a", "b"]
     assert out[1][0].status == "High" and out[1][0].severity == 0
+    assert out[1][1].status == "Borderline high" and out[1][1].severity == 1
     assert [r.analyte for r in out[2]] == ["a"]
     assert out[2][0].status == "Borderline high"
-    assert [r.analyte for r in out[3]] == ["a"]
-    assert out[3][0].status == "In range"
+    assert 3 not in out and 4 not in out
 
 
 def test_severity_topk_limits_k(spark):
