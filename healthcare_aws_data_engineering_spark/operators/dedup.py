@@ -307,33 +307,52 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 6,
     max_bucket: int = 50,
+    backend: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates whose 64-bit SimHashes agree on at least one of
-    ``bands`` 16-bit bands (guarantees recall for Hamming ≤ bands-1 by
-    pigeonhole), verified with an exact Hamming threshold."""
-    width = 64 // bands
-    # Explode + partial-agg bit votes: each shingle is xxhash64'd ONCE and
-    # the 64 per-bit ±1 sums combine map-side; the shuffle carries one
+    """Near-dup candidates whose SimHashes agree on at least one of
+    ``bands`` equal-width bands (guarantees recall for Hamming ≤ bands-1 by
+    pigeonhole), verified with an exact Hamming threshold.
+
+    ``backend``: per-shingle bit-vote source.
+
+    - ``"xxhash64"`` (default, 64-bit): bit i of xxhash64(shingle) —
+      cheapest, engine-specific (rows-only correctness check).
+    - ``"md5digit"`` (32-bit): bit i = high bit of hex digit i of
+      md5(shingle), i.e. ``substr(md5(s), i+1, 1) >= '8'`` — one md5 per
+      shingle, reproducible in any engine with md5() (single-char ASCII
+      comparison), so the DuckDB oracle can replay the full pipeline.
+    """
+    bits = 64 if backend == "xxhash64" else 32
+    width = bits // bands
+    # Explode + partial-agg bit votes: each shingle is hashed ONCE and
+    # the per-bit ±1 sums combine map-side; the shuffle carries one
     # fixed-width row per doc. (The projection-only simhash_votes form is
     # interpreted HOF eval — kept for column-level use, too slow here.)
-    h = F.xxhash64(F.col("__s"))
-    votes = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col))).alias("__s"),
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col))).alias("__s"),
+    )
+    if backend == "xxhash64":
+        h = F.xxhash64(F.col("__s"))
+        vote = [
+            F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            for i in range(bits)
+        ]
+    elif backend == "md5digit":
+        exploded = exploded.select(
+            "doc", F.md5(F.col("__s").cast("binary")).alias("__s")
         )
-        .groupBy("doc")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
-                ).alias(f"__v{i}")
-                for i in range(64)
-            ]
-        )
+        vote = [
+            F.when(F.substring(F.col("__s"), i + 1, 1) >= "8", 1).otherwise(-1)
+            for i in range(bits)
+        ]
+    else:
+        raise ValueError(f"unknown simhash backend: {backend}")
+    votes = exploded.groupBy("doc").agg(
+        *[F.sum(vote[i]).alias(f"__v{i}") for i in range(bits)]
     )
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         packed = packed.bitwiseOR(
             F.when(
                 F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)

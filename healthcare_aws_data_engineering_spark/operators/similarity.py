@@ -24,7 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-_DEC = "decimal(28,12)"
+# Precision ≤ 18 so Spark's Decimal stays in its compact-long fast path
+# (precision > 18 → BigDecimal allocation per HOF term, ~4× slower folds).
+# Range check: |e_i| ≤ 0.58 on this corpus → |dot| ≤ 64·0.34 ≈ 22 and
+# squared-distance sums ≤ ~90, far inside decimal(18,12)'s ±10^6 /
+# decimal(18,6)'s ±10^12. The sums stay EXACT (decimal addition), so the
+# DuckDB twins may accumulate at any ≥ precision — values are identical.
+_DEC = "decimal(18,12)"
 
 
 def _pairwise_sum(a: Column, b: Column, exact: bool) -> Column:
@@ -121,6 +127,95 @@ def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
     return out
 
 
+def rademacher_planes(
+    planes: int, dim: int, salt: str = "hyperplane"
+) -> list[list[int]]:
+    """±1 hyperplane components derived from md5 (Python-side, so the SAME
+    constants can be embedded as literals in both the Spark plan and a SQL
+    oracle string). Rademacher (±1) components are a standard sign-random-
+    projection family; integer components also make each dot-product term
+    exactly ±e_i, so the decimal-folded sign is engine-independent."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{salt}:{p}:{i}".encode()).hexdigest()[0] >= "8"
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+_DEC6 = "decimal(18,6)"  # compact-long decimal; see _DEC note
+_MICRO = 1_000_000
+
+
+def quantize_vec(vec: Column) -> Column:
+    """array<long> of scale-6 micro-units: ``CAST(x AS DECIMAL(18,6)) · 1e6``.
+
+    ONE decimal-grid cast per element (the proven cross-engine rounding
+    grid), after which all signature / distance arithmetic is EXACT
+    integer math — order-independent in any engine and ~an order of
+    magnitude cheaper than per-term decimal folds in interpreted HOF eval.
+    Callers must stage the result as a real column (``.alias("__q")``)
+    before referencing it from HOF lambdas, or it re-evaluates per plane."""
+    return F.transform(
+        vec, lambda x: (x.cast("double").cast(_DEC6) * _MICRO).cast("long")
+    )
+
+
+def quantize_py(x: float) -> int:
+    """Python twin of :func:`quantize_vec` for literal centroids: replicates
+    cast-double-to-DECIMAL(18,6) (shortest-repr then HALF_UP at scale 6,
+    matching Java BigDecimal.valueOf semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).scaleb(6).to_integral_value(ROUND_HALF_UP)
+    )
+
+
+def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Column:
+    """Sign-bit signature of a pre-quantized (micro-unit long) vector
+    against LITERAL ±1 planes. With Rademacher components the dot product
+    is Σ ±q_i — exact long addition, bit-for-bit reproducible in DuckDB
+    (double addition chains diverge between engines even in identical
+    order; see the decimal-grid note on :func:`quantize_vec`).
+
+    One nested transform over the (planes × dim) literal array keeps the
+    zip/aggregate machinery ONCE in the expression tree (inlining it per
+    plane 16×'d the tree — same lesson as _cell_dists)."""
+    planes_arr = F.lit([[int(c) for c in row] for row in plane_matrix]).cast(
+        "array<array<long>>"
+    )
+    signs = F.transform(
+        planes_arr,
+        lambda row: F.when(
+            F.aggregate(
+                F.zip_with(qvec, row, lambda q, c: q * c),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+    masks = F.lit([1 << p for p in range(len(plane_matrix))]).cast(
+        "array<long>"
+    )
+    return F.aggregate(
+        F.zip_with(
+            signs,
+            masks,
+            lambda b, m: F.when(b == 1, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -129,24 +224,44 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: int = 16,
     bands: int = 4,
+    plane_matrix: list[list[int]] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query, then exact cosine rerank within candidates.
 
     The cross join of :func:`cosine_topk` becomes an equi-join on
     (band, band_key): at 1000-executor scale the corpus is hash-partitioned
-    by bucket and each query probes only its buckets."""
+    by bucket and each query probes only its buckets.
+
+    ``plane_matrix``: literal ±1 planes (see :func:`rademacher_planes`) —
+    engine-reproducible signatures for the DuckDB oracle; default (None)
+    uses the stateless xxhash64-derived planes. ``exact`` switches the
+    rerank cosine to the decimal-folded form (oracle hash-equality)."""
     width = planes // bands
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         # stage the signature as a real column: the band projections below
         # reference it `bands` times, and inlining would recompute the
-        # whole planes x dims aggregate per band.
-        staged = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
-        )
+        # whole planes x dims aggregate per band. (Same reason the
+        # quantized vector is staged as __q before the signature lambda
+        # touches it.)
+        if plane_matrix is not None:
+            staged = df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}_vec"),
+                quantize_vec(F.col(vec_col)).alias("__q"),
+            ).select(
+                f"{role}_id",
+                f"{role}_vec",
+                hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
+            )
+        else:
+            staged = df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}_vec"),
+                hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+            )
         return staged.select(
             f"{role}_id",
             f"{role}_vec",
@@ -169,7 +284,7 @@ def lsh_topk(
         .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"), exact)
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -180,13 +295,36 @@ def lsh_topk(
     )
 
 
-def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of squared distances to each centroid — ONE transform
-    over a nested literal centroid array, so the zip/aggregate machinery
-    appears once in the tree instead of once per centroid (compile-time
-    matters: 16 copies of it pushed IVF plan construction to ~10s)."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+def _cell_dists(
+    vec: Column, centroids: list[list[float]], exact: bool = False
+) -> Column:
+    """array of squared distances to each centroid — ONE transform over a
+    nested literal centroid array, so the zip/aggregate machinery appears
+    once in the tree instead of once per centroid (compile-time matters:
+    16 copies of it pushed IVF plan construction to ~10s).
+
+    ``exact``: integer micro-unit arithmetic — ``vec`` must then be a
+    PRE-QUANTIZED staged column (see :func:`quantize_vec`) and centroids
+    are Python-quantized to the same grid; squared micro-distances sum
+    exactly in long (≤ 64·(1.2e6)² ≈ 9e13 ≪ 2^63), so the argmin is
+    engine-reproducible for the DuckDB oracle (double chains diverge)."""
+    # ONE nested-array Literal (not CreateArray of n×dim F.lit children):
+    # a single py4j call and a single codegen constant — the per-element
+    # form cost ~3s of plan build + Janino time at 16×64.
+    if exact:
+        cent_arr = F.lit(
+            [[quantize_py(x) for x in c] for c in centroids]
+        ).cast("array<array<long>>")
+        return F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ),
+        )
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
     )
     return F.transform(
         cent_arr,
@@ -200,10 +338,53 @@ def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
-def _centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_cell(
+    vec: Column, centroids: list[list[float]], exact: bool = False
+) -> Column:
     """argmin-distance cell id (first match on ties → deterministic)."""
-    darr = _cell_dists(vec, centroids)
+    darr = _cell_dists(vec, centroids, exact)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic hash-stratified centroid sample: the ``n`` corpus
+    vectors ranked first by md5 of their id string. Unbiased by id order
+    (unlike first-n-by-id), reproducible on any engine with md5(), and the
+    collect is bounded at ``n`` rows."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Trained coarse quantizer: seed-fixed ``pyspark.ml.clustering.KMeans``
+    centers (deterministic for a fixed corpus/seed). Centers are the only
+    driver-side state (n × dim floats). Prefer over :func:`sample_centroids`
+    when corpus geometry is clustered — probing trained cells recovers more
+    true neighbors at equal n_probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_topk(
@@ -214,31 +395,43 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: str | list[list[float]] = "sample",
+    exact: bool = False,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are assigned to coarse
     cells (argmin distance to centroids), each query probes only its
     ``n_probe`` nearest cells, and candidates are exactly reranked.
 
-    Centroids here are a deterministic sample of the corpus (first
-    ``n_centroids`` by id) rather than trained k-means — the INDEX
-    STRUCTURE and query path are the real thing; swap in
-    ``pyspark.ml.clustering.KMeans`` centers for trained cells.
+    ``centroids``: ``"sample"`` (md5-stratified deterministic sample —
+    engine-reproducible, so a SQL oracle can re-derive the same cells),
+    ``"kmeans"`` (seed-fixed trained coarse quantizer,
+    :func:`kmeans_centroids` — better cells on clustered corpora), or an
+    explicit list of centers. ``exact``: decimal-folded distances + rerank
+    cosine (oracle hash-equality).
 
     Scale shape: assignment is a projection against broadcast-literal
     centroids (no shuffle); the probe join is an equi-join on cell id, so
     a query touches ~n_probe/n_centroids of the corpus instead of all of
     it; rerank cost is |candidates| dot products."""
-    cents = [
-        [float(x) for x in r[1]]
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
-    c_cells = corpus.select(
+    if centroids == "sample":
+        cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    elif centroids == "kmeans":
+        cents = kmeans_centroids(corpus, n_centroids, vec_col)
+    else:
+        cents = [[float(x) for x in c] for c in centroids]
+    # exact mode: distances run on the staged quantized vector (__q)
+    c_pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
-        _centroid_cell(F.col(vec_col), cents).alias("cell"),
+        (quantize_vec(F.col(vec_col)) if exact else F.col(vec_col)).alias("__v"),
+    )
+    c_cells = c_pre.select(
+        "neighbor_id",
+        "neighbor_vec",
+        _centroid_cell(F.col("__v"), cents, exact).alias("cell"),
     )
     # per-query: n_probe nearest cells, exploded to probe rows
-    qdists = _cell_dists(F.col("query_vec"), cents)
+    qdists = _cell_dists(F.col("__v"), cents, exact)
     indexed = F.zip_with(
         qdists,
         F.sequence(F.lit(0), F.lit(n_centroids - 1)),
@@ -251,17 +444,18 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("query_vec"),
-            ranked_cells.alias("__cells"),
+            (quantize_vec(F.col(vec_col)) if exact else F.col(vec_col)).alias(
+                "__v"
+            ),
         )
-        .select(
-            "query_id", "query_vec", F.explode("__cells").alias("cell")
-        )
+        .select("query_id", "query_vec", ranked_cells.alias("__cells"))
+        .select("query_id", "query_vec", F.explode("__cells").alias("cell"))
     )
     cands = (
         q_probe.join(c_cells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"), exact)
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -280,15 +474,31 @@ def embedding_near_dup(
     planes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
+    plane_matrix: list[list[int]] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed: pair
-    fan-out happens only inside signature buckets (size-capped)."""
+    fan-out happens only inside signature buckets (size-capped).
+
+    ``plane_matrix``/``exact``: engine-reproducible literal planes and
+    decimal-folded cosine, for the DuckDB oracle (see :func:`lsh_topk`)."""
     width = planes // bands
-    staged = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
-    )
+    if plane_matrix is not None:
+        staged = corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            quantize_vec(F.col(vec_col)).alias("__q"),
+        ).select(
+            "doc",
+            "vec",
+            hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
+        )
+    else:
+        staged = corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+        )
     banded = staged.select(
         "doc",
         "vec",
@@ -329,5 +539,5 @@ def embedding_near_dup(
     return pairs.select(
         "doc_a",
         "doc_b",
-        cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        cosine(F.col("vec_a"), F.col("vec_b"), exact).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

@@ -134,10 +134,51 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64 bit votes) — no SQL-expressible
-    oracle (engine-specific 64-bit hash); driver records rows-only, recall
-    is pytest-verified against exact Jaccard."""
-    return D.simhash_pairs(_docs(spark, sf_dir), bands=4, max_hamming=6)
+    """SimHash near-dup pairs, md5digit backend (32-bit votes from md5 hex
+    digits, 4 bands of 8) — the full votes→pack→band→bucket-join→Hamming
+    pipeline, oracle-checked leg for leg in DuckDB. The cheaper xxhash64
+    64-bit production backend shares all plumbing and is pytest-covered."""
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), bands=4, max_hamming=3, backend="md5digit"
+    )
+
+
+def _simhash_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3,
+                 max_bucket: int = 50) -> str:
+    width = bits // bands
+    vote_legs = ",\n      ".join(
+        f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+  hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+  votes AS (
+    SELECT doc_id,
+      {vote_legs}
+    FROM hx GROUP BY doc_id
+  ),
+  sig AS (SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM votes),
+  bands AS (
+    SELECT doc_id, sim, b.band, (sim >> ({width} * b.band)) & {(1 << width) - 1} AS bkey
+    FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+  ),
+  capped AS (
+    SELECT * FROM (
+      SELECT band, bkey, doc_id, sim,
+             COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n
+      FROM bands
+    ) WHERE bucket_n BETWEEN 2 AND {max_bucket}
+  )
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,35 +220,203 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+# Literal ±1 hyperplanes (md5-derived, Python-side) shared by the Spark
+# queries AND the SQL oracles below — the whole LSH pipeline is then
+# engine-reproducible (signature sign decided on a DECIMAL(28,6) fold).
+_EMB_DIM = 64
+_PLANES16 = S.rademacher_planes(16, _EMB_DIM)
+
+
+# scale-6 micro-unit quantization — twin of similarity.quantize_vec (the
+# decimal cast keeps the proven cross-engine rounding grid; everything
+# downstream is exact integer math, order-independent under SUM)
+_QUANT_SQL = """
+  qe AS (
+    SELECT vec_id, list_transform(
+      embedding,
+      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+    ) AS q
+    FROM embeddings
+  )"""
+
+
+def _sig_bands_sql(plane_matrix: list[list[int]], bands: int) -> str:
+    """CTE fragment: embeddings → quantized micro-units → exact integer
+    plane dots → sign bits → (band, bkey) rows. Twin of
+    quantize_vec + hyperplane_signature_q + band posexplode."""
+    planes = len(plane_matrix)
+    width = planes // bands
+    term_legs = ",\n      ".join(
+        "q[i] * ([{lst}][i]) AS t{p}".format(
+            lst=",".join(str(c) for c in row), p=p
+        )
+        for p, row in enumerate(plane_matrix)
+    )
+    sum_legs = ", ".join(f"SUM(t{p}) AS d{p}" for p in range(planes))
+    unions = []
+    for b in range(bands):
+        key = " + ".join(
+            f"{1 << j} * (CASE WHEN d{b * width + j} > 0 THEN 1 ELSE 0 END)"
+            for j in range(width)
+        )
+        unions.append(f"SELECT vec_id, {b} AS band, {key} AS bkey FROM dots")
+    band_union = "\n    UNION ALL ".join(unions)
+    return f"""{_QUANT_SQL},
+  sig_terms AS (
+    SELECT vec_id,
+      {term_legs}
+    FROM qe, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+  ),
+  dots AS (SELECT vec_id, {sum_legs} FROM sig_terms GROUP BY vec_id),
+  banded AS (
+    {band_union}
+  )"""
+
+
+# exact (decimal-accumulated) cosine rerank over a `cands(query_id,
+# neighbor_id)` CTE — shared tail of the LSH/IVF oracles (twin of
+# cosine(…, exact=True), DECIMAL(28,12) like _ANN_COSINE_SQL).
+_RERANK_SQL = """
+  pairs AS (
+    SELECT cands.query_id, cands.neighbor_id, q.embedding AS qe, c.embedding AS ce
+    FROM cands
+    JOIN embeddings q ON q.vec_id = cands.query_id
+    JOIN embeddings c ON c.vec_id = cands.neighbor_id
+  ),
+  terms AS (
+    SELECT query_id, neighbor_id,
+      CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS qc,
+      CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS qq,
+      CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS cc
+    FROM pairs, unnest(generate_series(1, 64)) AS t(i)
+  ),
+  sums AS (
+    SELECT query_id, neighbor_id,
+      CAST(SUM(CAST(qc AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+      CAST(SUM(CAST(qq AS DECIMAL(28,12))) AS DOUBLE) AS nq,
+      CAST(SUM(CAST(cc AS DECIMAL(28,12))) AS DOUBLE) AS nc
+    FROM terms GROUP BY query_id, neighbor_id
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nc)) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC,
+                                       neighbor_id ASC) AS rank
+    FROM sums
+  )"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-10 — the scale path
-    (equi-join on signature bands instead of a cross join). xxhash64-derived
-    planes → rows-only check; recall vs brute force is pytest-verified."""
+    (equi-join on signature bands instead of a cross join). Literal
+    md5-derived ±1 planes + decimal-folded signs and rerank, so the full
+    pipeline is oracle-checked; the stateless xxhash64-plane variant
+    shares all plumbing and is pytest-covered for recall."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(embs, queries, k=10, planes=16, bands=8)
+    # bands=4 → 4-bit keys (16 buckets/band): selective enough that LSH
+    # actually prunes (width-2 keys put ~whole corpus in every query's
+    # candidate set, defeating the point of the bucket join).
+    return S.lsh_topk(
+        embs, queries, k=10, planes=16, bands=4,
+        plane_matrix=_PLANES16, exact=True,
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH {_sig_bands_sql(_PLANES16, bands=4)},
+  cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM banded q JOIN banded c
+      ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ),
+{_RERANK_SQL}
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 (coarse cells + n_probe probing + exact
-    rerank) — the second ANN scale path besides LSH. Rows-only check
-    (centroids are a driver-side sample); recall vs brute force is
-    pytest-verified."""
+    rerank) — the second ANN scale path besides LSH. Centroids are the
+    md5-stratified deterministic sample and distances are decimal-folded,
+    so the WHOLE index build + probe + rerank replays in DuckDB; the
+    trained-KMeans centroid path is pytest-covered for recall."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(embs, queries, k=10, n_centroids=16, n_probe=6)
+    return S.ivf_topk(
+        embs, queries, k=10, n_centroids=16, n_probe=6,
+        centroids="sample", exact=True,
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH {_QUANT_SQL},
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         q AS qc
+  FROM qe
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+dterms AS (
+  SELECT e.vec_id, c.cell,
+    (e.q[i] - c.qc[i]) * (e.q[i] - c.qc[i]) AS t
+  FROM qe e, cent c, unnest(generate_series(1, 64)) AS t(i)
+),
+dists AS (SELECT vec_id, cell, SUM(t) AS d FROM dterms GROUP BY vec_id, cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+    FROM dists WHERE vec_id < 5
+  ) WHERE rn <= 6
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+""" + _RERANK_SQL.lstrip() + """
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-LSH bucketed).
     Threshold 0.35 because the synthetic embeddings are near-orthogonal
     random vectors (max pairwise cosine ≈ 0.51 at sf0.01) — a production
-    0.9+ threshold would make the check vacuously empty. Rows-only check
-    (xxhash64-derived planes); exactness of the cosine itself is covered
-    by the oracle-checked ann_cosine_topk."""
+    0.9+ threshold would make the check vacuously empty. Literal
+    md5-derived planes + decimal cosine → full DuckDB oracle."""
     return S.embedding_near_dup(
-        _embs(spark, sf_dir), threshold=0.35, planes=16, bands=8
+        _embs(spark, sf_dir), threshold=0.35, planes=16, bands=8,
+        plane_matrix=_PLANES16, exact=True,
     )
+
+
+_NEAR_DUP_SQL = f"""
+WITH {_sig_bands_sql(_PLANES16, bands=8)},
+  capped AS (
+    SELECT * FROM (
+      SELECT band, bkey, vec_id,
+             COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n
+      FROM banded
+    ) WHERE bucket_n BETWEEN 2 AND 200
+  ),
+  cands AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  ),
+{_RERANK_SQL}
+SELECT query_id AS doc_a, neighbor_id AS doc_b, sim AS cosine
+FROM ranked WHERE sim >= 0.35
+"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,9 +621,11 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
-    # dedup_simhash / ann_lsh_topk: engine-specific 64-bit hashing → no SQL
-    # oracle; the driver records the weaker rows-only check (documented).
+    "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
+    "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "severity_topk": _severity_sql(),
