@@ -60,62 +60,106 @@ def scaled_columns() -> dict[str, Column]:
 
 
 # -------------------------------------------------------------------- M3 --
-_DEC = "decimal(28,6)"
+# DECIMAL(18,6): exact sums like the old 28,6, but precision ≤ 18 keeps
+# Spark's Decimal on its compact-long fast path (28 → per-op BigDecimal,
+# measured ~2x slower per-row math). Range: z-score-scale terms ≤ ~10²,
+# vastly inside ±10^12. The chained + widens (18,6)+(18,6)→(19,6)→…→
+# (37,6) ≤ 38 in BOTH engines with no precision loss, so results stay
+# bit-identical without per-add cast-backs.
+_DEC = "DECIMAL(18,6)"
 
 
-def _dec_fold(terms: list[Column]) -> Column:
-    """Order-independent exact fold of per-row double terms.
-
-    Each TERM is bit-identical across engines (same scalar expression),
-    but a chained double ADDITION is not (engines may vectorize/reassociate
-    the fold), so sums are accumulated in DECIMAL: identical doubles cast
-    to identical decimals, decimal addition is exact, cast back identical.
-    Scalar twin of the suite's dsum aggregation pattern."""
-    acc: Column | None = None
-    for t in terms:
-        td = t.cast(_DEC)
-        acc = td if acc is None else (acc + td).cast(_DEC)
-    return acc.cast("double")
+def _f(x: float) -> str:
+    """Shortest round-trip float literal — parses to the identical double
+    in Spark and DuckDB."""
+    return repr(float(x))
 
 
-def pca_columns(scaled: dict[str, Column] | None = None) -> list[Column]:
-    """z_j = Σ_i components[j][i] * (scaled_i - pca_mean_i), j = 0..13,
-    decimal-folded (see :func:`_dec_fold`) so the SQL oracle twin
-    (:func:`pca_sql_exprs`) matches bit-for-bit.
+def _fold_sql(terms: list[str]) -> str:
+    """Order-independent exact fold of per-row double term strings: each
+    TERM is bit-identical across engines (same scalar expression), but a
+    chained double ADDITION is not (engines may vectorize/reassociate the
+    fold), so terms are cast to DECIMAL and summed exactly. The SAME string
+    is parsed by Spark (F.expr) and DuckDB — textual identity is the parity
+    argument. Building expressions as one parsed string also avoids ~1,600
+    py4j round-trips per query (~3 s of plan-build)."""
+    cast_terms = [f"CAST({t} AS {_DEC})" for t in terms]
+    return f"CAST({' + '.join(cast_terms)} AS DOUBLE)"
 
-    Pass ``scaled`` as plain attribute columns (a staged projection) when
-    building a pipeline: inlining the impute+scale expression into every
-    one of the 14x19 terms blows the codegen unit up ~20x (seconds of
-    Janino compile time per query)."""
+
+def scaled_sql(name: str, med: float, mu: float, s: float) -> str:
+    return (
+        f"((COALESCE(CAST({name} AS DOUBLE), {_f(med)}) - {_f(mu)}) / {_f(s)})"
+    )
+
+
+def _scaled_sql_map() -> dict[str, str]:
     p = sklearn_pipeline()
-    scaled = scaled or scaled_columns()
-    comps = p["pca"]["components"]
+    return {
+        n: scaled_sql(n, med, mu, s)
+        for n, med, mu, s in zip(
+            p["feature_names"],
+            p["imputer"]["statistics"],
+            p["scaler"]["mean"],
+            p["scaler"]["scale"],
+        )
+    }
+
+
+def pca_sql_exprs(scaled: dict[str, str] | None = None) -> list[str]:
+    """z_j = Σ_i components[j][i] * (scaled_i - pca_mean_i), j = 0..13, as
+    engine-neutral SQL text (decimal-folded, see :func:`_fold_sql`).
+
+    ``scaled`` maps feature name → SQL snippet; pass staged column names
+    (see :func:`preprocess`) to keep the parsed tree small — inlining the
+    impute+scale expression into every one of the 14x19 terms blows the
+    codegen unit up ~20x (seconds of Janino compile time per query)."""
+    p = sklearn_pipeline()
+    scaled = scaled or _scaled_sql_map()
     mean = p["pca"]["mean"]
     names = p["feature_names"]
     out = []
-    for j, row in enumerate(comps):
+    for row in p["pca"]["components"]:
         terms = [
-            F.lit(float(c)) * (scaled[n] - F.lit(float(mean[i])))
+            f"{_f(c)} * ({scaled[n]} - {_f(mean[i])})"
             for i, (n, c) in enumerate(zip(names, row))
         ]
-        out.append(_dec_fold(terms).alias(f"z{j}"))
+        out.append(_fold_sql(terms))
     return out
 
 
+def pca_columns(scaled: dict[str, str] | None = None) -> list[Column]:
+    """Spark columns for the PCA projection — F.expr over the same strings
+    the DuckDB oracle runs."""
+    return [
+        F.expr(e).alias(f"z{j}") for j, e in enumerate(pca_sql_exprs(scaled))
+    ]
+
+
 # -------------------------------------------------------------------- M4 --
-def kmeans_cluster_expr(z_cols: list[str]) -> Column:
-    """argmin_j ‖z − center_j‖²; ties break to the LOWER center index
-    (array_position returns the first match)."""
+def kmeans_sql_expr(z_names: list[str], engine: str = "duckdb") -> str:
+    """argmin_j ‖z − center_j‖² as SQL text; ties break to the LOWER center
+    index (first-match position). Distance folds are engine-identical; only
+    the array/position function NAMES differ per dialect."""
     centers = sklearn_pipeline()["kmeans"]["centers"]
     dists = []
     for c in centers:
-        terms = []
-        for zname, cj in zip(z_cols, c):
-            d = F.col(zname) - F.lit(float(cj))
-            terms.append(d * d)
-        dists.append(_dec_fold(terms))
-    arr = F.array(*dists)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        terms = [
+            f"({z} - {_f(cj)}) * ({z} - {_f(cj)})"
+            for z, cj in zip(z_names, c)
+        ]
+        dists.append(f"({_fold_sql(terms)})")
+    if engine == "spark":
+        arr = f"array({', '.join(dists)})"
+        return (
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        )
+    arr = f"[{', '.join(dists)}]"
+    return f"CAST(list_position({arr}, list_min({arr})) - 1 AS INT)"
+
+
+def kmeans_cluster_expr(z_cols: list[str]) -> Column:
+    return F.expr(kmeans_sql_expr(z_cols, engine="spark"))
 
 
 # -------------------------------------------------------------------- M5 --
@@ -125,28 +169,74 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _score_matrix(X, disease: str):
-    """Vectorized booster traversal: all rows advance down each tree in
-    lock-step (leaf iff left==-1; missing → default_left; x < cond → left).
-    Matches xgboost's binary:logistic margin accumulation + base_score."""
+def _stacked_booster(disease: str):
+    """Booster compiled to ONE flat node table: all trees' nodes
+    concatenated (per-tree root offsets recorded), with leaves rewritten
+    to SELF-LOOP (left=right=own index) so every (row, tree) walker can
+    advance a fixed ``depth`` times with no per-tree active-mask logic.
+    Turns scoring into ~depth × 6 numpy ops on an (n_rows × n_trees)
+    matrix instead of ~n_trees × depth × 8 ops on small arrays — the
+    per-call overhead of the latter dominated at Arrow batch sizes."""
     import numpy as np
 
     base_score, trees = xgb_trees(disease)
-    n = X.shape[0]
-    margin = np.full(n, math.log(base_score / (1.0 - base_score)), dtype=np.float64)
-    isnan = np.isnan(X)
+    L, R, Fi, C, D, roots = [], [], [], [], [], []
+    off, depth = 0, 0
     for left, right, feat, cond, dleft in trees:
-        idx = np.zeros(n, dtype=np.int32)
-        active = left[idx] != -1
-        while active.any():
-            ai = idx[active]
-            f = feat[ai]
-            x = X[active, f]
-            miss = isnan[active, f]
-            go_left = np.where(miss, dleft[ai], x < cond[ai])
-            idx[active] = np.where(go_left, left[ai], right[ai])
-            active = left[idx] != -1
-        margin += cond[idx].astype(np.float64)
+        m = len(left)
+        ar = np.arange(m, dtype=np.int32)
+        leaf = left == -1
+        L.append(np.where(leaf, ar, left).astype(np.int32) + off)
+        R.append(np.where(leaf, ar, right).astype(np.int32) + off)
+        Fi.append(np.where(leaf, 0, feat).astype(np.int32))
+        C.append(cond)
+        D.append(dleft)
+        roots.append(off)
+        off += m
+        # tree depth by BFS (root row can need `depth` advances)
+        d, frontier = 0, [0]
+        while frontier:
+            d += 1
+            frontier = [
+                c
+                for i in frontier
+                if left[i] != -1
+                for c in (left[i], right[i])
+            ]
+        depth = max(depth, d)
+    return (
+        math.log(base_score / (1.0 - base_score)),
+        np.concatenate(L),
+        np.concatenate(R),
+        np.concatenate(Fi),
+        np.concatenate(C),
+        np.concatenate(D),
+        np.asarray(roots, dtype=np.int32),
+        depth,
+    )
+
+
+_STACKED_CACHE: dict[str, tuple] = {}
+
+
+def _score_matrix(X, disease: str):
+    """Vectorized booster traversal: every (row, tree) pair advances down
+    the stacked node table in lock-step (missing → default_left; x < cond
+    → left; leaves self-loop). Matches xgboost's binary:logistic margin
+    accumulation + base_score; ``cond`` holds the leaf weight at leaves."""
+    import numpy as np
+
+    if disease not in _STACKED_CACHE:
+        _STACKED_CACHE[disease] = _stacked_booster(disease)
+    base_margin, L, R, Fi, C, D, roots, depth = _STACKED_CACHE[disease]
+    n = X.shape[0]
+    idx = np.broadcast_to(roots, (n, len(roots))).copy()
+    for _ in range(depth):
+        f = Fi[idx]
+        x = np.take_along_axis(X, f, axis=1)
+        go_left = np.where(np.isnan(x), D[idx], x < C[idx])
+        idx = np.where(go_left, L[idx], R[idx])
+    margin = base_margin + C[idx].astype(np.float64).sum(axis=1)
     return _sigmoid(margin)
 
 
@@ -198,31 +288,69 @@ def classify_risk(prob: Column) -> Column:
 
 
 # ------------------------------------------------------------ composition --
+def _staged_scaled(features: DataFrame, id_col: str, extra: list[Column]):
+    """Stage impute+scale as real columns (__s_<name>) so each of the 14
+    z-expressions references a cheap attribute instead of re-inlining the
+    scale expression 19× (CollapseProject keeps non-cheap exprs used more
+    than once staged). Returns (staged_df, name→staged-ref map)."""
+    names = sklearn_pipeline()["feature_names"]
+    smap = _scaled_sql_map()
+    staged = features.select(
+        F.col(id_col),
+        *extra,
+        *[F.expr(smap[n]).alias(f"__s_{n}") for n in names],
+    )
+    return staged, {n: f"__s_{n}" for n in names}
+
+
 def preprocess(features: DataFrame, id_col: str = "patient_id") -> DataFrame:
     """features (19 raw columns, nulls allowed) → 14 PCA components +
-    cluster id. All JVM column math in ONE projection stage: the repeated
-    impute/scale subexpressions are deduplicated by whole-stage codegen's
-    subexpression elimination, and the single fused stage measured ~20x
-    faster warm than a staged scaled→z→cluster chain of projections."""
-    z = features.select(F.col(id_col), *pca_columns())
+    cluster id. Two projection stages (scaled → z+cluster), all JVM column
+    math; the z / distance folds parse from the same SQL text the DuckDB
+    oracle executes."""
+    staged, refs = _staged_scaled(features, id_col, [])
+    z = staged.select(F.col(id_col), *pca_columns(refs))
     znames = [f"z{j}" for j in range(len(sklearn_pipeline()["pca"]["components"]))]
     return z.withColumn("cluster", kmeans_cluster_expr(znames))
 
 
 def predict_diseases(
-    features: DataFrame, id_col: str = "patient_id", threshold: float = THRESHOLD
+    features: DataFrame,
+    id_col: str = "patient_id",
+    threshold: float = THRESHOLD,
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Full M1→M6 chain as ONE linear flow (no self-join): imputed model
     inputs ride along through the z/cluster stages, then the fused
-    3-booster UDF scores once."""
+    3-booster UDF scores once.
+
+    ``score_partitions``: explicit repartition width for the Python
+    scoring stage. The 1200-tree UDF is orders of magnitude more
+    expensive per byte than the shuffle heuristics assume, so AQE happily
+    coalesces a small feature table to ONE partition and serializes the
+    scoring. Default (None) = the session's default parallelism; pass 0
+    to skip when the upstream partitioning already saturates the cluster
+    (the 100-TB case — input splits ≫ cores)."""
     mf = model_features()  # includes 'cluster'
     imput = imputed_columns()
     carried = [imput[n].alias(n) for n in mf if n != "cluster"]
     znames = [f"z{j}" for j in range(len(sklearn_pipeline()["pca"]["components"]))]
-    z = features.select(F.col(id_col), *carried, *pca_columns())
-    out = z.withColumn("cluster", kmeans_cluster_expr(znames)).select(
+    staged, refs = _staged_scaled(features, id_col, carried)
+    z = staged.select(
+        F.col(id_col),
+        *[F.col(n) for n in mf if n != "cluster"],
+        *pca_columns(refs),
+    )
+    scored_in = z.withColumn("cluster", kmeans_cluster_expr(znames)).select(
         id_col, "cluster", *[F.col(n) for n in mf if n != "cluster"]
-    ).withColumn("__p", xgb_probabilities_all(mf))
+    )
+    if score_partitions != 0:
+        n_parts = (
+            score_partitions
+            or scored_in.sparkSession.sparkContext.defaultParallelism
+        )
+        scored_in = scored_in.repartition(n_parts, F.col(id_col))
+    out = scored_in.withColumn("__p", xgb_probabilities_all(mf))
     cols = [F.col(id_col), F.col("cluster")]
     for d in DISEASES:
         p = F.col("__p")[d]
@@ -232,57 +360,3 @@ def predict_diseases(
             classify_risk(p).alias(f"risk_{d}"),
         ]
     return out.select(*cols)
-
-
-# ------------------------------------------------------------- SQL twins --
-def _f(x: float) -> str:
-    """Shortest round-trip float literal — parses to the identical double
-    in Spark and DuckDB."""
-    return repr(float(x))
-
-
-def scaled_sql(name: str, med: float, mu: float, s: float) -> str:
-    return (
-        f"((COALESCE(CAST({name} AS DOUBLE), {_f(med)}) - {_f(mu)}) / {_f(s)})"
-    )
-
-
-def pca_sql_exprs() -> list[str]:
-    """SQL twins of :func:`pca_columns` with identical association order."""
-    p = sklearn_pipeline()
-    names = p["feature_names"]
-    scaled = {
-        n: scaled_sql(n, med, mu, s)
-        for n, med, mu, s in zip(
-            names,
-            p["imputer"]["statistics"],
-            p["scaler"]["mean"],
-            p["scaler"]["scale"],
-        )
-    }
-    mean = p["pca"]["mean"]
-    out = []
-    for row in p["pca"]["components"]:
-        terms = [
-            f"CAST({_f(c)} * ({scaled[n]} - {_f(mean[i])}) AS DECIMAL(28,6))"
-            for i, (n, c) in enumerate(zip(names, row))
-        ]
-        out.append(f"CAST({' + '.join(terms)} AS DOUBLE)")
-    return out
-
-
-def kmeans_sql_expr(z_names: list[str]) -> str:
-    """SQL twin of :func:`kmeans_cluster_expr` (first-match argmin)."""
-    centers = sklearn_pipeline()["kmeans"]["centers"]
-    dists = []
-    for c in centers:
-        terms = [
-            f"CAST(({z} - {_f(cj)}) * ({z} - {_f(cj)}) AS DECIMAL(28,6))"
-            for z, cj in zip(z_names, c)
-        ]
-        dists.append(f"CAST({' + '.join(terms)} AS DOUBLE)")
-    d = [f"({x})" for x in dists]
-    arr = ", ".join(d)
-    return (
-        f"CAST(list_position([{arr}], list_min([{arr}])) - 1 AS INT)"
-    )
