@@ -8,10 +8,13 @@ feature-extract / resize / frame-sample run as Arrow-batched
 The actual codec step is STUBBED: image/audio libraries are not available
 in this environment, so ``_decode_bytes`` raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which derives stable pseudo-content
-from the bytes themselves (blake2b-seeded). Everything AROUND the codec —
-schemas, meta propagation, Arrow batch shapes, multi-row fan-out for frame
-sampling, partition sizing — is real and tested; swapping in Pillow/ffmpeg
-means replacing ``_decode_bytes`` only.
+from the bytes themselves (md5-seeded with ASCII salts — md5 is the one
+hash every engine shares, so the DuckDB oracle can replay the fake codec
+end-to-end and the driver's value-hash check covers these paths too).
+Everything AROUND the codec — schemas, meta propagation, Arrow batch
+shapes, multi-row fan-out for frame sampling, partition sizing — is real
+and tested; swapping in Pillow/ffmpeg means replacing ``_decode_bytes``
+only.
 
 Scale design:
 - media rows are large (MBs): keep ``spark.sql.files.maxPartitionBytes``
@@ -88,21 +91,22 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def _decode_bytes(content: bytes, n: int, deterministic_fake: bool) -> list[float]:
     """STUB codec: real decode needs PIL/ffmpeg (absent here).
 
-    deterministic_fake=True → n floats in [0,1) seeded by blake2b(content):
-    stable across runs/engines, so tests can assert exact plumbing."""
+    deterministic_fake=True → n floats in [0,1): feature k is the first
+    48 bits of md5(content + "#feat:k") divided by 2^48 — 48 bits keep
+    the integer exact in a double and the divisor is a power of two, so
+    the value is bit-identical in Python, Spark, and the DuckDB oracle
+    (``('0x' || substr(md5(...), 1, 12))::BIGINT / 2^48``)."""
     if not deterministic_fake:
         raise NotImplementedError(
             "media decode requires an image/audio codec; install one and "
             "replace _decode_bytes (deterministic_fake=True for testing)"
         )
-    out: list[float] = []
     seed = content or b""
-    counter = 0
-    while len(out) < n:
-        h = hashlib.blake2b(seed, digest_size=8, salt=counter.to_bytes(8, "little"))
-        out.append(int.from_bytes(h.digest(), "little") / 2**64)
-        counter += 1
-    return out[:n]
+    return [
+        int(hashlib.md5(seed + f"#feat:{k}".encode()).hexdigest()[:12], 16)
+        / 2**48
+        for k in range(n)
+    ]
 
 
 def media_features(
@@ -162,11 +166,9 @@ def resize_images(
                 vals = _decode_bytes(
                     row["content"], 8, deterministic_fake
                 )  # "pixels"
-                content = hashlib.blake2b(
+                content = hashlib.md5(
                     bytes(bytearray(int(v * 255) for v in vals))
-                    + width.to_bytes(4, "little")
-                    + height.to_bytes(4, "little"),
-                    digest_size=32,
+                    + f"#resize:{width}x{height}".encode()
                 ).digest()
                 meta = dict(row["meta"] or {})
                 meta["width"], meta["height"] = width, height
@@ -214,10 +216,11 @@ def sample_frames(
                     ids.append(row["media_id"])
                     idxs.append(i)
                     mss.append(i * every_ms)
+                    # md5 + ASCII salt (not raw-byte salts): the DuckDB
+                    # oracle rebuilds this as md5(text || '#frame:' || i)
                     frames.append(
-                        hashlib.blake2b(
-                            (row["content"] or b"") + i.to_bytes(4, "little"),
-                            digest_size=16,
+                        hashlib.md5(
+                            (row["content"] or b"") + f"#frame:{i}".encode()
                         ).digest()
                         if deterministic_fake
                         else _decode_bytes(row["content"], 1, False)  # raises

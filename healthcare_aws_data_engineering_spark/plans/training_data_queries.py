@@ -586,18 +586,49 @@ FROM documents
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→embed mapInPandas stage (stubbed deterministic codec) —
     features exploded to (media_id, dim_idx, value) so the driver's hash
-    covers the vector contents. No SQL oracle (blake2b fake codec) →
-    rows-only check; plumbing parity is pytest-verified."""
+    covers the vector contents. The md5-seeded fake codec is replayed by
+    the DuckDB oracle, so the whole Arrow round-trip is value-checked."""
     feats = M.media_features(M.media_from_documents(_docs(spark, sf_dir)), dim=8)
     return feats.select("media_id", "kind", F.posexplode("features").alias("dim_idx", "value"))
 
 
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(k AS INT) AS dim_idx,
+  CAST(CAST(('0x' || substr(md5(text || '#feat:' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+       / 281474976710656.0 AS FLOAT) AS value
+FROM documents, unnest(generate_series(0, 7)) AS t(k)
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (1→N mapInPandas fan-out). Rows-only check."""
+    """Video frame sampling (1→N mapInPandas fan-out), frame content as
+    lowercase hex so the md5-fake bytes are hash-comparable with the
+    DuckDB replay (oracle derives the same fan-out + digests from text)."""
     media = M.media_from_documents(_docs(spark, sf_dir))
     return M.sample_frames(media, every_ms=1000, max_frames=8).select(
-        "media_id", "frame_idx", "frame_ms"
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
     )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id, text, CAST(length(text) * 10 AS INT) AS dur
+  FROM documents WHERE doc_id % 3 = 2
+),
+n AS (
+  SELECT doc_id, text, LEAST(8, GREATEST(1, dur // 1000)) AS nf FROM v
+)
+SELECT doc_id AS media_id,
+  CAST(i AS INT) AS frame_idx,
+  CAST(i * 1000 AS INT) AS frame_ms,
+  md5(text || '#frame:' || CAST(i AS VARCHAR)) AS frame_md5
+FROM n, unnest(generate_series(0, nf - 1)) AS t(i)
+"""
 
 
 TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -630,6 +661,6 @@ TRAINING_ORACLE: dict[str, str] = {
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "severity_topk": _severity_sql(),
     "media_stats": _MEDIA_STATS_SQL,
-    # media_features / frame_sample: stub codec (blake2b) not SQL-expressible
-    # → rows-only checks.
+    "media_features": _MEDIA_FEATURES_SQL,
+    "frame_sample": _FRAME_SAMPLE_SQL,
 }
