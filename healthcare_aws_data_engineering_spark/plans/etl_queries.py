@@ -1,0 +1,238 @@
+"""Driver-facing FHIR-ETL queries (SURVEY §2 S1/S5, P1–P5, F1–F6).
+
+The ingest layer (bundle explode + schema-adaptive extraction,
+``Glue_tranformation_json_parquet.py:24-184`` parity) previously rested
+on pytest fixtures alone. These queries drive it through the hard
+correctness gate: FHIR bundles are SYNTHESIZED deterministically in-plan
+from the driver's ``events``/``customer`` tables as JSON *text*, parsed
+with ``from_json`` (explicit schema — the production stance for a 100 TB
+raw zone: infer once, freeze, reuse; see sources/fhir.read_bundles), then
+run through the REAL ``explode_entries`` + ``extract_observations`` /
+``extract_patients`` operators. The DuckDB oracle computes the expected
+curated rows DIRECTLY from the base tables — so a wrong turn anywhere in
+the JSON building, parsing, explode, safe_path ladders, ref_to_uuid,
+choice_double, or value[x] coalesce shows up as a value-hash mismatch.
+
+Branch coverage by construction:
+
+- ``category`` array-of-CC with array coding  → cc_attr array/array leg;
+- ``code`` struct-CC with array coding + text → cc_attr struct/array leg;
+- ``valueQuantity.value`` carried as JSON STRING → choice_double's
+  try_cast fallback (the reference's :146 leg);
+- ``valueString`` present on event_id % 3 == 0 rows only → the value[x]
+  ladder exercises both its first leg and the valueDateTime fallback;
+- ``subject``/``encounter`` references in ``urn:uuid:...`` form → F1;
+- patient geo decimals ride extension[0].extension[i].valueDecimal
+  (safe_path with double array indexing), race/ethnicity ride
+  extension[i].extension[1].valueString, address.line is an array →
+  guarded_array_join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.etl import extract_observations, extract_patients
+from ..sources.fhir import explode_entries
+from ..sources.tables import load_table
+
+# Explicit bundle schema (union of the Patient and Observation resource
+# shapes below, as spark.read.json would infer across resource types).
+BUNDLE_DDL = """
+struct<
+  resourceType: string,
+  entry: array<struct<resource: struct<
+    resourceType: string,
+    id: string,
+    status: string,
+    gender: string,
+    birthDate: string,
+    subject: struct<reference: string>,
+    encounter: struct<reference: string>,
+    category: array<struct<coding: array<struct<display: string>>>>,
+    code: struct<
+      coding: array<struct<system: string, code: string, display: string>>,
+      text: string
+    >,
+    valueQuantity: struct<value: string, unit: string>,
+    valueString: string,
+    valueDateTime: string,
+    effectiveDateTime: string,
+    address: array<struct<
+      line: array<string>,
+      city: string, state: string, postalCode: string, country: string,
+      extension: array<struct<extension: array<struct<valueDecimal: string>>>>
+    >>,
+    extension: array<struct<extension: array<struct<
+      url: string, valueString: string
+    >>>>
+  >>>
+>
+"""
+
+_ISO = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def _s(c) -> F.Column:
+    return c.cast("string")
+
+
+def _observation_entry_json() -> F.Column:
+    """JSON text of one Observation entry, from an events row."""
+    iso = F.date_format("ts", _ISO)
+    value_leg = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit(',"valueString":"note-'), _s(F.col("event_id") % 10), F.lit('"')),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('{"resource":{"resourceType":"Observation","id":"obs-'),
+        _s(F.col("event_id")),
+        F.lit('","status":"final","subject":{"reference":"urn:uuid:patient-'),
+        _s(F.col("user_id")),
+        F.lit('"},"encounter":{"reference":"urn:uuid:enc-'),
+        _s(F.col("user_id")),
+        F.lit("-"),
+        _s(F.col("event_id") % 5),
+        F.lit('"},"category":[{"coding":[{"display":"vital-signs"}]}]'),
+        F.lit(',"code":{"coding":[{"system":"http://loinc.org","code":"'),
+        F.col("event_type"),
+        F.lit('","display":"Lab '),
+        F.col("event_type"),
+        F.lit('"}],"text":"'),
+        F.col("event_type"),
+        F.lit(' panel"},"valueQuantity":{"value":"'),
+        _s(F.col("value").cast("decimal(18,6)")),
+        F.lit('","unit":"mg/dL"}'),
+        value_leg,
+        F.lit(',"valueDateTime":"'),
+        iso,
+        F.lit('","effectiveDateTime":"'),
+        iso,
+        F.lit('"}}'),
+    )
+
+
+def _patient_entry_json() -> F.Column:
+    """JSON text of one Patient entry, from a customer row."""
+    k = F.col("c_custkey")
+    return F.concat(
+        F.lit('{"resource":{"resourceType":"Patient","id":"patient-'),
+        _s(k),
+        F.lit('","gender":"'),
+        F.when(k % 2 == 0, F.lit("female")).otherwise(F.lit("male")),
+        F.lit('","birthDate":"'),
+        _s(F.lit(1950) + k % 50),
+        F.lit('-01-01","address":[{"line":["'),
+        _s(k),
+        F.lit(' Main St","Apt '),
+        _s(k % 7),
+        F.lit('"],"city":"city'),
+        _s(k % 10),
+        F.lit('","state":"st'),
+        _s(k % 5),
+        F.lit('","postalCode":"'),
+        _s(F.lit(10000) + k % 89999),
+        F.lit('","country":"US","extension":[{"extension":[{"valueDecimal":"'),
+        _s((k % 180 - 90).cast("decimal(18,6)") + 0.5),
+        F.lit('"},{"valueDecimal":"'),
+        _s((k % 360 - 180).cast("decimal(18,6)") + 0.25),
+        F.lit('"}]}]}],"extension":['),
+        F.lit('{"extension":[{"url":"ombCategory"},{"valueString":"race'),
+        _s(k % 6),
+        F.lit('"}]},{"extension":[{"url":"ombCategory"},{"valueString":"eth'),
+        _s(k % 4),
+        F.lit('"}]}]}}'),
+    )
+
+
+def synth_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Bundle per user: the user's Patient resource + all their
+    Observation entries, built as JSON text and parsed with the frozen
+    schema (P1's input shape)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    obs = events.select(
+        F.col("user_id").alias("k"), _observation_entry_json().alias("entry")
+    )
+    pat = customer.select(
+        F.col("c_custkey").alias("k"), _patient_entry_json().alias("entry")
+    )
+    per_user = (
+        obs.unionByName(pat)
+        .groupBy("k")
+        .agg(F.array_join(F.sort_array(F.collect_list("entry")), ",").alias("es"))
+    )
+    bundle_json = F.concat(
+        F.lit('{"resourceType":"Bundle","entry":['), F.col("es"), F.lit("]}")
+    )
+    return per_user.select(
+        F.from_json(bundle_json, BUNDLE_DDL).alias("b")
+    ).select("b.*")
+
+
+def q_etl_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P1/P3/F1–F5 end-to-end: synthesized bundles → explode_outer →
+    schema-adaptive Observation extraction (deterministic dedup)."""
+    entries = explode_entries(synth_bundles(spark, sf_dir))
+    return extract_observations(entries, deterministic_dedup=True)
+
+
+def q_etl_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P1/P2/P4/F6 end-to-end: synthesized bundles → explode_outer →
+    Patient extraction (nested safe_path geo/race paths, guarded
+    array_join of address lines)."""
+    entries = explode_entries(synth_bundles(spark, sf_dir))
+    return extract_patients(entries, deterministic_dedup=True)
+
+
+# The oracle computes the SAME curated rows directly from the base
+# tables — no JSON involved, so the whole Spark-side JSON round trip is
+# what gets checked.
+_ETL_OBSERVATIONS_SQL = """
+SELECT
+  'obs-' || CAST(event_id AS VARCHAR) AS observation_id,
+  'final' AS status,
+  'vital-signs' AS category,
+  'http://loinc.org' AS code_system,
+  event_type AS code,
+  'Lab ' || event_type AS code_display,
+  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value_quantity,
+  'mg/dL' AS value_unit,
+  CASE WHEN event_id % 3 = 0 THEN 'note-' || CAST(event_id % 10 AS VARCHAR)
+       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS value_string,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS effective_datetime,
+  'patient-' || CAST(user_id AS VARCHAR) AS patient_id,
+  'enc-' || CAST(user_id AS VARCHAR) || '-' || CAST(event_id % 5 AS VARCHAR)
+    AS encounter_id
+FROM events
+"""
+
+_ETL_PATIENTS_SQL = """
+SELECT
+  'patient-' || CAST(c_custkey AS VARCHAR) AS patient_id,
+  CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+  CAST(1950 + c_custkey % 50 AS VARCHAR) || '-01-01' AS birth_date,
+  'city' || CAST(c_custkey % 10 AS VARCHAR) AS address_city,
+  'st' || CAST(c_custkey % 5 AS VARCHAR) AS address_state,
+  CAST(10000 + c_custkey % 89999 AS VARCHAR) AS address_postal,
+  'US' AS country,
+  CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS geo_lat,
+  CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.25 AS geo_lon,
+  'race' || CAST(c_custkey % 6 AS VARCHAR) AS race,
+  'eth' || CAST(c_custkey % 4 AS VARCHAR) AS ethnicity,
+  CAST(c_custkey AS VARCHAR) || ' Main St|Apt ' || CAST(c_custkey % 7 AS VARCHAR)
+    AS address_line
+FROM customer
+"""
+
+ETL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "etl_observations": q_etl_observations,
+    "etl_patients": q_etl_patients,
+}
+
+ETL_ORACLE: dict[str, str] = {
+    "etl_observations": _ETL_OBSERVATIONS_SQL,
+    "etl_patients": _ETL_PATIENTS_SQL,
+}

@@ -787,11 +787,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
 from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
 from .training_data_queries import TRAINING_ORACLE, TRAINING_QUERIES  # noqa: E402
 
 QUERIES.update(TRAINING_QUERIES)
 QUERIES.update(ML_QUERIES)
+QUERIES.update(ETL_QUERIES)
 
 ORACLE: dict[str, str] = {
     "report_cvd": _REPORT_CVD_SQL,
@@ -814,3 +816,4 @@ ORACLE: dict[str, str] = {
 
 ORACLE.update(TRAINING_ORACLE)
 ORACLE.update(ML_ORACLE)
+ORACLE.update(ETL_ORACLE)
