@@ -764,11 +764,60 @@ SELECT patient_id, k AS month_ahead,
 FROM fitted CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS k)
 """
 
+def q_height_weight_bmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``get_height_weight`` (test.py:265-293) over the events→
+    observation view: 'view' events stand in for the HEIGHT_NAMES lookups
+    and 'click' for WEIGHT_NAMES; + the BMI extension column. One hash
+    aggregate (conditional max_by legs), no window."""
+    from ..operators.latest import height_weight
+
+    obs = observation_view_from_events(load_table(spark, sf_dir, "events"))
+    return height_weight(
+        obs, height_names=("view",), weight_names=("click",)
+    )
+
+
+_HEIGHT_WEIGHT_SQL = """
+WITH obs AS (
+  SELECT event_id AS observation_id, user_id AS patient_id,
+         event_type AS code_display, value AS value_quantity,
+         ts AS effective_datetime
+  FROM events
+),
+h AS (
+  SELECT patient_id, value_quantity FROM (
+    SELECT patient_id, value_quantity,
+           ROW_NUMBER() OVER (PARTITION BY patient_id
+             ORDER BY (effective_datetime IS NOT NULL) DESC,
+                      effective_datetime DESC, observation_id DESC) AS rn
+    FROM obs WHERE code_display IN ('view')
+  ) WHERE rn = 1
+),
+w AS (
+  SELECT patient_id, value_quantity FROM (
+    SELECT patient_id, value_quantity,
+           ROW_NUMBER() OVER (PARTITION BY patient_id
+             ORDER BY (effective_datetime IS NOT NULL) DESC,
+                      effective_datetime DESC, observation_id DESC) AS rn
+    FROM obs WHERE code_display IN ('click')
+  ) WHERE rn = 1
+)
+SELECT COALESCE(h.patient_id, w.patient_id) AS patient_id,
+  h.value_quantity AS height_cm,
+  w.value_quantity AS weight_kg,
+  CASE WHEN h.value_quantity > 0 AND w.value_quantity IS NOT NULL
+       THEN w.value_quantity / ((h.value_quantity / 100.0) * (h.value_quantity / 100.0))
+  END AS bmi
+FROM h FULL OUTER JOIN w ON h.patient_id = w.patient_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "height_weight_bmi": q_height_weight_bmi,
     "report_cvd": q_report_cvd,
     "report_prediabetes": q_report_prediabetes,
     "latest_per_key": q_latest_per_key,
@@ -796,6 +845,7 @@ QUERIES.update(ML_QUERIES)
 QUERIES.update(ETL_QUERIES)
 
 ORACLE: dict[str, str] = {
+    "height_weight_bmi": _HEIGHT_WEIGHT_SQL,
     "report_cvd": _REPORT_CVD_SQL,
     "report_prediabetes": _REPORT_PREDIABETES_SQL,
     "latest_per_key": _LATEST_PER_KEY_SQL,

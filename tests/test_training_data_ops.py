@@ -361,3 +361,48 @@ def test_ivf_topk_recall(spark):
         for r in S.ivf_topk(embs, q, k=5, n_centroids=8, n_probe=8).collect()
     }
     assert full == exact  # probing every cell == brute force
+
+
+def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
+    """Trained coarse quantizer vs hash-stratified sample: on a corpus
+    with real cluster structure, seed-fixed KMeans centers align cells
+    with the clusters, so probing ONE cell recovers a query's neighbors;
+    a random sample of corpus points may drop or split clusters and lose
+    recall at the same n_probe. (On the driver's isotropic synthetic
+    embeddings the two are comparable — this is the case where training
+    matters.) Deterministic: seeded data, seeded KMeans, md5 sample."""
+    import random
+
+    rnd = random.Random(42)
+    centers = []
+    for c in range(4):
+        centers.append([(1.0 if (c >> b) & 1 else -1.0) * 3.0 for b in range(8)])
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                v + rnd.uniform(-0.3, 0.3) for v in centers[i % 4]
+            ],
+        )
+        for i in range(120)
+    ]
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, q, k=10).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                embs, q, k=10, n_centroids=4, n_probe=1, centroids=centroids
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_kmeans = recall("kmeans")
+    r_sample = recall("sample")
+    assert r_kmeans >= 0.99, r_kmeans  # trained cells == true clusters
+    assert r_kmeans >= r_sample, (r_kmeans, r_sample)
