@@ -166,6 +166,32 @@ def quantize_vec(vec: Column) -> Column:
     )
 
 
+def _lit_nested_long(rows: list[list[int]]) -> Column:
+    """Nested array<array<long>> literal via ONE parsed SQL string.
+
+    ``F.lit(list)`` in classic PySpark expands to per-element ``lit``
+    calls — n×dim py4j round-trips (~1.8 s for 16×64, measured); a single
+    ``F.expr`` parse costs milliseconds and ConstantFolding collapses the
+    CreateArray tree into one Literal during optimization anyway."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(c)}L" for c in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def _lit_nested_double(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal, one parse (see _lit_nested_long);
+    values as quoted shortest-repr strings cast to DOUBLE — parses to the
+    identical double in any engine."""
+    body = ",".join(
+        "array("
+        + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+        + ")"
+        for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def quantize_py(x: float) -> int:
     """Python twin of :func:`quantize_vec` for literal centroids: replicates
     cast-double-to-DECIMAL(18,6) (shortest-repr then HALF_UP at scale 6,
@@ -187,9 +213,7 @@ def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Colum
     One nested transform over the (planes × dim) literal array keeps the
     zip/aggregate machinery ONCE in the expression tree (inlining it per
     plane 16×'d the tree — same lesson as _cell_dists)."""
-    planes_arr = F.lit([[int(c) for c in row] for row in plane_matrix]).cast(
-        "array<array<long>>"
-    )
+    planes_arr = _lit_nested_long([[int(c) for c in row] for row in plane_matrix])
     signs = F.transform(
         planes_arr,
         lambda row: F.when(
@@ -202,8 +226,8 @@ def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Colum
             1,
         ).otherwise(0),
     )
-    masks = F.lit([1 << p for p in range(len(plane_matrix))]).cast(
-        "array<long>"
+    masks = F.expr(
+        "array(" + ",".join(f"{1 << p}L" for p in range(len(plane_matrix))) + ")"
     )
     return F.aggregate(
         F.zip_with(
@@ -308,13 +332,12 @@ def _cell_dists(
     are Python-quantized to the same grid; squared micro-distances sum
     exactly in long (≤ 64·(1.2e6)² ≈ 9e13 ≪ 2^63), so the argmin is
     engine-reproducible for the DuckDB oracle (double chains diverge)."""
-    # ONE nested-array Literal (not CreateArray of n×dim F.lit children):
-    # a single py4j call and a single codegen constant — the per-element
-    # form cost ~3s of plan build + Janino time at 16×64.
+    # ONE parsed nested-array literal (not CreateArray of n×dim F.lit
+    # children): a single py4j call; ConstantFolding makes it one Literal.
     if exact:
-        cent_arr = F.lit(
+        cent_arr = _lit_nested_long(
             [[quantize_py(x) for x in c] for c in centroids]
-        ).cast("array<array<long>>")
+        )
         return F.transform(
             cent_arr,
             lambda c: F.aggregate(
@@ -323,9 +346,7 @@ def _cell_dists(
                 lambda s, x: s + x,
             ),
         )
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids]).cast(
-        "array<array<double>>"
-    )
+    cent_arr = _lit_nested_double([[float(x) for x in c] for c in centroids])
     return F.transform(
         cent_arr,
         lambda c: F.aggregate(
