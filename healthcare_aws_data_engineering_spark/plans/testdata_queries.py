@@ -536,7 +536,10 @@ _LABS_MAP = {  # analyte -> (event_type, scale divisor)
 
 
 def _monthly_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    return _monthly_labs_from(_events(spark, sf_dir))
+
+
+def _monthly_labs_from(ev: DataFrame) -> DataFrame:
     month = F.date_trunc("month", F.col("ts")).cast("date")
     ordk = F.struct(F.col("ts"), F.col("event_id"))
     aggs = []
@@ -764,6 +767,88 @@ SELECT patient_id, k AS month_ahead,
 FROM fitted CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS k)
 """
 
+# deterministic per-(user, analyte) coverage drops — mirrored verbatim in
+# the oracle's sparse_events CTE (lazy: Columns need an active session)
+def _confidence_sparsity_spark():
+    return ~(
+        ((F.col("user_id") % 3 == 0) & (F.col("event_type") == "click"))
+        | ((F.col("user_id") % 4 < 2) & (F.col("event_type") == "view"))
+        | ((F.col("user_id") % 2 == 0) & (F.col("event_type") == "signup"))
+        | ((F.col("user_id") % 5 == 0) & (F.col("event_type") == "purchase"))
+        | ((F.col("user_id") % 7 < 3) & (F.col("event_type") == "error"))
+    )
+
+
+_CONFIDENCE_SPARSITY_SQL = """NOT (
+     (user_id % 3 = 0 AND event_type = 'click')
+  OR (user_id % 4 < 2 AND event_type = 'view')
+  OR (user_id % 2 = 0 AND event_type = 'signup')
+  OR (user_id % 5 = 0 AND event_type = 'purchase')
+  OR (user_id % 7 < 3 AND event_type = 'error')
+)"""
+
+
+def q_disease_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (coverage count → confidence) + O5 (recent-n tail) as a driver
+    query: last-4-months analyte coverage per patient → High/Medium/Low
+    per disease (``confidence_for_disease``, mrp_website.py:415-423).
+    Analyte columns are presented in canonical case (LDL/HDL/A1c/…)
+    because the coverage check matches DISEASE_WEIGHTS names exactly;
+    analytes with no events analog stay absent → those diseases are Low
+    everywhere, which the oracle mirrors.
+
+    The dense synthetic events give every patient full coverage (all
+    rows High — a vacuous check), so coverage is deterministically
+    SPARSIFIED per (user, analyte) before the pivot; all three
+    confidence levels then occur and the oracle must reproduce the
+    exact mix."""
+    from .wellness import disease_confidence
+
+    events = _events(spark, sf_dir).filter(_confidence_sparsity_spark())
+    labs = _monthly_labs_from(events).select(
+        "patient_id",
+        F.col("month").alias("date"),
+        F.col("ldl").alias("LDL"),
+        F.col("hdl").alias("HDL"),
+        F.col("a1c").alias("A1c"),
+        F.col("glucoseblood").alias("GlucoseBlood"),
+        F.col("hemoglobin").alias("Hemoglobin"),
+    )
+    return disease_confidence(labs)
+
+
+_DISEASE_CONFIDENCE_SQL = f"""
+WITH sparse_events AS (SELECT * FROM events WHERE {_CONFIDENCE_SPARSITY_SQL}),
+labs AS ({_MONTHLY_LABS_SQL.replace("FROM events", "FROM sparse_events")}),
+recent AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY patient_id
+                                 ORDER BY month DESC) AS rn
+    FROM labs
+  ) WHERE rn <= 4
+),
+agg AS (
+  SELECT patient_id,
+    MAX(CASE WHEN ldl IS NOT NULL THEN 1 ELSE 0 END)
+      + MAX(CASE WHEN hdl IS NOT NULL THEN 1 ELSE 0 END) AS n_cardio,
+    MAX(CASE WHEN a1c IS NOT NULL THEN 1 ELSE 0 END)
+      + MAX(CASE WHEN glucoseblood IS NOT NULL THEN 1 ELSE 0 END) AS n_pre,
+    MAX(CASE WHEN hemoglobin IS NOT NULL THEN 1 ELSE 0 END) AS n_anemia
+  FROM recent GROUP BY patient_id
+)
+SELECT patient_id,
+  CASE WHEN n_cardio >= 2 THEN 'High' WHEN n_cardio = 1 THEN 'Medium'
+       ELSE 'Low' END AS confidence_cardiovascular,
+  CASE WHEN n_pre >= 2 THEN 'High' WHEN n_pre = 1 THEN 'Medium'
+       ELSE 'Low' END AS confidence_prediabetes,
+  'Low' AS confidence_ckd,
+  CASE WHEN n_anemia >= 2 THEN 'High' WHEN n_anemia = 1 THEN 'Medium'
+       ELSE 'Low' END AS confidence_anemia,
+  'Low' AS confidence_liver
+FROM agg
+"""
+
+
 def q_height_weight_bmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ``get_height_weight`` (test.py:265-293) over the events→
     observation view: 'view' events stand in for the HEIGHT_NAMES lookups
@@ -817,6 +902,7 @@ FROM h FULL OUTER JOIN w ON h.patient_id = w.patient_id
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "disease_confidence": q_disease_confidence,
     "height_weight_bmi": q_height_weight_bmi,
     "report_cvd": q_report_cvd,
     "report_prediabetes": q_report_prediabetes,
@@ -845,6 +931,7 @@ QUERIES.update(ML_QUERIES)
 QUERIES.update(ETL_QUERIES)
 
 ORACLE: dict[str, str] = {
+    "disease_confidence": _DISEASE_CONFIDENCE_SQL,
     "height_weight_bmi": _HEIGHT_WEIGHT_SQL,
     "report_cvd": _REPORT_CVD_SQL,
     "report_prediabetes": _REPORT_PREDIABETES_SQL,
