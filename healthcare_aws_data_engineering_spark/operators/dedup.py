@@ -317,10 +317,13 @@ def simhash_pairs(
 
     - ``"xxhash64"`` (default, 64-bit): bit i of xxhash64(shingle) —
       cheapest, engine-specific (rows-only correctness check).
-    - ``"md5digit"`` (32-bit): bit i = high bit of hex digit i of
-      md5(shingle), i.e. ``substr(md5(s), i+1, 1) >= '8'`` — one md5 per
-      shingle, reproducible in any engine with md5() (single-char ASCII
-      comparison), so the DuckDB oracle can replay the full pipeline.
+    - ``"md5digit"`` (32-bit): bits = the first 8 hex digits of
+      md5(shingle) parsed as a 32-bit integer (Spark ``conv(_,16,10)``,
+      DuckDB ``('0x'||substr)::BIGINT``) — one md5 + one parse per
+      shingle, then the same cheap shiftright votes as the xxhash64
+      path; reproducible in any engine with md5(), so the DuckDB oracle
+      replays the full pipeline. (An earlier form compared each hex
+      digit with substr — 32 string ops per shingle, ~25% slower.)
     """
     bits = 64 if backend == "xxhash64" else 32
     width = bits // bands
@@ -340,10 +343,16 @@ def simhash_pairs(
         ]
     elif backend == "md5digit":
         exploded = exploded.select(
-            "doc", F.md5(F.col("__s").cast("binary")).alias("__s")
+            "doc",
+            F.conv(
+                F.substring(F.md5(F.col("__s").cast("binary")), 1, 8), 16, 10
+            )
+            .cast("long")
+            .alias("__s"),
         )
+        h = F.col("__s")
         vote = [
-            F.when(F.substring(F.col("__s"), i + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
             for i in range(bits)
         ]
     else:

@@ -147,7 +147,7 @@ def _simhash_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3,
                  max_bucket: int = 50) -> str:
     width = bits // bands
     vote_legs = ",\n      ".join(
-        f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits)
     )
     pack = " + ".join(
@@ -155,7 +155,11 @@ def _simhash_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3,
     )
     return f"""
 WITH {_SHINGLES_SQL},
-  hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+  hx AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+    FROM sh
+  ),
   votes AS (
     SELECT doc_id,
       {vote_legs}
