@@ -173,3 +173,25 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "obs_year" in m.group(1), plan
     assert scan.count() == 50
+
+
+def test_height_weight_single_aggregate(spark):
+    """height/weight latest-lookup must compile to ONE hash aggregate
+    (conditional max_by legs sharing the shuffle) — no window sort, no
+    per-analyte join."""
+    plan = _plan(spark, "height_weight_bmi")
+    assert _n_exchanges(plan) == 1, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert "Window" not in tree and "Join" not in tree, tree
+
+
+def test_etl_observations_linear_flow(spark):
+    """Synthesized-bundle ETL: one groupBy (bundle assembly), the explode+
+    extraction projection, and the deterministic-dedup aggregate — no
+    self-joins, no windows; generate_outer explode preserved."""
+    plan = _plan(spark, "etl_observations")
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("Join") == 0, tree
+    assert "Window" not in tree, tree
+    assert "Generate" in tree, tree  # the explode_outer leg
+    assert _n_exchanges(plan) <= 3, plan
