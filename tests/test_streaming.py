@@ -137,3 +137,81 @@ def test_cli_batch_and_incremental(spark, tmp_path):
     )
     assert main(args) == 0
     assert spark.read.parquet(str(curated_i / "observation")).count() == n1 + 1
+
+
+def test_stateful_latest_equals_batch(spark, tmp_path):
+    """applyInPandasWithState latest-labs: stream the events table in
+    THREE micro-batches (maxFilesPerTrigger=1 over three files split by
+    event_id) and assert the final per-patient state equals the batch
+    max_by((ts, event_id)) pivot — cross-batch state merge, out-of-order
+    arrivals, and the (ts, id) tiebreak all pinned at once."""
+    from healthcare_aws_data_engineering_spark.streaming.stateful import (
+        stateful_latest_labs,
+    )
+
+    analytes = ["click", "view", "purchase"]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "stream_src"
+    for part in range(3):
+        ev.filter(F.col("event_id") % 3 == part).write.parquet(
+            str(src / f"part{part}")
+        )
+    schema = spark.read.parquet(str(src / "part0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = stateful_latest_labs(stream, analytes)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is None or True  # query drained
+
+    emitted = spark.table("latest_state")
+    # multiple micro-batches must actually have run (update rows per batch)
+    assert emitted.count() > emitted.select("patient_id").distinct().count()
+    # "state so far" = row with max (monotone) n_events per patient
+    final = {
+        r.patient_id: r
+        for r in emitted.withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("patient_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .collect()
+    }
+
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    batch = {
+        r.patient_id: r
+        for r in ev.groupBy(F.col("user_id").alias("patient_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.max_by(
+                    F.when(F.col("event_type") == a, F.col("value")),
+                    F.when(F.col("event_type") == a, ordk),
+                ).alias(a)
+                for a in analytes
+            ],
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for pid, b in batch.items():
+        f = final[pid]
+        assert f.n_events == b.n_events, pid
+        for a in analytes:
+            assert getattr(f, a) == getattr(b, a), (pid, a)
