@@ -227,12 +227,187 @@ SELECT
 FROM customer
 """
 
+# ---------------------------------------------------------------------------
+# Encounter + Condition leg (from orders): covers the extraction branches
+# the patient/observation bundles cannot — the mixed-shape JSON-string
+# probing path (location/participant arrays rendered via to_json +
+# get_json_object ladders, reference jget :28-31) and cc_attr's
+# struct-coding branch (clinicalStatus.coding as a STRUCT, not array).
+
+ENC_BUNDLE_DDL = """
+struct<
+  resourceType: string,
+  entry: array<struct<resource: struct<
+    resourceType: string,
+    id: string,
+    status: string,
+    subject: struct<reference: string>,
+    encounter: struct<reference: string>,
+    class: struct<code: string>,
+    type: array<struct<text: string>>,
+    period: struct<start: string, `end`: string>,
+    location: array<struct<location: struct<display: string>>>,
+    serviceProvider: struct<display: string>,
+    participant: array<struct<
+      individual: struct<display: string>,
+      type: array<struct<text: string>>
+    >>,
+    code: struct<coding: array<struct<system: string, code: string, display: string>>>,
+    clinicalStatus: struct<coding: struct<code: string>>,
+    verificationStatus: struct<coding: struct<code: string>>,
+    onsetDateTime: string,
+    recordedDate: string
+  >>>
+>
+"""
+
+
+def _encounter_entry_json() -> F.Column:
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    iso = F.date_format("o_orderdate", _ISO)
+    status = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("in-progress"))
+        .when(F.col("o_orderstatus") == "F", F.lit("finished"))
+        .otherwise(F.lit("planned"))
+    )
+    return F.concat(
+        F.lit('{"resource":{"resourceType":"Encounter","id":"enc-'),
+        _s(ok),
+        F.lit('","subject":{"reference":"urn:uuid:patient-'),
+        _s(ck),
+        F.lit('"},"status":"'),
+        status,
+        F.lit('","class":{"code":"'),
+        F.expr("lower(substr(o_orderpriority, 3))"),
+        F.lit('"},"type":[{"text":"'),
+        F.col("o_orderpriority"),
+        F.lit(' visit"}],"period":{"start":"'),
+        iso,
+        F.lit('","end":"'),
+        iso,
+        F.lit('"},"location":[{"location":{"display":"ward-'),
+        _s(ok % 20),
+        F.lit('"}}],"serviceProvider":{"display":"clinic-'),
+        _s(ck % 10),
+        F.lit('"},"participant":[{"individual":{"display":"Dr '),
+        _s(ok % 50),
+        F.lit('"},"type":[{"text":"attender"}]}]}}'),
+    )
+
+
+def _condition_entry_json() -> F.Column:
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    iso = F.date_format("o_orderdate", _ISO)
+    return F.concat(
+        F.lit('{"resource":{"resourceType":"Condition","id":"cond-'),
+        _s(ok),
+        F.lit('","subject":{"reference":"urn:uuid:patient-'),
+        _s(ck),
+        F.lit('"},"encounter":{"reference":"urn:uuid:enc-'),
+        _s(ok),
+        F.lit('"},"code":{"coding":[{"system":"http://snomed.info/sct","code":"C'),
+        _s(ok % 97),
+        F.lit('","display":"Condition '),
+        _s(ok % 97),
+        F.lit('"}]},"clinicalStatus":{"coding":{"code":"active"}}'),
+        F.lit(',"verificationStatus":{"coding":{"code":"confirmed"}}'),
+        F.lit(',"onsetDateTime":"'),
+        iso,
+        F.lit('","recordedDate":"'),
+        iso,
+        F.lit('"}}'),
+    )
+
+
+def synth_order_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Bundle per order: its Encounter + its Condition (mixed-type
+    entries again, so the resource-type fan-out filters do real work).
+
+    Deterministic 1-in-10 order sample (o_orderkey % 10 = 0): these
+    queries exist to value-check the EXTRACTION branches — including the
+    intentionally expensive reference-parity jget probing (to_json +
+    four get_json_object parses per row) — not to bench raw scan
+    throughput, which the rest of the suite covers."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    bundle_json = F.concat(
+        F.lit('{"resourceType":"Bundle","entry":['),
+        _encounter_entry_json(),
+        F.lit(","),
+        _condition_entry_json(),
+        F.lit("]}"),
+    )
+    return orders.select(
+        F.from_json(bundle_json, ENC_BUNDLE_DDL).alias("b")
+    ).select("b.*")
+
+
+def q_etl_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encounter extraction end-to-end, including the reference's jget
+    path-probing leg: location/participant are typed ARRAYS in the
+    schema, so the extractor renders them with to_json and probes
+    ``$[0].location.display`` / ``$[0].individual.display`` /
+    ``$[0].type[0].text`` ladders per row (reference :28-31, :95-117)."""
+    from ..plans.etl import extract_encounters
+
+    entries = explode_entries(synth_order_bundles(spark, sf_dir))
+    return extract_encounters(entries, deterministic_dedup=True)
+
+
+def q_etl_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition extraction end-to-end: array-coding code CC plus
+    STRUCT-coding clinicalStatus/verificationStatus (cc_attr's
+    struct/struct branch), double urn:uuid reference strip."""
+    from ..plans.etl import extract_conditions
+
+    entries = explode_entries(synth_order_bundles(spark, sf_dir))
+    return extract_conditions(entries, deterministic_dedup=True)
+
+
+_ETL_ENCOUNTERS_SQL = """
+SELECT
+  'enc-' || CAST(o_orderkey AS VARCHAR) AS encounter_id,
+  CASE WHEN o_orderstatus = 'O' THEN 'in-progress'
+       WHEN o_orderstatus = 'F' THEN 'finished'
+       ELSE 'planned' END AS status,
+  lower(substr(o_orderpriority, 3)) AS class_code,
+  o_orderpriority || ' visit' AS type_text,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS period_start,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS period_end,
+  'ward-' || CAST(o_orderkey % 20 AS VARCHAR) AS location_name,
+  'clinic-' || CAST(o_custkey % 10 AS VARCHAR) AS service_provider,
+  'Dr ' || CAST(o_orderkey % 50 AS VARCHAR) AS practitioner_name,
+  'attender' AS practitioner_role,
+  'patient-' || CAST(o_custkey AS VARCHAR) AS patient_id
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+_ETL_CONDITIONS_SQL = """
+SELECT
+  'cond-' || CAST(o_orderkey AS VARCHAR) AS condition_id,
+  'http://snomed.info/sct' AS code_system,
+  'C' || CAST(o_orderkey % 97 AS VARCHAR) AS code,
+  'Condition ' || CAST(o_orderkey % 97 AS VARCHAR) AS code_display,
+  'active' AS clinical_status,
+  'confirmed' AS verification_status,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS onset_datetime,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS recorded_datetime,
+  'patient-' || CAST(o_custkey AS VARCHAR) AS patient_id,
+  'enc-' || CAST(o_orderkey AS VARCHAR) AS encounter_id
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
 ETL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "etl_observations": q_etl_observations,
     "etl_patients": q_etl_patients,
+    "etl_encounters": q_etl_encounters,
+    "etl_conditions": q_etl_conditions,
 }
 
 ETL_ORACLE: dict[str, str] = {
     "etl_observations": _ETL_OBSERVATIONS_SQL,
     "etl_patients": _ETL_PATIENTS_SQL,
+    "etl_encounters": _ETL_ENCOUNTERS_SQL,
+    "etl_conditions": _ETL_CONDITIONS_SQL,
 }
