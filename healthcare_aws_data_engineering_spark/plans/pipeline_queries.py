@@ -1,0 +1,269 @@
+"""Large-scale pipeline operators: sessionization, exact distribution
+summaries, deterministic stratified sampling, and corpus vocabulary —
+the event/corpus rollups a training-data pipeline needs beyond the
+reference's own query surface (brief extension; no reference counterpart).
+
+Scale notes
+-----------
+- ``sessionize``: ONE shuffle (hash by ``user_id``); the lag/cumsum
+  windows and the session aggregation all reuse that partitioning.
+  Nothing is ever materialized per-user beyond fixed-width rows.
+- ``dist_summary``: ONE shuffle (hash by ``event_type``); sort-based
+  exact quantiles — the quantile *index* is pure integer math
+  (``ceil(n·k/100) = (n·k + 99) div 100``), so no float interpolation
+  can diverge between engines. At a 100 TB/low-cardinality group shape
+  this becomes a per-group sort — acceptable for bounded group count;
+  for unbounded groups use approx_percentile instead (documented trade).
+- ``stratified_sample``: pure scan + filter — ZERO shuffles; the
+  per-stratum rate is a deterministic md5-bucket predicate, so the
+  sample is reproducible run-to-run and engine-to-engine, and pushes
+  down to a parquet scan filter on ``lang``.
+- ``vocab_topk``: explode → hash-agg (map-side combine) → global
+  top-k (TakeOrdered, no full sort); the shuffle carries (shingle,
+  partial count) only.
+
+Cross-engine determinism: counts/mins/maxes over DECIMAL(18,6) casts of
+identical doubles; md5 is the shared hash (same recipe as the dedup
+oracles); total orders are made unique before any LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..operators.dedup import word_shingles
+from ..sources.tables import load_table
+
+SESSION_GAP_MS = 30 * 60 * 1000  # classic 30-minute inactivity gap
+
+# Per-language sampling rate (percent) — deterministic md5 buckets.
+STRATA_RATES = {"en": 35, "de": 80, "es": 60, "fr": 45, "zh": 25}
+STRATA_DEFAULT = 10
+
+
+# ------------------------------------------------------------ sessionize --
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_ms``. Classic lag→flag→cumsum window
+    composition; boundaries are a function of the (ts multiset) only, so
+    the deterministic ``id_col`` tie-break never changes the result, only
+    stabilizes it.
+
+    Returns one row per session: ``user_id, session_seq, start_ms,
+    end_ms, n_events, duration_ms`` (epoch-millis longs — timezone-proof
+    across engines).
+    """
+    wseq = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    ms = F.unix_millis(F.col(ts_col))
+    new_session = F.when(
+        F.lag(ms).over(wseq).isNull() | (ms - F.lag(ms).over(wseq) > gap_ms), 1
+    ).otherwise(0)
+    flagged = events.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+    ).withColumn("__new", new_session)
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("__new").over(wseq).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_millis(F.col("ts"))).alias("start_ms"),
+        F.max(F.unix_millis(F.col("ts"))).alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_millis(F.col("ts"))) - F.min(F.unix_millis(F.col("ts"))))
+        .alias("duration_ms"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  MIN(epoch_ms(ts)) AS start_ms,
+  MAX(epoch_ms(ts)) AS end_ms,
+  COUNT(*) AS n_events,
+  MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS duration_ms
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------- dist_summary --
+def dist_summary(
+    events: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Exact per-group distribution summary: count / min / max / discrete
+    p50-p90-p99. Quantiles are *discrete* (an actual element of the
+    group, at sorted index ``ceil(n·k/100)`` computed in integer math) —
+    no interpolation, hence bit-identical across engines. Values are
+    quantized to DECIMAL(18,6) before anything order-sensitive."""
+    val = F.col(value_col).cast("decimal(18,6)")
+    base = events.select(F.col(group_col).alias("grp"), val.alias("val"))
+    wo = W.partitionBy("grp").orderBy("val")
+    wn = W.partitionBy("grp")
+    ranked = base.withColumn("rn", F.row_number().over(wo).cast("long")) \
+                 .withColumn("n", F.count(F.lit(1)).over(wn))
+
+    def idx(k: int):  # ceil(n*k/100) in exact integer math
+        return F.expr(f"(n * {k} + 99) div 100")
+
+    def at(k: int):
+        return F.max(F.when(F.col("rn") == idx(k), F.col("val")))
+
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        at(50).alias("p50"), at(90).alias("p90"), at(99).alias("p99"),
+    ).withColumnRenamed("grp", "event_type")
+
+
+def q_dist_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dist_summary(load_table(spark, sf_dir, "events"))
+
+
+_DIST_SUMMARY_SQL = """
+WITH r AS (
+  SELECT event_type AS grp, CAST(value AS DECIMAL(18,6)) AS val,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(value AS DECIMAL(18,6))) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT grp AS event_type, COUNT(*) AS n_rows,
+  MIN(val) AS min_val, MAX(val) AS max_val,
+  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN val END) AS p50,
+  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN val END) AS p90,
+  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN val END) AS p99
+FROM r GROUP BY grp
+"""
+
+
+# ----------------------------------------------------- stratified_sample --
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = STRATA_DEFAULT,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 bucket
+    (0..99, keyed on the row id) is below the stratum's percent rate.
+    Pure projection+filter — zero shuffles, reproducible across engines
+    and runs, and the whole predicate pushes toward the scan. This is
+    the scale-safe form of "sample 35% of English docs": no
+    ``TABLESAMPLE`` nondeterminism, no driver-side RNG state."""
+    rates = STRATA_RATES if rates is None else rates
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("strat#"), F.col(id_col).cast("string"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, v).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select(id_col, stratum_col, "source", "n_chars", "bucket")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _strat_case() -> str:
+    legs = "\n    ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+    )
+    return f"CASE lang\n    {legs}\n    ELSE {STRATA_DEFAULT} END"
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars, bucket FROM (
+  SELECT doc_id, lang, source, n_chars,
+    CAST(('0x' || substr(md5('strat#' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < ({_strat_case()})
+"""
+
+
+# ------------------------------------------------------------ vocab_topk --
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k word-3-gram shingles by document
+    frequency (shingles are distinct-per-doc, so COUNT(*) after the
+    explode IS the doc frequency). The total order (doc_freq DESC,
+    shingle ASC) is unique, so LIMIT selects the same set in any engine.
+    Plan: explode → partial-count combine → single shuffle on shingle →
+    TakeOrdered top-k (no global sort materialization)."""
+    grams = docs.select(F.explode(word_shingles(F.col(text_col))).alias("shingle"))
+    vocab = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return vocab.orderBy(F.desc("doc_freq"), "shingle").limit(k)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_TOPK_SQL = """
+WITH
+  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                ELSE array_to_string(ws, ' ') END AS shingle
+    FROM w, unnest(generate_series(1, greatest(1, len(ws)-2))) AS t(i)
+  )
+SELECT shingle, doc_freq FROM (
+  SELECT shingle, COUNT(*) AS doc_freq,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, shingle) AS rk
+  FROM sh GROUP BY shingle
+) WHERE rk <= 100
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessionize": q_sessionize,
+    "dist_summary": q_dist_summary,
+    "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
+}
+
+PIPELINE_ORACLE: dict[str, str] = {
+    "sessionize": _SESSIONIZE_SQL,
+    "dist_summary": _DIST_SUMMARY_SQL,
+    "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "vocab_topk": _VOCAB_TOPK_SQL,
+}

@@ -924,11 +924,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
 from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
+from .pipeline_queries import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402
 from .training_data_queries import TRAINING_ORACLE, TRAINING_QUERIES  # noqa: E402
 
 QUERIES.update(TRAINING_QUERIES)
 QUERIES.update(ML_QUERIES)
 QUERIES.update(ETL_QUERIES)
+QUERIES.update(PIPELINE_QUERIES)
 
 ORACLE: dict[str, str] = {
     "disease_confidence": _DISEASE_CONFIDENCE_SQL,
@@ -954,3 +956,4 @@ ORACLE: dict[str, str] = {
 ORACLE.update(TRAINING_ORACLE)
 ORACLE.update(ML_ORACLE)
 ORACLE.update(ETL_ORACLE)
+ORACLE.update(PIPELINE_ORACLE)

@@ -1,0 +1,126 @@
+"""Semantics + plan-shape tests for the pipeline extension operators
+(sessionize / dist_summary / stratified_sample / vocab_topk)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from healthcare_aws_data_engineering_spark.plans import pipeline_queries as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jexp = df._jdf.queryExecution()
+    spark = df.sparkSession
+    return jexp.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    tree = plan.split("\n\n(1)")[0]
+    return len(re.findall(r"[+:]- Exchange ", tree))
+
+
+# ------------------------------------------------------------ sessionize --
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_gap_boundaries(spark):
+    # user 1: events at 0, 10, 20 min (one session), then 60 min (gap 40 > 30
+    # → new session). user 2: single event.
+    rows = [
+        (1, _ts(0), 100), (1, _ts(10), 101), (1, _ts(20), 102), (1, dt.datetime(2024, 1, 1, 1, 0), 103),
+        (2, _ts(5), 200),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in pq.sessionize(ev).collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 3 and s1.duration_ms == 20 * 60 * 1000
+    s2 = out[(1, 2)]
+    assert s2.n_events == 1 and s2.duration_ms == 0
+    assert s2.start_ms == int(dt.datetime(2024, 1, 1, 1, 0).timestamp() * 1000)
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_gap_exactly_at_threshold_stays_in_session(spark):
+    # gap == gap_ms is NOT a new session (strict >).
+    rows = [(1, _ts(0), 1), (1, _ts(30), 2)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = pq.sessionize(ev).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag/cumsum windows and the session agg all hash by user_id — the
+    exchange must be reused (session_seq grouping is satisfied by the
+    user_id partitioning)."""
+    plan = _plan(pq.q_sessionize(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+
+
+# ---------------------------------------------------------- dist_summary --
+def test_dist_summary_discrete_quantiles(spark):
+    ev = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 7.0)],
+        "event_type string, value double",
+    )
+    out = {r.event_type: r for r in pq.dist_summary(ev).collect()}
+    a = out["a"]
+    # n=10: idx50=(500+99)//100=5 → 5; idx90=(999)//100=9 → 9; idx99=10 → 10
+    assert a.n_rows == 10
+    assert float(a.p50) == 5.0 and float(a.p90) == 9.0 and float(a.p99) == 10.0
+    assert float(a.min_val) == 1.0 and float(a.max_val) == 10.0
+    b = out["b"]
+    assert b.n_rows == 1 and float(b.p50) == 7.0 == float(b.p99)
+
+
+def test_dist_summary_single_shuffle(spark):
+    plan = _plan(pq.q_dist_summary(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+
+
+# ----------------------------------------------------- stratified_sample --
+def test_stratified_sample_deterministic_and_bounded(spark):
+    a = pq.q_stratified_sample(spark, SF).collect()
+    b = pq.q_stratified_sample(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        rate = pq.STRATA_RATES.get(r.lang, pq.STRATA_DEFAULT)
+        assert 0 <= r.bucket < rate
+
+
+def test_stratified_sample_no_shuffle(spark):
+    plan = _plan(pq.q_stratified_sample(spark, SF))
+    assert _n_exchanges(plan) == 0, plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+# ------------------------------------------------------------ vocab_topk --
+def test_vocab_topk_doc_frequency_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),          # shingle "x y z"
+            (2, "x y z"),          # same → doc_freq 2
+            (3, "a b c"),
+            (4, "short doc"),      # <3 words → whole doc as one shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = pq.vocab_topk(docs, k=2).collect()
+    assert [(r.shingle, r.doc_freq) for r in out] == [("x y z", 2), ("a b c", 1)]
+
+
+def test_vocab_topk_uses_takeordered(spark):
+    plan = _plan(pq.q_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
