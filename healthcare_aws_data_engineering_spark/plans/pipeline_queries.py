@@ -254,14 +254,59 @@ SELECT shingle, doc_freq FROM (
 """
 
 
+# -------------------------------------------------------------- asof_join --
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each 'purchase' event picks up the value of
+    the user's latest preceding (ts-inclusive) 'signup' event. Spark
+    side is the union+window operator (:mod:`..operators.asof`); the
+    DuckDB oracle uses the engine's NATIVE ``ASOF LEFT JOIN`` — two
+    independent algorithms that must agree row-for-row."""
+    from ..operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup")
+    joined = as_of_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["value"], right_id="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"), "value",
+        F.unix_millis(F.col("asof_ts")).alias("asof_ts_ms"),
+        F.col("asof_value"),
+    )
+
+
+_ASOF_JOIN_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'signup'
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, l.value,
+       epoch_ms(r.ts) AS asof_ts_ms, r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "dist_summary": q_dist_summary,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "asof_join": q_asof_join,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
+    "asof_join": _ASOF_JOIN_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,

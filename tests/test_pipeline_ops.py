@@ -124,3 +124,42 @@ def test_vocab_topk_uses_takeordered(spark):
     plan = _plan(pq.q_vocab_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert _n_exchanges(plan) == 1, plan
+
+
+# ------------------------------------------------------------- asof_join --
+def test_asof_join_semantics(spark):
+    from healthcare_aws_data_engineering_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(10, 1, _ts(10)), (11, 1, _ts(30)), (12, 1, _ts(5)), (13, 2, _ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, _ts(10), 1.0),   # equal ts → visible (inclusive)
+            (101, 1, _ts(10), 2.0),   # same (key, ts): higher id wins
+            (102, 1, _ts(20), 3.0),
+            (103, 3, _ts(0), 9.0),    # other key, never matched
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in as_of_join(
+            left, right, key="user_id", ts="ts",
+            payload_cols=["value"], right_id="event_id",
+        ).collect()
+    }
+    assert out[10].asof_value == 2.0           # equal-ts inclusive + id argmax
+    assert out[10].asof_ts == _ts(10)
+    assert out[11].asof_value == 3.0           # latest preceding (t=20)
+    assert out[12].asof_value is None          # nothing at or before t=5
+    assert out[13].asof_value is None          # no right rows for key 2
+
+
+def test_asof_join_single_shuffle_no_inequality_join(spark):
+    """The union+window formulation must compile to ONE keyed shuffle —
+    no SortMergeJoin/BroadcastNestedLoopJoin from a range predicate."""
+    plan = _plan(pq.q_asof_join(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+    assert "NestedLoop" not in plan and "SortMergeJoin" not in plan, plan
