@@ -254,6 +254,106 @@ SELECT shingle, doc_freq FROM (
 """
 
 
+# --------------------------------------------------------- pack_sequences --
+PACK_BUDGET = 512  # tokens per training chunk
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing, concat-and-chunk form (the standard LLM
+    pretraining layout): per stream (``source``), documents are laid
+    end-to-end in ``doc_id`` order and the token stream is cut into
+    fixed ``budget``-token chunks; a document belongs to every chunk it
+    overlaps. Returns the chunk manifest: ``source, chunk_id, n_docs,
+    first_doc, last_doc, n_tokens`` (fill — ``budget`` except the final
+    partial chunk).
+
+    All offsets are integer math over the shared whitespace token count,
+    so the manifest is bit-identical in any engine. Zero-token docs
+    occupy no stream space and are dropped.
+
+    Scale: ONE hash shuffle by stream — the running-offset window, the
+    per-stream total, the chunk explode (bounded fan-out: a doc hits
+    ``len/budget + 1`` chunks), and the (stream, chunk) aggregation all
+    reuse that partitioning. Streams are independent, so at 100 TB this
+    parallelizes per source shard; a single giant stream would serialize
+    in the window sort — shard the stream key first (documented trade,
+    same as any per-stream layout job).
+    """
+    from ..operators.text import token_count
+
+    t = docs.select(
+        F.col(stream_col).alias("source"),
+        F.col(order_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = W.partitionBy("source").orderBy("doc_id")
+    ws = W.partitionBy("source")
+    laid = (
+        t.withColumn("end_off", F.sum("n_tok").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+        .withColumn("stream_total", F.max("end_off").over(ws))
+    )
+    exploded = laid.select(
+        "source", "doc_id", "stream_total",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {budget}"),
+                F.expr(f"(end_off - 1) div {budget}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return exploded.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.least(
+            F.lit(budget).cast("long"),
+            F.first("stream_total") - F.col("chunk_id") * budget,
+        ).alias("n_tokens"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE n_tok > 0),
+laid AS (
+  SELECT source, doc_id, n_tok,
+    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM nz
+),
+laid2 AS (
+  SELECT *, end_off - n_tok AS start_off,
+    MAX(end_off) OVER (PARTITION BY source) AS stream_total
+  FROM laid
+),
+ex AS (
+  SELECT source, doc_id, stream_total, chunk_id
+  FROM laid2, unnest(generate_series(start_off // {PACK_BUDGET},
+                                     (end_off - 1) // {PACK_BUDGET})) AS u(chunk_id)
+)
+SELECT source, chunk_id, COUNT(*) AS n_docs,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+  LEAST({PACK_BUDGET}, ANY_VALUE(stream_total) - chunk_id * {PACK_BUDGET}) AS n_tokens
+FROM ex GROUP BY source, chunk_id
+"""
+
+
 # -------------------------------------------------------------- asof_join --
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each 'purchase' event picks up the value of
@@ -303,10 +403,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "asof_join": q_asof_join,
+    "pack_sequences": q_pack_sequences,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
     "asof_join": _ASOF_JOIN_SQL,
+    "pack_sequences": _PACK_SEQUENCES_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,

@@ -126,6 +126,53 @@ def test_vocab_topk_uses_takeordered(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
+# -------------------------------------------------------- pack_sequences --
+def test_pack_sequences_manifest(spark):
+    # budget=10. stream "s": doc1=3 tokens (off 0-2), doc2=8 (off 3-10 →
+    # chunks 0 and 1), doc3=1 (off 11 → chunk 1). total=12 → chunk1 fill 2.
+    docs = spark.createDataFrame(
+        [
+            ("s", 1, "a b c"),
+            ("s", 2, "t t t t t t t t"),
+            ("s", 3, "x"),
+            ("s", 4, "   "),      # zero tokens → occupies no space
+            ("u", 9, "y z"),      # separate stream
+        ],
+        "source string, doc_id long, text string",
+    )
+    out = {
+        (r.source, r.chunk_id): r
+        for r in pq.pack_sequences(docs, budget=10).collect()
+    }
+    assert set(out) == {("s", 0), ("s", 1), ("u", 0)}
+    c0 = out[("s", 0)]
+    assert (c0.n_docs, c0.first_doc, c0.last_doc, c0.n_tokens) == (2, 1, 2, 10)
+    c1 = out[("s", 1)]
+    assert (c1.n_docs, c1.first_doc, c1.last_doc, c1.n_tokens) == (2, 2, 3, 2)
+    u0 = out[("u", 0)]
+    assert (u0.n_docs, u0.n_tokens) == (1, 2)
+
+
+def test_pack_sequences_conservation(spark):
+    """Σ chunk fills == Σ doc token counts (nothing lost or double-counted
+    at chunk boundaries), on real data."""
+    from healthcare_aws_data_engineering_spark.operators.text import token_count
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    total_tokens = docs.select(
+        F.sum(token_count(F.col("text")).cast("long")).alias("t")
+    ).collect()[0].t
+    manifest = pq.pack_sequences(docs)
+    total_fill = manifest.select(F.sum("n_tokens").alias("t")).collect()[0].t
+    assert total_fill == total_tokens
+
+
+def test_pack_sequences_single_shuffle(spark):
+    plan = _plan(pq.q_pack_sequences(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+
+
 # ------------------------------------------------------------- asof_join --
 def test_asof_join_semantics(spark):
     from healthcare_aws_data_engineering_spark.operators.asof import as_of_join
