@@ -48,16 +48,34 @@ def as_of_join(
     ``{prefix}{c}`` for each payload column and ``{prefix}ts`` (the
     matched right timestamp), NULL where no prior right row exists.
     """
-    r = right.select(key, ts, right_id, *payload_cols)
+    # NULL-key right rows can never be matched by an equality-semantics
+    # as-of join (NULL = NULL is not a match) — drop them up front so the
+    # NULL window partition cannot leak payloads onto NULL-key left rows.
+    r = right.select(key, ts, right_id, *payload_cols).filter(
+        F.col(key).isNotNull()
+    )
     rtypes = dict(r.dtypes)
+
+    # The matched row travels as ONE struct (ts + id + payloads): the
+    # struct is non-NULL on every right row even when individual payload
+    # values are NULL, so `last(..., ignorenulls)` picks the matched row
+    # WHOLLY — a NULL payload on the latest right row yields a NULL
+    # result, never a stale value from an older row (DuckDB ASOF parity).
+    match_struct = F.struct(
+        F.col(ts).alias("__mts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    struct_t = (
+        "struct<__mts:" + rtypes[ts] + ","
+        + ",".join(f"{c}:{rtypes[c]}" for c in payload_cols) + ">"
+    )
 
     lcols = left.columns
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),
         F.lit(None).cast(rtypes[right_id]).alias("__rid"),
-        F.lit(None).cast("timestamp").alias("__rts"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in payload_cols],
+        F.lit(None).cast(struct_t).alias("__r"),
     )
     r_tagged = r.select(
         *[
@@ -66,8 +84,7 @@ def as_of_join(
         ],
         F.lit(0).alias("__side"),
         F.col(right_id).alias("__rid"),
-        F.col(ts).alias("__rts"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        match_struct.alias("__r"),
     )
 
     w = (
@@ -75,13 +92,11 @@ def as_of_join(
         .orderBy(ts, "__side", "__rid")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    matched = F.last("__r", ignorenulls=True).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         *lcols,
         F.col("__side"),
-        F.last("__rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload_cols
-        ],
+        matched["__mts"].alias(f"{prefix}ts"),
+        *[matched[c].alias(f"{prefix}{c}") for c in payload_cols],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")

@@ -34,7 +34,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.etl import extract_observations, extract_patients
+from ..plans.etl import (
+    extract_conditions,
+    extract_encounters,
+    extract_observations,
+    extract_patients,
+)
 from ..sources.fhir import explode_entries
 from ..sources.tables import load_table
 
@@ -349,8 +354,6 @@ def q_etl_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, so the extractor renders them with to_json and probes
     ``$[0].location.display`` / ``$[0].individual.display`` /
     ``$[0].type[0].text`` ladders per row (reference :28-31, :95-117)."""
-    from ..plans.etl import extract_encounters
-
     entries = explode_entries(synth_order_bundles(spark, sf_dir))
     return extract_encounters(entries, deterministic_dedup=True)
 
@@ -359,8 +362,6 @@ def q_etl_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condition extraction end-to-end: array-coding code CC plus
     STRUCT-coding clinicalStatus/verificationStatus (cc_attr's
     struct/struct branch), double urn:uuid reference strip."""
-    from ..plans.etl import extract_conditions
-
     entries = explode_entries(synth_order_bundles(spark, sf_dir))
     return extract_conditions(entries, deterministic_dedup=True)
 

@@ -61,17 +61,22 @@ def sessionize(
     end_ms, n_events, duration_ms`` (epoch-millis longs — timezone-proof
     across engines).
     """
-    wseq = W.partitionBy(user_col).orderBy(ts_col, id_col)
-    ms = F.unix_millis(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+    )
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
     new_session = F.when(
         F.lag(ms).over(wseq).isNull() | (ms - F.lag(ms).over(wseq) > gap_ms), 1
     ).otherwise(0)
-    flagged = events.select(
-        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"),
-        F.col(id_col).alias("event_id"),
-    ).withColumn("__new", new_session)
+    flagged = base.withColumn("__new", new_session)
+    # explicit ROWS frame: the default RANGE frame treats duplicate
+    # (ts, event_id) rows as peers, which would diverge from the oracle's
+    # ROWS UNBOUNDED PRECEDING on non-unique ids.
+    wsum = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
     sessions = flagged.withColumn(
-        "session_seq", F.sum("__new").over(wseq).cast("long")
+        "session_seq", F.sum("__new").over(wsum).cast("long")
     )
     return sessions.groupBy("user_id", "session_seq").agg(
         F.min(F.unix_millis(F.col("ts"))).alias("start_ms"),
@@ -118,9 +123,16 @@ def dist_summary(
     p50-p90-p99. Quantiles are *discrete* (an actual element of the
     group, at sorted index ``ceil(n·k/100)`` computed in integer math) —
     no interpolation, hence bit-identical across engines. Values are
-    quantized to DECIMAL(18,6) before anything order-sensitive."""
+    quantized to DECIMAL(18,6) before anything order-sensitive.
+
+    NULL values are excluded up front (``n_rows`` counts non-null
+    values): Spark ranks NULLS FIRST and DuckDB NULLS LAST, so keeping
+    them would both shift the quantile index onto NULL rows and diverge
+    between engines."""
     val = F.col(value_col).cast("decimal(18,6)")
-    base = events.select(F.col(group_col).alias("grp"), val.alias("val"))
+    base = events.select(F.col(group_col).alias("grp"), val.alias("val")).filter(
+        val.isNotNull()
+    )
     wo = W.partitionBy("grp").orderBy("val")
     wn = W.partitionBy("grp")
     ranked = base.withColumn("rn", F.row_number().over(wo).cast("long")) \
@@ -151,6 +163,7 @@ WITH r AS (
                                  ORDER BY CAST(value AS DECIMAL(18,6))) AS BIGINT) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT grp AS event_type, COUNT(*) AS n_rows,
   MIN(val) AS min_val, MAX(val) AS max_val,
@@ -191,15 +204,14 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, v).otherwise(rate)
-    return (
-        docs.withColumn("bucket", bucket)
-        .filter(F.col("bucket") < rate)
-        .select(id_col, stratum_col, "source", "n_chars", "bucket")
-    )
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < rate)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stratified_sample(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(docs)
 
 
 def _strat_case() -> str:

@@ -4,26 +4,13 @@
 from __future__ import annotations
 
 import datetime as dt
-import re
 
 from pyspark.sql import functions as F
 
+from conftest import n_exchanges as _n_exchanges, plan_string as _plan
 from healthcare_aws_data_engineering_spark.plans import pipeline_queries as pq
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    jexp = df._jdf.queryExecution()
-    spark = df.sparkSession
-    return jexp.explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-
-
-def _n_exchanges(plan: str) -> int:
-    tree = plan.split("\n\n(1)")[0]
-    return len(re.findall(r"[+:]- Exchange ", tree))
 
 
 # ------------------------------------------------------------ sessionize --
@@ -202,6 +189,61 @@ def test_asof_join_semantics(spark):
     assert out[11].asof_value == 3.0           # latest preceding (t=20)
     assert out[12].asof_value is None          # nothing at or before t=5
     assert out[13].asof_value is None          # no right rows for key 2
+
+
+def test_asof_join_null_payload_not_skipped(spark):
+    """A NULL payload on the MATCHED right row must yield NULL, not a
+    stale value from an older row (the matched row travels as one
+    struct; DuckDB ASOF parity)."""
+    from healthcare_aws_data_engineering_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(10, 1, _ts(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, _ts(10), 1.0), (101, 1, _ts(20), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = as_of_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["value"], right_id="event_id",
+    ).collect()[0]
+    assert row.asof_ts == _ts(20) and row.asof_value is None
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL keys match nothing (equality semantics): NULL-key right rows
+    are dropped; NULL-key left rows come back with NULL payload."""
+    from healthcare_aws_data_engineering_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(10, None, _ts(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, None, _ts(10), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = as_of_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["value"], right_id="event_id",
+    ).collect()[0]
+    assert row.asof_value is None and row.asof_ts is None
+
+
+def test_sessionize_accepts_renamed_columns(spark):
+    rows = [(1, _ts(0), 100), (1, _ts(50), 101)]
+    ev = spark.createDataFrame(rows, "uid long, tstamp timestamp, eid long")
+    out = pq.sessionize(ev, user_col="uid", ts_col="tstamp", id_col="eid").collect()
+    assert len(out) == 2
+
+
+def test_dist_summary_ignores_nulls(spark):
+    ev = spark.createDataFrame(
+        [("a", None), ("a", 10.0), ("a", 20.0)],
+        "event_type string, value double",
+    )
+    row = pq.dist_summary(ev).collect()[0]
+    assert row.n_rows == 2 and float(row.p50) == 10.0 and float(row.max_val) == 20.0
 
 
 def test_asof_join_single_shuffle_no_inequality_join(spark):

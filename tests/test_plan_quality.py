@@ -18,19 +18,11 @@ from healthcare_aws_data_engineering_spark.plans import testdata_queries as tq
 SF = "/root/testdata/sf0.001"
 
 
+from conftest import n_exchanges as _n_exchanges, plan_string  # noqa: E402
+
+
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = tq.QUERIES[name](spark, SF)
-    jexp = df._jdf.queryExecution()
-    return jexp.explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
-
-
-def _n_exchanges(plan: str) -> int:
-    """Shuffle exchanges in the op tree (not broadcast, not the per-node
-    detail section that repeats each operator name)."""
-    tree = plan.split("\n\n(1)")[0]
-    return len(re.findall(r"[+:]- Exchange ", tree))
+    return plan_string(tq.QUERIES[name](spark, SF), mode)
 
 
 def test_report_cvd_single_shuffle_with_partial_agg(spark):
