@@ -281,3 +281,32 @@ def test_deterministic_dedup(spark):
     out = extract_patients(entries, deterministic_dedup=True).collect()
     assert len(out) == 1
     assert out[0]["gender"] == "aaa-first"  # lexicographically-first row wins
+
+
+def test_jget_ladder_fallback_legs(spark):
+    """The probing ladders' FALLBACK legs, exercised directly over raw
+    mixed-shape JSON strings (the situation jget exists for: the driver
+    etl_* queries always satisfy the first leg, because from_json's typed
+    schema normalizes the shape — see reference :28-31)."""
+    from healthcare_aws_data_engineering_spark.functions.fhir_extract import (
+        json_path_first,
+    )
+
+    rows = [
+        # array-shaped participant type → first leg $[0].type[0].text
+        ('[{"individual":{"display":"Dr A"},"type":[{"text":"attender"}]}]',),
+        # object-shaped participant type → fallback leg $[0].type.text
+        ('[{"individual":{"display":"Dr B"},"type":{"text":"admitter"}}]',),
+        # neither shape → NULL
+        ('[{"individual":{"display":"Dr C"}}]',),
+    ]
+    df = spark.createDataFrame(rows, "participant string")
+    got = [
+        r.role
+        for r in df.select(
+            json_path_first(
+                F.col("participant"), "$[0].type[0].text", "$[0].type.text"
+            ).alias("role")
+        ).collect()
+    ]
+    assert got == ["attender", "admitter", None]
