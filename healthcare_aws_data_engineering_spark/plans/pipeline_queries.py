@@ -366,6 +366,98 @@ FROM ex GROUP BY source, chunk_id
 """
 
 
+# ------------------------------------------------------------ time_rollup --
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass:
+    ``ROLLUP(event_type, month, day)`` compiles to a single Expand +
+    one shuffle aggregation — versus three separate groupBy passes (and
+    three scans) for the same result. Levels are disambiguated by ANSI
+    ``GROUPING()`` flags (not null-ness, which a NULL dimension value
+    could fake). Sum uses the decimal-fold pattern for cross-engine
+    determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return base.rollup("event_type", "month", "day").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("month").cast("int").alias("g_month"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+
+
+_TIME_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type, date_trunc('month', ts)::DATE AS month, ts::DATE AS day,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT event_type, month, day,
+  CAST(GROUPING(event_type) AS INT) AS g_type,
+  CAST(GROUPING(month) AS INT) AS g_month,
+  CAST(GROUPING(day) AS INT) AS g_day,
+  COUNT(*) AS n_events,
+  CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM base GROUP BY ROLLUP(event_type, month, day)
+"""
+
+
+# ------------------------------------------------------------- range_join --
+RANGE_BIN_WIDTH = 5.0
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bin-bucketing operator: every 10th part
+    defines a price band (deterministic double math on both engines);
+    each event's value is matched to the bands containing it, then
+    aggregated per band. The DuckDB oracle is the naive BETWEEN join —
+    an independent O(n·m) evaluation of the same semantics."""
+    from ..operators.intervals import range_join
+
+    # The sf0.1 events file is one parquet split, so without this the
+    # whole probe+aggregate runs on ONE task (local small-file artifact —
+    # at real scale the scan is already thousands of splits and no
+    # repartition is needed). Round-robin of narrow rows is cheap and the
+    # decimal-fold aggregate is order-insensitive, so results are stable.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .repartition(32)
+    )
+    bands = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            ((F.col("p_retailprice") - 900.0) * 4.0).alias("lo"),
+            ((F.col("p_retailprice") - 900.0) * 4.0 + F.col("p_size")).alias("hi"),
+        )
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", RANGE_BIN_WIDTH)
+    return joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT p_partkey, (p_retailprice - 900.0) * 4.0 AS lo,
+         (p_retailprice - 900.0) * 4.0 + p_size AS hi
+  FROM part WHERE p_partkey % 10 = 0
+)
+SELECT p_partkey, COUNT(*) AS n_points,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+GROUP BY p_partkey
+"""
+
+
 # -------------------------------------------------------------- asof_join --
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each 'purchase' event picks up the value of
@@ -416,11 +508,15 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "asof_join": q_asof_join,
     "pack_sequences": q_pack_sequences,
+    "time_rollup": q_time_rollup,
+    "range_join": q_range_join,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
     "asof_join": _ASOF_JOIN_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
+    "time_rollup": _TIME_ROLLUP_SQL,
+    "range_join": _RANGE_JOIN_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,

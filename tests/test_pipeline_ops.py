@@ -113,6 +113,68 @@ def test_vocab_topk_uses_takeordered(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
+# ------------------------------------------------------------ range_join --
+def test_range_join_semantics(spark):
+    from healthcare_aws_data_engineering_spark.operators.intervals import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 9.9), (4, -3.0), (5, 100.0)],
+        "pid long, v double",
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 4.9, 12.0), (12, -10.0, -1.0)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, "v", "lo", "hi", bin_width=3.0).collect()
+    )
+    # inclusive both ends; straddling bins found exactly once; negatives ok
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 12)]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    plan = _plan(pq.q_range_join(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # a real equi-join on the bin key
+
+
+# ----------------------------------------------------------- time_rollup --
+def test_time_rollup_levels(spark):
+    ev = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0), ("a", dt.datetime(2024, 1, 2), 2.0),
+         ("a", dt.datetime(2024, 2, 1), 4.0), ("b", dt.datetime(2024, 1, 1), 8.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    # same rollup as the query function, built inline over the fixture
+    base = ev.select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    out = base.rollup("event_type", "month", "day").agg(
+        F.grouping("month").cast("int").alias("g_month"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+    ).collect()
+    total = [r for r in out if r.event_type is None]
+    assert len(total) == 1 and total[0].n == 4 and total[0].s == 15.0
+    a_month_jan = [
+        r for r in out
+        if r.event_type == "a" and r.g_month == 0 and r.g_day == 1
+        and str(r.month) == "2024-01-01"
+    ]
+    assert len(a_month_jan) == 1 and a_month_jan[0].n == 2 and a_month_jan[0].s == 3.0
+
+
+def test_time_rollup_single_expand_single_shuffle(spark):
+    plan = _plan(pq.q_time_rollup(spark, SF))
+    assert "Expand" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
 # -------------------------------------------------------- pack_sequences --
 def test_pack_sequences_manifest(spark):
     # budget=10. stream "s": doc1=3 tokens (off 0-2), doc2=8 (off 3-10 →
