@@ -458,6 +458,43 @@ GROUP BY p_partkey
 """
 
 
+# -------------------------------------------------------- distinct_sketch --
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality sketch (k=32 md5-permutation min-hash):
+    per event type, the estimated AND exact distinct user count. The
+    estimate itself hash-matches the DuckDB replay — something no
+    HLL-based approx_count_distinct can do across engines (different
+    algorithms/hashes). The sketch's shuffle row is k fixed-width
+    doubles per group vs exact distinct's Expand over every value."""
+    from ..operators.sketch import distinct_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_sketch(
+        ev, "event_type", "user_id", include_exact=True
+    )
+
+
+def _distinct_sketch_sql() -> str:
+    from ..operators.sketch import SKETCH_K
+
+    mins = ",\n    ".join(
+        f"MIN(CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#{i}'), 1, 8)) "
+        f"AS BIGINT) AS DOUBLE) / CAST(4294967296 AS DOUBLE)) AS __m{i}"
+        for i in range(SKETCH_K)
+    )
+    total = " + ".join(f"__m{i}" for i in range(SKETCH_K))
+    return f"""
+WITH s AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+    {mins}
+  FROM events GROUP BY event_type
+)
+SELECT event_type, exact_distinct,
+  (CAST({SKETCH_K} AS DOUBLE) / ({total})) - CAST(1 AS DOUBLE) AS est_distinct
+FROM s
+"""
+
+
 # -------------------------------------------------------------- asof_join --
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each 'purchase' event picks up the value of
@@ -510,9 +547,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "time_rollup": q_time_rollup,
     "range_join": q_range_join,
+    "distinct_sketch": q_distinct_sketch,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
+    "distinct_sketch": _distinct_sketch_sql(),
     "asof_join": _ASOF_JOIN_SQL,
     "pack_sequences": _PACK_SEQUENCES_SQL,
     "time_rollup": _TIME_ROLLUP_SQL,

@@ -314,3 +314,43 @@ def test_asof_join_single_shuffle_no_inequality_join(spark):
     plan = _plan(pq.q_asof_join(spark, SF))
     assert _n_exchanges(plan) == 1, plan
     assert "NestedLoop" not in plan and "SortMergeJoin" not in plan, plan
+
+
+# ------------------------------------------------------- distinct_sketch --
+def test_distinct_sketch_error_bound_and_exact(spark):
+    """k=32 min-hash estimate should land within ~3/sqrt(k) (~53%) of the
+    true distinct count — loose bound, tight in practice; also check the
+    exact column rides along when asked."""
+    rows = [(f"g{ i % 2 }", f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    from healthcare_aws_data_engineering_spark.operators.sketch import distinct_sketch
+
+    out = {r.g: r for r in distinct_sketch(df, "g", "v", include_exact=True).collect()}
+    assert set(out) == {"g0", "g1"}
+    for r in out.values():
+        assert r.exact_distinct == 500
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.53
+
+
+def test_distinct_sketch_single_shuffle(spark):
+    """The sketch must compile to one hash-agg shuffle of k fixed-width
+    mins — no Expand (the exact-distinct two-phase shape)."""
+    from healthcare_aws_data_engineering_spark.operators.sketch import distinct_sketch
+
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(distinct_sketch(ev, "event_type", "user_id"))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Expand" not in plan, plan
+
+
+def test_distinct_sketch_null_values_ignored(spark):
+    from healthcare_aws_data_engineering_spark.operators.sketch import distinct_sketch
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("a", "y")], "g string, v string"
+    )
+    row = distinct_sketch(df, "g", "v", include_exact=True).collect()[0]
+    assert row.exact_distinct == 2
+    assert row.est_distinct > 0
