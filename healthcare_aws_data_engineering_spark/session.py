@@ -42,8 +42,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # Timestamps in testdata are TIMESTAMP_NTZ-like micros; keep session
-        # in UTC so Spark and the DuckDB oracle agree on rendered instants.
+        # in UTC so Spark and the DuckDB oracle agree on rendered instants,
+        # and read naive parquet timestamps as epoch instants (LTZ), not NTZ,
+        # so epoch-math functions apply and both engines see the same int64.
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

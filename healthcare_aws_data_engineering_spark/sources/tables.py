@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division would lose precision above 2^53 ns.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # Naive parquet timestamps (isAdjustedToUTC=false, e.g. the driver's
+    # ``events.ts`` as timestamp[us]) must read as TIMESTAMP (LTZ), not
+    # TIMESTAMP_NTZ: the stored int64 micros are then taken as the epoch
+    # instant verbatim — exactly how DuckDB's epoch_ms() treats the same
+    # value — and epoch-math functions (unix_millis etc.) stay applicable.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _timestamp_ns_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
