@@ -232,6 +232,70 @@ WHERE bucket < ({_strat_case()})
 """
 
 
+# ----------------------------------------------------------- split_assign --
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def split_assign(
+    docs: DataFrame,
+    group_col: str = "source",
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic GROUP-AWARE train/val/test assignment: every row of
+    one ``group_col`` value lands in the same split (hash the group, not
+    the row), so near-duplicate documents from the same source can never
+    straddle the train/test boundary — the standard leakage control for
+    training corpora. Pure projection — ZERO shuffles, no RNG state,
+    identical assignment on any engine, any run, any partitioning.
+
+    The bucket is the first 8 md5 hex digits of the salted group key
+    (same shared-hash recipe as ``stratified_sample``) mod 100; splits
+    are contiguous bucket ranges."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split#"), F.col(group_col).cast("string"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(F.col(id_col), F.col(group_col))
+        .withColumn("bucket", bucket)
+        .withColumn("split", split)
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(load_table(spark, sf_dir, "documents"))
+
+
+_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5('split#' || CAST(source AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
 # ------------------------------------------------------------ vocab_topk --
 def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-k word-3-gram shingles by document
@@ -542,6 +606,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "dist_summary": q_dist_summary,
     "stratified_sample": q_stratified_sample,
+    "split_assign": q_split_assign,
     "vocab_topk": q_vocab_topk,
     "asof_join": q_asof_join,
     "pack_sequences": q_pack_sequences,
@@ -559,5 +624,6 @@ PIPELINE_ORACLE: dict[str, str] = {
     "sessionize": _SESSIONIZE_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "split_assign": _SPLIT_ASSIGN_SQL,
     "vocab_topk": _VOCAB_TOPK_SQL,
 }

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
@@ -130,6 +131,62 @@ SELECT i.doc_a, i.doc_b, i.n_intersect,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+DUP_CLUSTER_JACCARD = 0.5  # verified-pair threshold feeding the clustering
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidates → exact-Jaccard verification →
+    distributed connected components (min-label propagation,
+    ``operators/graph.py``) → one canonical keeper per component. The
+    full dedup deliverable, end to end."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, num_perm=6, bands=3, backend="md5", max_bucket=50)
+    verified = (
+        D.ngram_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    return G.dup_clusters(verified)
+
+
+# Oracle: same verified pairs, then transitive closure as a recursive CTE
+# (min reachable label == the operator's min-label fixpoint).
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_intersect
+  FROM lsh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_intersect AS DOUBLE)
+        / CAST(greatest(sa.n + sb.n - i.n_intersect, 1) AS DOUBLE)
+        >= {DUP_CLUSTER_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS is_keeper
+FROM cc
 """
 
 
@@ -649,6 +706,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -666,6 +724,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dup_clusters": _DUP_CLUSTERS_SQL,
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,

@@ -1,0 +1,49 @@
+"""Connected-components / dup-cluster semantics (operators/graph.py)."""
+
+from __future__ import annotations
+
+from healthcare_aws_data_engineering_spark.operators.graph import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_cc_path_graph_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4, all must land on label 1.
+    out = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_multiple_components_and_orientation(spark):
+    # Two components; edges given in both orientations and with the min
+    # node on either side.
+    out = connected_components(
+        _pairs(spark, [(7, 3), (3, 9), (20, 25), (25, 20)])
+    )
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 20, 25: 20}
+
+
+def test_cc_max_iter_truncates_long_chain(spark):
+    # diameter > max_iter: labels not fully propagated — documents the
+    # bound rather than silently looping forever.
+    chain = [(i, i + 1) for i in range(1, 8)]
+    out = connected_components(_pairs(spark, chain), max_iter=2)
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got[8] != 1  # far end not yet reached in 2 rounds
+    assert got[3] == 1  # near end is
+
+
+def test_dup_clusters_keeper_and_size(spark):
+    out = dup_clusters(_pairs(spark, [(10, 11), (11, 12), (30, 31)]))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12, 30, 31}
+    assert rows[10].is_keeper and rows[10].cluster_size == 3
+    assert not rows[11].is_keeper and rows[11].cluster_id == 10
+    assert rows[30].is_keeper and rows[30].cluster_size == 2
+    assert not rows[31].is_keeper and rows[31].cluster_id == 30

@@ -92,6 +92,31 @@ def test_stratified_sample_no_shuffle(spark):
     assert "Window" not in plan and "Sort" not in plan
 
 
+# ---------------------------------------------------------- split_assign --
+def test_split_assign_group_purity_and_ratios(spark):
+    out = pq.q_split_assign(spark, SF).collect()
+    # group-aware: every source maps to exactly one split
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_source.values())
+    # bucket ranges encode the split
+    for r in out:
+        if r.bucket < pq.SPLIT_TRAIN_PCT:
+            assert r.split == "train"
+        elif r.bucket < pq.SPLIT_TRAIN_PCT + pq.SPLIT_VAL_PCT:
+            assert r.split == "val"
+        else:
+            assert r.split == "test"
+    assert {r.split for r in out} >= {"train"}  # 80% mass must appear
+
+
+def test_split_assign_no_shuffle(spark):
+    plan = _plan(pq.q_split_assign(spark, SF))
+    assert _n_exchanges(plan) == 0, plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
 # ------------------------------------------------------------ vocab_topk --
 def test_vocab_topk_doc_frequency_and_ties(spark):
     docs = spark.createDataFrame(
