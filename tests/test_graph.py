@@ -1,6 +1,9 @@
-"""Connected-components / dup-cluster semantics (operators/graph.py)."""
+"""Connected-components / dup-cluster semantics (operators/graph.py),
+including a hypothesis property check against a Python union-find."""
 
 from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from healthcare_aws_data_engineering_spark.operators.graph import (
     connected_components,
@@ -37,6 +40,42 @@ def test_cc_max_iter_truncates_long_chain(spark):
     got = {r.node: r.cluster_id for r in out.collect()}
     assert got[8] != 1  # far end not yet reached in 2 rounds
     assert got[3] == 1  # near end is
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+).filter(lambda e: e[0] != e[1])
+
+
+@given(edges=st.lists(edge, min_size=1, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cc_matches_union_find(spark, edges):
+    out = connected_components(
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+    )
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got == _union_find_labels(edges)
 
 
 def test_dup_clusters_keeper_and_size(spark):
