@@ -254,6 +254,19 @@ def split_assign(
     The bucket is the first 8 md5 hex digits of the salted group key
     (same shared-hash recipe as ``stratified_sample``) mod 100; splits
     are contiguous bucket ranges."""
+    return with_split(
+        docs.select(F.col(id_col), F.col(group_col)), group_col, train_pct, val_pct
+    )
+
+
+def with_split(
+    df: DataFrame,
+    group_col: str = "source",
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> DataFrame:
+    """Append the deterministic ``bucket``/``split`` columns (the
+    expression form of :func:`split_assign`, reusable mid-pipeline)."""
     bucket = (
         F.conv(
             F.substring(
@@ -271,11 +284,7 @@ def split_assign(
         .when(F.col("bucket") < train_pct + val_pct, "val")
         .otherwise("test")
     )
-    return (
-        docs.select(F.col(id_col), F.col(group_col))
-        .withColumn("bucket", bucket)
-        .withColumn("split", split)
-    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

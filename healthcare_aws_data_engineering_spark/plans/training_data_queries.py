@@ -21,6 +21,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..sources.tables import load_table
+from .pipeline_queries import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, with_split
 
 # Shared SQL fragments -------------------------------------------------------
 
@@ -187,6 +188,111 @@ SELECT node AS doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        node = cluster_id AS is_keeper
 FROM cc
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite a 100 TB training-data
+    pipeline actually runs: per-doc quality/token stats → quality floor →
+    near-dup LOSER removal (LSH → Jaccard → connected components, keep
+    one doc per cluster) → leakage-safe group split → per-(split, lang)
+    corpus manifest with document and token counts.
+
+    Plan shape: the stats+filter leg is a pure projection; the dedup leg
+    produces a loser set that is tiny relative to the corpus, so the
+    left-anti join broadcasts (AQE); the final rollup is ONE shuffle on
+    (split, lang)."""
+    docs = _docs(spark, sf_dir)
+    stats = T.text_stats(docs).select(
+        "doc_id", "lang", "source", "n_tokens", "quality"
+    )
+    kept = stats.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
+    )
+    verified = (
+        D.ngram_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    losers = G.dup_clusters(verified).filter(~F.col("is_keeper")).select("doc_id")
+    curated = with_split(kept.join(losers, "doc_id", "left_anti"), "source")
+    return curated.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_CORPUS_CURATION_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_intersect
+  FROM lsh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_intersect AS DOUBLE)
+        / CAST(greatest(sa.n + sb.n - i.n_intersect, 1) AS DOUBLE)
+        >= {DUP_CLUSTER_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+losers AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+  ) WHERE node <> cluster_id
+),
+tb AS (
+  SELECT doc_id, lang, source, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    string_split_regex(trim(text), '\\s+') AS ws,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text),
+        '\\b(the|and|of|to|a|in|is|that)\\b')) AS hits_en
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, source, n_tokens,
+    least(length(text) / 200.0, 1.0) * 0.3
+    + least(hits_en / greatest(n_tokens, 1) * 4.0, 1.0) * 0.3
+    + greatest(0.0, 1.0 - (n_punct / greatest(length(text), 1)) * 4.0) * 0.2
+    + (CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                  / greatest(len(ws), 1)) >= 3.0
+             AND (list_sum(list_transform(ws, w -> length(w)))
+                  / greatest(len(ws), 1)) <= 10.0
+            THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+  FROM tb
+),
+kept AS (
+  SELECT q.* FROM q
+  WHERE quality >= 0.5 AND n_tokens >= 20
+    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id)
+),
+sp AS (
+  SELECT *, CAST(('0x' || substr(md5('split#' || CAST(source AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 AS bucket
+  FROM kept
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sp GROUP BY 1, 2
 """
 
 
@@ -707,6 +813,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
+    "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -725,6 +832,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dup_clusters": _DUP_CLUSTERS_SQL,
+    "corpus_curation": _CORPUS_CURATION_SQL,
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,

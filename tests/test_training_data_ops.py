@@ -406,3 +406,24 @@ def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
     r_sample = recall("sample")
     assert r_kmeans >= 0.99, r_kmeans  # trained cells == true clusters
     assert r_kmeans >= r_sample, (r_kmeans, r_sample)
+
+
+def test_corpus_curation_manifest_invariants(spark):
+    """Composite curation query: split/lang manifest respects the doc
+    universe, split labels, and the quality floor (value parity vs the
+    recursive-CTE oracle is the driver gate's job)."""
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        q_corpus_curation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_corpus_curation(spark, sf).collect()
+    assert out and all(r.split in ("train", "val", "test") for r in out)
+    assert all(r.n_docs > 0 and r.total_tokens >= 20 * r.n_docs for r in out)
+    n_total = (
+        spark.read.parquet(f"{sf}/documents.parquet").count()
+    )
+    assert sum(r.n_docs for r in out) <= n_total
+    # (split, lang) keys are unique — the rollup didn't double count
+    keys = [(r.split, r.lang) for r in out]
+    assert len(keys) == len(set(keys))
