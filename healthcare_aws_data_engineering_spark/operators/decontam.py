@@ -1,0 +1,125 @@
+"""Train/eval decontamination by n-gram overlap (brief extension; no
+reference counterpart — standard benchmark-leakage control for LLM
+training corpora, cf. GPT-3/PaLM appendix decontamination).
+
+A training document is *contaminated* when a large-enough fraction of its
+word n-gram shingles also appears in the held-out evaluation set. The
+eval membership itself is deterministic (salted-md5 bucket of ``doc_id``
+— the same shared-hash recipe as ``split_assign``/``stratified_sample``),
+so the whole computation is reproducible engine-to-engine.
+
+Scale design (the 100 TB story):
+- Eval sets are benchmarks — bounded (thousands of docs), never corpus-
+  scale. Their distinct shingle set is built with one small aggregation
+  and BROADCAST to the train side; the corpus-sized train stream is never
+  shuffled by shingle.
+- The train side is one pass: explode distinct-per-doc shingles, a
+  broadcast LEFT join marks hits, and ONE hash aggregation by ``doc_id``
+  (map-side combine; fixed-width rows) produces both the shingle count
+  and the overlap count — docs with zero overlap are preserved without a
+  second scan or join-back.
+- Pure built-in expressions; zero UDFs, zero driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import word_shingles
+
+EVAL_PCT = 10          # doc_id bucket < EVAL_PCT → held-out eval doc
+CONTAM_THRESHOLD = 0.15  # overlap fraction at or above which a doc is flagged
+DECON_SALT = "decon#"
+
+
+def eval_bucket(doc_id: Column) -> Column:
+    """Deterministic 0..99 bucket: first 8 md5 hex digits of the salted
+    id (shared recipe with ``with_split``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(DECON_SALT), doc_id.cast("string")).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pct: int = EVAL_PCT,
+    threshold: float = CONTAM_THRESHOLD,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents whose shingle overlap with the eval split
+    meets ``threshold``.
+
+    Returns one row per TRAIN document: ``doc_id, n_shingles, n_overlap,
+    overlap_ratio`` (DECIMAL(18,6)), ``contaminated`` (boolean).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+        eval_bucket(F.col(id_col)).alias("bucket"),
+    )
+    eval_shingles = (
+        base.filter(F.col("bucket") < eval_pct)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = base.filter(F.col("bucket") >= eval_pct).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    marked = train.join(F.broadcast(eval_shingles), "shingle", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).cast("decimal(18,6)").alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    table: str,
+    eval_pct: int = EVAL_PCT,
+    threshold: float = CONTAM_THRESHOLD,
+) -> str:
+    """DuckDB oracle twin of :func:`decontaminate` (3-word shingles; same
+    salted-md5 split, same LEFT-join/aggregate shape)."""
+    return f"""
+WITH
+  w AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS ws,
+           CAST(('0x' || substr(md5('{DECON_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket
+    FROM {table}
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, bucket,
+           CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                ELSE array_to_string(ws, ' ') END AS shingle
+    FROM w, unnest(generate_series(1, greatest(1, len(ws)-2))) AS t(i)
+  ),
+  ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE bucket < {eval_pct}),
+  tr AS (SELECT doc_id, shingle FROM sh WHERE bucket >= {eval_pct})
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS DECIMAL(18,6))
+         AS overlap_ratio,
+       n_overlap / CAST(n_shingles AS DOUBLE) >= {threshold} AS contaminated
+FROM (
+  SELECT tr.doc_id, COUNT(*) AS n_shingles,
+         CAST(COALESCE(SUM(ev.hit), 0) AS BIGINT) AS n_overlap
+  FROM tr LEFT JOIN ev USING (shingle)
+  GROUP BY tr.doc_id
+)
+"""

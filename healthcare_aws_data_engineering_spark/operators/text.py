@@ -179,3 +179,111 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------- repetition stats --
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
+# dominated by one word / one n-gram or with a collapsed vocabulary are
+# boilerplate or spam — flag them before training. Thresholds here are
+# corpus-tuned defaults, not clinical constants.
+TOP_WORD_FRAC_MAX = 0.12     # most-frequent word may claim ≤12% of tokens
+TOP_BIGRAM_FRAC_MAX = 0.08   # most-frequent bigram ≤8% of bigrams
+DISTINCT_RATIO_MIN = 0.30    # ≥30% of tokens must be distinct
+
+
+def _mode_count(arr: Column) -> Column:
+    """Occurrences of the most frequent element of ``arr`` (0 for empty).
+
+    sort + longest-equal-run scan: O(n log n) per row, ONE pass over the
+    array, ZERO shuffle — scales to any corpus because nothing leaves the
+    row. (The naive transform(distinct, d → count) form is O(distinct·n)
+    and re-evaluates the source expression per element when handed a
+    split() — 6× slower at sf0.1; pass STAGED array columns regardless.)
+    """
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+def _bigrams_of(ws: Column) -> Column:
+    """Non-distinct word 2-grams of a STAGED token-array column (empty
+    array when fewer than 2 words). Pass a plain column, not a split()
+    expression — zip_with/slice reference it multiple times."""
+    n = F.size(ws)
+    paired = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(
+            a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+        ),
+    )
+    return F.filter(paired, lambda g: g.isNotNull())
+
+
+def word_bigrams(text: Column) -> Column:
+    """Non-distinct word 2-grams (empty array when fewer than 2 words)."""
+    return _bigrams_of(tokens(text))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_word_max: float = TOP_WORD_FRAC_MAX,
+    top_bigram_max: float = TOP_BIGRAM_FRAC_MAX,
+    distinct_min: float = DISTINCT_RATIO_MIN,
+) -> DataFrame:
+    """Per-document repetition profile + keep/drop flag.
+
+    Returns ``doc_id, n_tokens, n_distinct, distinct_ratio,
+    top_word_frac, top_bigram_frac`` (ratios DECIMAL(18,6)) and
+    ``repetitive`` (boolean: any threshold violated). Projection-only —
+    no Exchange in the plan.
+    """
+    # Stage the arrays as real columns: HOF lambdas below reference them
+    # per element, and an inlined split() would rerun once per element —
+    # the same O(len²) trap word_shingles documents.
+    t = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(t).alias("ws"),
+        token_count(t).cast("long").alias("__n"),
+    ).withColumn("grams", _bigrams_of(F.col("ws")))
+    ws = F.col("ws")
+    n = F.col("__n")
+    nd = F.size(F.array_distinct(ws)).cast("long")
+    top_w = _mode_count(ws)
+    grams = F.col("grams")
+    top_b = _mode_count(grams)
+    n_bigrams = F.size(grams)
+    top_word_frac = top_w / F.greatest(n, F.lit(1))
+    top_bigram_frac = F.when(n_bigrams > 0, top_b / n_bigrams).otherwise(
+        F.lit(0.0)
+    )
+    distinct_ratio = nd / F.greatest(n, F.lit(1))
+    return staged.select(
+        F.col("doc_id"),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(distinct_ratio, 6).cast("decimal(18,6)").alias("distinct_ratio"),
+        F.round(top_word_frac, 6).cast("decimal(18,6)").alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).cast("decimal(18,6)").alias("top_bigram_frac"),
+        (
+            (top_word_frac > top_word_max)
+            | (top_bigram_frac > top_bigram_max)
+            | (distinct_ratio < distinct_min)
+        ).alias("repetitive"),
+    )

@@ -922,6 +922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .curation_queries import CURATION_ORACLE, CURATION_QUERIES  # noqa: E402
 from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
 from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
 from .pipeline_queries import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402
@@ -931,6 +932,7 @@ QUERIES.update(TRAINING_QUERIES)
 QUERIES.update(ML_QUERIES)
 QUERIES.update(ETL_QUERIES)
 QUERIES.update(PIPELINE_QUERIES)
+QUERIES.update(CURATION_QUERIES)
 
 ORACLE: dict[str, str] = {
     "disease_confidence": _DISEASE_CONFIDENCE_SQL,
@@ -957,3 +959,4 @@ ORACLE.update(TRAINING_ORACLE)
 ORACLE.update(ML_ORACLE)
 ORACLE.update(ETL_ORACLE)
 ORACLE.update(PIPELINE_ORACLE)
+ORACLE.update(CURATION_ORACLE)
