@@ -548,19 +548,28 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distinct_sketch_sql() -> str:
+    # Same staged double-hash recipe as operators.sketch.sketch_sql, plus
+    # the exact_distinct column the driver query includes.
     from ..operators.sketch import SKETCH_K
 
+    two32 = 4294967296
     mins = ",\n    ".join(
-        f"MIN(CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#{i}'), 1, 8)) "
-        f"AS BIGINT) AS DOUBLE) / CAST(4294967296 AS DOUBLE)) AS __m{i}"
+        f"MIN(CAST((__h1 + {i} * __h2) % {two32} AS DOUBLE) "
+        f"/ CAST({two32} AS DOUBLE)) AS __m{i}"
         for i in range(SKETCH_K)
     )
     total = " + ".join(f"__m{i}" for i in range(SKETCH_K))
     return f"""
-WITH s AS (
+WITH h AS (
+  SELECT event_type, user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS __h1,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS __h2
+  FROM events
+),
+s AS (
   SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
     {mins}
-  FROM events GROUP BY event_type
+  FROM h GROUP BY event_type
 )
 SELECT event_type, exact_distinct,
   (CAST({SKETCH_K} AS DOUBLE) / ({total})) - CAST(1 AS DOUBLE) AS est_distinct
