@@ -12,6 +12,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.decontam import decontaminate, decontaminate_sql
+from ..operators.ingest import (
+    incremental_dedup,
+    incremental_dedup_sql,
+    shard_manifest,
+    shard_manifest_sql,
+)
 from ..operators.retrieval import bm25_sql, bm25_topk
 from ..operators.text import repetition_stats
 from ..sources.tables import load_table
@@ -32,6 +38,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
 _REPETITION_SQL = """
@@ -85,10 +99,14 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
     "repetition_filter": q_repetition_filter,
+    "incremental_dedup": q_incremental_dedup,
+    "shard_manifest": q_shard_manifest,
 }
 
 CURATION_ORACLE: dict[str, str] = {
     "decontaminate": decontaminate_sql("documents"),
     "bm25_search": bm25_sql("documents", BM25_TERMS, k=BM25_K),
     "repetition_filter": _repetition_sql(),
+    "incremental_dedup": incremental_dedup_sql("documents"),
+    "shard_manifest": shard_manifest_sql("documents"),
 }

@@ -174,3 +174,93 @@ def test_repetition_stats_handmade(spark):
 def test_repetition_stats_projection_only(spark):
     plan = _plan(cq.q_repetition_filter(spark, SF))
     assert _n_exchanges(plan) == 0, plan
+
+
+# ------------------------------------------------- incremental_dedup --
+def test_incremental_dedup_verdicts(spark):
+    from healthcare_aws_data_engineering_spark.operators.ingest import (
+        INCR_SALT,
+        incremental_dedup,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{INCR_SALT}{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    # craft ids for each side of a 50% split
+    ids = list(range(40))
+    batch_ids = [i for i in ids if bucket(i) < 50]
+    corpus_ids = [i for i in ids if bucket(i) >= 50]
+    assert len(batch_ids) >= 3 and len(corpus_ids) >= 1
+    b0, b1, b2 = batch_ids[:3]
+    c0 = corpus_ids[0]
+    rows = [
+        (c0, "alpha beta gamma"),          # corpus doc
+        (b0, "gamma beta alpha"),          # batch: word-set dup of corpus
+        (b1, "delta epsilon zeta"),        # batch: novel
+        (b2, "zeta delta epsilon"),        # batch: word-set dup of b1
+    ] + [(i, f"unique words {i} here") for i in batch_ids[3:] + corpus_ids[1:]]
+    out = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(_docs(spark, rows), batch_pct=50).collect()
+    }
+    assert set(out) == set(batch_ids)
+    assert out[b0] == "dup_corpus"
+    assert out[b1] == "accept"
+    assert out[b2] == "dup_batch"
+    # keep-first: min doc_id of the batch group is the accepted one
+    assert min(b1, b2) == b1
+
+
+def test_incremental_dedup_corpus_precedence_over_batch(spark):
+    """A batch doc whose fingerprint is in BOTH the corpus and an earlier
+    batch doc reports dup_corpus (corpus wins)."""
+    from healthcare_aws_data_engineering_spark.operators.ingest import (
+        INCR_SALT,
+        incremental_dedup,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{INCR_SALT}{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    ids = list(range(40))
+    batch_ids = [i for i in ids if bucket(i) < 50][:2]
+    corpus_id = next(i for i in ids if bucket(i) >= 50)
+    rows = [
+        (corpus_id, "x y z"),
+        (batch_ids[0], "z y x"),
+        (batch_ids[1], "y z x"),
+    ]
+    out = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(_docs(spark, rows), batch_pct=50).collect()
+    }
+    assert out[batch_ids[0]] == "dup_corpus"
+    assert out[batch_ids[1]] == "dup_corpus"
+
+
+# ---------------------------------------------------- shard_manifest --
+def test_shard_manifest_totals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.ingest import (
+        shard_manifest,
+        with_shard,
+    )
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(20)]
+    m = shard_manifest(_docs(spark, rows), n_shards=4).collect()
+    assert sum(r.n_docs for r in m) == 20
+    assert sum(r.total_tokens for r in m) == sum(i + 1 for i in range(20))
+    # shard assignment is deterministic: manifest equals a recompute
+    again = shard_manifest(_docs(spark, rows), n_shards=4).collect()
+    assert sorted(map(tuple, m)) == sorted(map(tuple, again))
+    # physical export: partitionBy(shard) → reader-side partition pruning
+    out = str(tmp_path / "sharded")
+    with_shard(_docs(spark, rows), n_shards=4).write.partitionBy(
+        "shard"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("shard") == 2)
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan
