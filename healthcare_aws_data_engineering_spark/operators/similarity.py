@@ -562,3 +562,138 @@ def embedding_near_dup(
         "doc_b",
         cosine(F.col("vec_a"), F.col("vec_b"), exact).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------- PQ-ADC --
+# Product quantization (Jégou et al. 2011): split the d-dim vector into m
+# subspaces, vector-quantize each against a small per-subspace codebook,
+# and store only the m code bytes. Search is ADC (asymmetric distance
+# computation): the query stays full precision; per query one m×codes
+# lookup table of sub-distances is computed, and a candidate's distance
+# is m table lookups + adds — no per-candidate vector math at all.
+#
+# Scale story: a 64-dim float corpus (256 B/vec) compresses to m=8 code
+# bytes — the scan side shrinks ~32× and never touches raw vectors, which
+# is what makes exhaustive ADC over billions of vectors feasible; compose
+# with ivf_topk cells to prune further (probe then ADC-rerank).
+#
+# Determinism: all arithmetic is exact long math on the shared micro-unit
+# grid (quantize_vec/quantize_py), codebooks derive from the
+# md5-stratified sample — the WHOLE index replays in DuckDB and the
+# driver's value hash checks it like an exact query.
+
+PQ_M = 8          # subspaces
+PQ_CODES = 16     # codes per subspace
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """[m][n_codes][sub_dim] QUANTIZED codebooks: the md5-stratified
+    sample vectors sliced per subspace (deterministic, engine-replayable;
+    a trained per-subspace KMeans drops in for clustered corpora the same
+    way kmeans_centroids does for IVF)."""
+    sample = sample_centroids(corpus, n_codes, id_col, vec_col)
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    qs = [[quantize_py(x) for x in v] for v in sample]
+    return [[v[s * d : (s + 1) * d] for v in qs] for s in range(m)]
+
+
+def _pq_subdists(qvec: Column, book: list[list[int]], s: int, d: int) -> Column:
+    """array<long> of exact squared sub-distances from subspace ``s`` of a
+    staged quantized vector to each code of ``book``."""
+    sub = F.slice(qvec, s * d + 1, d)
+    book_arr = _lit_nested_long(book)
+    return F.transform(
+        book_arr,
+        lambda row: F.aggregate(
+            F.zip_with(sub, row, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``vec_id, codes`` (array<int>, one code per subspace — argmin
+    sub-distance, smallest code on ties). Pure projection against the
+    literal codebooks: no shuffle, no vector retained."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    staged = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    codes = []
+    for s in range(m):
+        darr = _pq_subdists(F.col("__q"), codebooks[s], s, d)
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return staged.select("vec_id", F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    codebooks: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: ``query_id, neighbor_id, adist, rank`` (adist = exact
+    long Σ of looked-up squared sub-distances; unique order adist ASC,
+    neighbor_id ASC).
+
+    Queries (bounded: a search batch) build their m×codes tables in one
+    projection and BROADCAST; the corpus side is only (vec_id, codes) —
+    the scan that would be 100 TB of floats is a few TB of codes."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    qstaged = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    qtab = qstaged.select(
+        "query_id",
+        F.array(
+            *[_pq_subdists(F.col("__q"), codebooks[s], s, d) for s in range(m)]
+        ).alias("tab"),
+    )
+    pairs = enc.crossJoin(F.broadcast(qtab)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("tab"),
+            F.col("codes"),
+            lambda tab_s, c: F.element_at(tab_s, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

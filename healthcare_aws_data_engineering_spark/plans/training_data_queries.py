@@ -808,6 +808,64 @@ FROM n, unnest(generate_series(0, nf - 1)) AS t(i)
 """
 
 
+_PQ_BOOKS: dict[str, list] = {}
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 — the compression leg of the ANN
+    family (LSH buckets, IVF cells, PQ codes): the corpus collapses to
+    8 code bytes/vector, queries broadcast their 8×16 sub-distance
+    tables, and candidate distance is 8 lookups + adds in exact long
+    math. Codebooks are sliced from the md5-stratified sample, so the
+    whole index build + encode + search replays in DuckDB."""
+    embs = _embs(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = S.pq_codebooks(embs)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.pq_topk(embs, queries, k=10, codebooks=_PQ_BOOKS[sf_dir])
+
+
+_ANN_PQ_SQL = f"""
+WITH {_QUANT_SQL},
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         q AS cq
+  FROM qe
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+enc_terms AS (
+  SELECT e.vec_id, s.s, c.j,
+         SUM((e.q[s.s*8+i] - c.cq[s.s*8+i]) * (e.q[s.s*8+i] - c.cq[s.s*8+i])) AS d
+  FROM qe e, cent c,
+       unnest(generate_series(0, 7)) AS s(s),
+       unnest(generate_series(1, 8)) AS t(i)
+  GROUP BY e.vec_id, s.s, c.j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM enc_terms
+  ) WHERE rn = 1
+),
+qtab AS (SELECT vec_id AS query_id, s, j, d FROM enc_terms WHERE vec_id < 5),
+pairs AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, SUM(t.d) AS adist
+  FROM codes c
+  JOIN qtab t ON t.s = c.s AND t.j = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
+
+
 TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -818,6 +876,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
@@ -837,6 +896,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -427,3 +427,65 @@ def test_corpus_curation_manifest_invariants(spark):
     # (split, lang) keys are unique — the rollup didn't double count
     keys = [(r.split, r.lang) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_pq_matches_python_model(spark):
+    """Full python replication of codebook slicing, encoding, and ADC —
+    exact long equality (no tolerance: the math is integer)."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    books = S.pq_codebooks(embs, m=8, n_codes=8)
+    q = embs.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in S.pq_topk(embs, q, k=5, codebooks=books).collect()
+    }
+
+    vecs = {r.vec_id: [S.quantize_py(x) for x in r.embedding] for r in rows}
+    d = len(books[0][0])
+
+    def code(v, s):
+        sub = v[s * d : (s + 1) * d]
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(sub, row)) for row in books[s]
+        ]
+        return dists.index(min(dists))
+
+    def adist(qv, cv):
+        total = 0
+        for s in range(8):
+            sub = qv[s * d : (s + 1) * d]
+            row = books[s][code(cv, s)]
+            total += sum((a - b) * (a - b) for a, b in zip(sub, row))
+        return total
+
+    for qid in (0, 1):
+        qv = vecs[qid]
+        expected = sorted(
+            ((adist(qv, v), nid) for nid, v in vecs.items() if nid != qid)
+        )[:5]
+        got_q = sorted((dist, nid) for (g, nid), dist in got.items() if g == qid)
+        assert got_q == expected, (qid, got_q, expected)
+
+
+def test_pq_near_dup_ranks_first(spark):
+    """vec 40 is a near-dup of vec 0: after PQ compression their code
+    distance must still rank 40 as 0's nearest neighbor (the compressed
+    index preserves coarse geometry)."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") == 0)
+    top = {
+        r.rank: r.neighbor_id
+        for r in S.pq_topk(embs, q, k=3).collect()
+    }
+    assert top[1] == 40
+
+
+def test_pq_identical_vectors_adist_zero(spark):
+    rows = _vec_rows()
+    rows.append(Row(vec_id=41, embedding=rows[0].embedding))
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") == 41)
+    out = {r.neighbor_id: r for r in S.pq_topk(embs, q, k=2).collect()}
+    assert out[0].adist == 0 and out[0].rank == 1
