@@ -480,6 +480,108 @@ FROM base GROUP BY ROLLUP(event_type, month, day)
 """
 
 
+# ------------------------------------------------------------ rolling_avg --
+ROLLING_WINDOW_MS = 7 * 24 * 3600 * 1000  # trailing 7 days, inclusive
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average per user (purchase events) — the
+    RANGE-frame window class (peers by VALUE distance, not row offset),
+    which no other suite query exercises. The frame is over epoch-millis
+    longs, so frame membership is integer comparison in both engines;
+    the average is the decimal-sum / count quotient of identical doubles.
+
+    Scale: ONE hash shuffle by user_id; the range frame is computed by
+    WindowExec's sliding accumulation within each sorted partition — no
+    self-join, no per-row rescan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-(ROLLING_WINDOW_MS), 0)
+    )
+    return base.select(
+        "event_id", "user_id", "ts_ms",
+        F.col("v").cast("double").alias("value"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        (F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_7d"
+        ),
+    )
+
+
+_ROLLING_AVG_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts_ms,
+  CAST(v AS DOUBLE) AS value,
+  COUNT(*) OVER w AS n_window,
+  CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+FROM base
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_ms
+  RANGE BETWEEN {ROLLING_WINDOW_MS} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------- unpivot_wide --
+UNPIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_unpivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → UNPIVOT round trip: the A2 MAX-CASE pivot builds the wide
+    per-user table, then the relational UNPIVOT (melt) operator returns
+    it to long form — the inverse operator the reference's report
+    consumers would need to re-normalize wide exports. NULL cells are
+    dropped on both engines (DuckDB UNPIVOT's default; explicit filter
+    here).
+
+    Scale: the pivot is ONE hash aggregation; unpivot is a projection
+    (Expand) — no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, F.col("value").cast("decimal(18,6)"))
+            ).alias(t)
+            for t in UNPIVOT_TYPES
+        ]
+    )
+    long = wide.unpivot(["user_id"], UNPIVOT_TYPES, "metric", "value")
+    return long.filter(F.col("value").isNotNull()).select(
+        "user_id", "metric", F.col("value").cast("double").alias("value")
+    )
+
+
+def _unpivot_sql() -> str:
+    cases = ",\n    ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END)"
+        f' AS "{t}"'
+        for t in UNPIVOT_TYPES
+    )
+    on_cols = ", ".join(f'"{t}"' for t in UNPIVOT_TYPES)
+    return f"""
+WITH wide AS (
+  SELECT user_id,
+    {cases}
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, CAST(value AS DOUBLE) AS value
+FROM (UNPIVOT wide ON {on_cols} INTO NAME metric VALUE value)
+"""
+
+
 # ------------------------------------------------------------- range_join --
 RANGE_BIN_WIDTH = 5.0
 
@@ -631,6 +733,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_rollup": q_time_rollup,
     "range_join": q_range_join,
     "distinct_sketch": q_distinct_sketch,
+    "rolling_avg": q_rolling_avg,
+    "unpivot_wide": q_unpivot_wide,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
@@ -644,4 +748,6 @@ PIPELINE_ORACLE: dict[str, str] = {
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "split_assign": _SPLIT_ASSIGN_SQL,
     "vocab_topk": _VOCAB_TOPK_SQL,
+    "rolling_avg": _ROLLING_AVG_SQL,
+    "unpivot_wide": _unpivot_sql(),
 }

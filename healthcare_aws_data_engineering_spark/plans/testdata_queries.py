@@ -307,6 +307,60 @@ GROUP BY r_name, n_name
 """
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (the membership-probe join class —
+    no other suite query uses them): per nation, customers WITH at least
+    one order vs customers with NONE. Semi/anti never duplicate or widen
+    the left side — the probe side streams, the orders side reduces to a
+    distinct-key build, which is why this beats a join+groupBy+filter at
+    100 TB (no fact-width rows survive the join)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cond_key = customer.c_custkey == orders.o_custkey
+    buyers = (
+        customer.join(orders, cond_key, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_buyers"))
+    )
+    idle = (
+        customer.join(orders, cond_key, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("ik"))
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+    )
+    return (
+        nation.join(buyers, nation.n_nationkey == buyers.bk, "left")
+        .join(idle, nation.n_nationkey == idle.ik, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_buyers"), F.lit(0)).alias("n_buyers"),
+            F.coalesce(F.col("n_idle"), F.lit(0)).alias("n_idle"),
+        )
+    )
+
+
+_SEMI_ANTI_SQL = """
+WITH flags AS (
+  SELECT c_custkey, c_nationkey,
+         EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS has_orders
+  FROM customer c
+),
+agg AS (
+  SELECT c_nationkey,
+         SUM(CASE WHEN has_orders THEN 1 ELSE 0 END) AS n_buyers,
+         SUM(CASE WHEN NOT has_orders THEN 1 ELSE 0 END) AS n_idle
+  FROM flags GROUP BY c_nationkey
+)
+SELECT n_name,
+       CAST(COALESCE(n_buyers, 0) AS BIGINT) AS n_buyers,
+       CAST(COALESCE(n_idle, 0) AS BIGINT) AS n_idle
+FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
+"""
+
+
 def q_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + P6: COUNT(col) under equality+range predicate
     (AWS_Athena_queries.sql:79-93 shape)."""
@@ -909,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_per_key": q_latest_per_key,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "semi_anti_join": q_semi_anti_join,
     "filtered_count": q_filtered_count,
     "between_filter": q_between_filter,
     "isin_filter": q_isin_filter,
@@ -942,6 +997,7 @@ ORACLE: dict[str, str] = {
     "latest_per_key": _LATEST_PER_KEY_SQL,
     "pricing_summary": _PRICING_SUMMARY_SQL,
     "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+    "semi_anti_join": _SEMI_ANTI_SQL,
     "filtered_count": _FILTERED_COUNT_SQL,
     "between_filter": _BETWEEN_FILTER_SQL,
     "isin_filter": _ISIN_FILTER_SQL,

@@ -73,3 +73,36 @@ def test_max_case_pivot_mixed_types(spark):
     assert rows[2].n1 == 9.0 and rows[2].t2 is None
     assert dict(out.dtypes)["n1"] == "double"
     assert dict(out.dtypes)["t2"] == "string"
+
+
+# ---------------------------------------------------------- semi_anti_join --
+SF = "/root/testdata/sf0.001"
+
+
+def test_semi_anti_join_partition(spark):
+    """Every customer lands in exactly one class; counts match a python
+    model; nations without customers report 0/0."""
+    from healthcare_aws_data_engineering_spark.plans.testdata_queries import (
+        q_semi_anti_join,
+    )
+
+    out = {r.n_name: r for r in q_semi_anti_join(spark, SF).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    total = con.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert sum(r.n_buyers + r.n_idle for r in out.values()) == total
+    n_nations = con.sql("SELECT COUNT(*) FROM nation").fetchone()[0]
+    assert len(out) == n_nations
+
+
+def test_semi_anti_join_uses_semi_and_anti(spark):
+    from conftest import plan_string
+    from healthcare_aws_data_engineering_spark.plans.testdata_queries import (
+        q_semi_anti_join,
+    )
+
+    plan = plan_string(q_semi_anti_join(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan

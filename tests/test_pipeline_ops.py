@@ -379,3 +379,77 @@ def test_distinct_sketch_null_values_ignored(spark):
     row = distinct_sketch(df, "g", "v", include_exact=True).collect()[0]
     assert row.exact_distinct == 2
     assert row.est_distinct > 0
+
+
+# ------------------------------------------------------------ rolling_avg --
+def test_rolling_avg_range_frame_boundaries(spark):
+    """RANGE frame keeps rows by TIME distance: events 8 days apart must
+    not share a window even though they are adjacent rows."""
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1), 10.0),
+        (2, 1, dt.datetime(2024, 1, 5), 20.0),   # within 7d of #1
+        (3, 1, dt.datetime(2024, 1, 20), 40.0),  # alone (15d later)
+        (4, 2, dt.datetime(2024, 1, 1), 99.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).withColumn("event_type", F.lit("purchase"))
+    import healthcare_aws_data_engineering_spark.plans.pipeline_queries as pq2
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    from pyspark.sql import Window as W
+    w = (
+        W.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-pq2.ROLLING_WINDOW_MS, 0)
+    )
+    out = {
+        r.event_id: r
+        for r in base.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_window"),
+            (F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_7d"),
+        ).collect()
+    }
+    assert out[1].n_window == 1 and out[1].avg_7d == 10.0
+    assert out[2].n_window == 2 and out[2].avg_7d == 15.0
+    assert out[3].n_window == 1 and out[3].avg_7d == 40.0   # 15d gap → alone
+    assert out[4].n_window == 1 and out[4].avg_7d == 99.0   # other user isolated
+
+
+def test_rolling_avg_single_shuffle(spark):
+    plan = _plan(pq.q_rolling_avg(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+
+
+# ----------------------------------------------------------- unpivot_wide --
+def test_unpivot_round_trip_identity(spark):
+    """melt(pivot(x)) must recover exactly the per-(user, type) maxima of
+    the input — no rows invented, none lost (beyond the null cells)."""
+    rows = [
+        (1, "click", 1.0), (1, "click", 3.0), (1, "view", 2.0),
+        (2, "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    import healthcare_aws_data_engineering_spark.plans.pipeline_queries as pq2
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col("value"))).alias(t)
+            for t in pq2.UNPIVOT_TYPES
+        ]
+    )
+    long = (
+        wide.unpivot(["user_id"], pq2.UNPIVOT_TYPES, "metric", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    got = {(r.user_id, r.metric): r.value for r in long.collect()}
+    assert got == {(1, "click"): 3.0, (1, "view"): 2.0, (2, "purchase"): 5.0}
+
+
+def test_unpivot_single_shuffle(spark):
+    """The pivot is the only aggregation; unpivot is an Expand projection
+    — one exchange total."""
+    plan = _plan(pq.q_unpivot_wide(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
