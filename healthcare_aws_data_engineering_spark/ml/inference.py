@@ -360,3 +360,119 @@ def predict_diseases(
             classify_risk(p).alias(f"risk_{d}"),
         ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------- M5/M6 DuckDB oracle --
+def _xgb_node_values() -> str:
+    """Inline node-table literal ``(m, t, n, lf, rt, ft, cd)`` for all
+    three boosters (~42k rows, ~1.6 MB of SQL): leaves carry ``lf = -1``
+    and their weight in ``cd``; split conditions render as shortest
+    round-trip doubles (exact parity). ``default_left`` is omitted —
+    every model input is imputed upstream, so the missing-value branch is
+    structurally unreachable (asserted by the COALESCE legs in the same
+    generated SQL)."""
+    rows = []
+    for mi, d in enumerate(DISEASES):
+        _, trees = xgb_trees(d)
+        for ti, (left, right, feat, cond, _dleft) in enumerate(trees):
+            rows.append(
+                ",".join(
+                    f"({mi},{ti},{n},{left[n]},{right[n]},{feat[n]},{_f(cond[n])})"
+                    for n in range(len(left))
+                )
+            )
+    return ",".join(rows)
+
+
+def xgb_walk_sql(features_cte: str) -> str:
+    """Recursive-CTE tree walk replaying :func:`_score_matrix` in DuckDB:
+    every (patient, model, tree) state starts at the root and advances
+    ``x < cond`` → left else right, exactly like the numpy lock-step
+    traversal (feature values pass through the same float32 grid —
+    ``CAST(CAST(v AS REAL) AS DOUBLE)`` — the Arrow batch applies).
+
+    Float-determinism boundary: the 400-leaf margin sum and exp() are the
+    two places engine bit-parity is NOT guaranteed (summation order /
+    libm ulps), so probabilities are rounded to 5 decimals on BOTH
+    engines; the residual noise is ~1e-13 against a 1e-5 grid. Flags and
+    bands compare the unrounded probability to .25/.5 in both engines.
+
+    ``features_cte``: SQL for the raw 19-column feature table (the same
+    text the ml_features oracle runs)."""
+    p = sklearn_pipeline()
+    mf = model_features()
+    n_comp = len(p["pca"]["components"])
+    znames = [f"z{j}" for j in range(n_comp)]
+    zsel = ",\n  ".join(f"{e} AS {z}" for z, e in zip(znames, pca_sql_exprs()))
+    med = dict(zip(p["feature_names"], p["imputer"]["statistics"]))
+    arr_elems = []
+    for n in mf:
+        src = (
+            "CAST(cluster AS DOUBLE)"
+            if n == "cluster"
+            else f"COALESCE(CAST({n} AS DOUBLE), {_f(med[n])})"
+        )
+        arr_elems.append(f"CAST(CAST({src} AS REAL) AS DOUBLE)")
+    logits = [
+        _f(math.log(b / (1.0 - b)))
+        for b in (xgb_trees(d)[0] for d in DISEASES)
+    ]
+    prob_cols = []
+    for mi, d in enumerate(DISEASES):
+        pexpr = f"1.0/(1.0+exp(-(margin_{mi})))"
+        prob_cols.append(
+            f"CAST(round({pexpr}, 5) AS DECIMAL(18,5)) AS prob_{d},\n"
+            f"  CAST({pexpr} >= 0.5 AS INT) AS flag_{d},\n"
+            f"  CASE WHEN {pexpr} < 0.25 THEN 'Low'\n"
+            f"       WHEN {pexpr} < 0.5 THEN 'Moderate'\n"
+            f"       ELSE 'High' END AS risk_{d}"
+        )
+    return f"""
+WITH RECURSIVE features AS ({features_cte}),
+z AS (
+  SELECT patient_id,
+  {zsel}
+  FROM features
+),
+clus AS (
+  SELECT patient_id, {kmeans_sql_expr(znames)} AS cluster FROM z
+),
+fx AS (
+  SELECT f.patient_id,
+         [{", ".join(arr_elems)}] AS arr
+  FROM features f JOIN clus USING (patient_id)
+),
+featlong AS (
+  SELECT patient_id, i - 1 AS fidx, arr[i] AS val
+  FROM fx, unnest(generate_series(1, {len(mf)})) AS t(i)
+),
+nodes(m, t, n, lf, rt, ft, cd) AS (VALUES {_xgb_node_values()}),
+pids AS (SELECT DISTINCT patient_id FROM features),
+w AS (
+  SELECT p.patient_id, n.m, n.t, n.lf, n.rt, n.ft, n.cd
+  FROM nodes n CROSS JOIN pids p WHERE n.n = 0
+  UNION ALL
+  SELECT w.patient_id, w.m, w.t, nx.lf, nx.rt, nx.ft, nx.cd
+  FROM w
+  JOIN featlong f ON f.patient_id = w.patient_id AND f.fidx = w.ft
+  JOIN nodes nx ON nx.m = w.m AND nx.t = w.t
+   AND nx.n = CASE WHEN f.val < w.cd THEN w.lf ELSE w.rt END
+  WHERE w.lf <> -1
+),
+margins AS (
+  SELECT patient_id, m,
+         (CASE m WHEN 0 THEN {logits[0]} WHEN 1 THEN {logits[1]}
+                 ELSE {logits[2]} END) + SUM(cd) AS margin
+  FROM w WHERE lf = -1 GROUP BY patient_id, m
+),
+pm AS (
+  SELECT patient_id,
+         MAX(CASE WHEN m = 0 THEN margin END) AS margin_0,
+         MAX(CASE WHEN m = 1 THEN margin END) AS margin_1,
+         MAX(CASE WHEN m = 2 THEN margin END) AS margin_2
+  FROM margins GROUP BY patient_id
+)
+SELECT pm.patient_id, clus.cluster,
+  {",".join(prob_cols)}
+FROM pm JOIN clus USING (patient_id)
+"""

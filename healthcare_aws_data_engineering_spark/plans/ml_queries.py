@@ -5,9 +5,14 @@
   GENERATED from the same extracted parameters with identical expression
   association order, so per-row doubles match bit-for-bit (no aggregation
   is involved — only per-row affine math).
-- ``ml_risk_scores``— M5/M6 XGBoost probabilities + flags + bands. 400-tree
-  boosters are not SQL-expressible → driver records the rows-only check;
-  numeric parity is covered by pytest (vectorized UDF vs scalar traversal).
+- ``ml_risk_scores``— M5/M6 XGBoost probabilities + flags + bands. The
+  oracle is a GENERATED recursive-CTE tree walk over the inlined ~42k-node
+  table of all three boosters (``inference.xgb_walk_sql``) — DuckDB
+  replays the exact numpy lock-step traversal (float32 feature grid,
+  margin + logit(base_score), sigmoid), with probabilities rounded to 5
+  decimals on both engines (the margin sum and exp() are the only
+  non-bit-parity float ops). Independent ground truth against real
+  xgboost remains pinned in ``test_xgb_golden.py``.
 """
 
 from __future__ import annotations
@@ -37,7 +42,18 @@ def q_ml_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ml_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return I.predict_diseases(_features(spark, sf_dir))
+    scored = I.predict_diseases(_features(spark, sf_dir))
+    cols = [F.col("patient_id"), F.col("cluster")]
+    for d in I.DISEASES:
+        # 5-decimal grid: the driver's value hash must survive the two
+        # engine-dependent float ops (margin summation order, exp ulps);
+        # flags/bands are computed on the unrounded probability upstream.
+        cols += [
+            F.round(F.col(f"prob_{d}"), 5).cast("decimal(18,5)").alias(f"prob_{d}"),
+            F.col(f"flag_{d}"),
+            F.col(f"risk_{d}"),
+        ]
+    return scored.select(*cols)
 
 
 def _preprocess_sql() -> str:
@@ -70,7 +86,7 @@ def ml_oracle() -> dict[str, str]:
     return {
         "ml_features": feature_table_sql(),
         "ml_preprocess": _preprocess_sql(),
-        # ml_risk_scores: no SQL oracle (400-tree boosters) → rows-only.
+        "ml_risk_scores": I.xgb_walk_sql(feature_table_sql()),
     }
 
 
