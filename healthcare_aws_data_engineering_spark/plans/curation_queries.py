@@ -1,5 +1,6 @@
-"""Corpus-curation driver queries: decontamination, BM25 retrieval, and
-repetition filtering (brief extensions; no reference counterpart).
+"""Corpus-curation driver queries: decontamination, BM25 retrieval,
+repetition filtering, incremental batch admission, and deterministic
+shard export (brief extensions; no reference counterpart).
 
 Each query has a DuckDB oracle twin built from the same constants, so
 thresholds/terms can never drift between the engines.

@@ -264,3 +264,59 @@ def test_shard_manifest_totals(spark, tmp_path):
     back = spark.read.parquet(out).filter(F.col("shard") == 2)
     plan = _plan(back)
     assert "PartitionFilters: [isnotnull(shard" in plan, plan
+
+
+# ------------------------------------------------------------- invariants --
+def test_decontaminate_invariants_random(spark):
+    """Property sweep on seeded random corpora: output covers exactly the
+    train split, overlap is bounded by the shingle count, and flags agree
+    with the ratio."""
+    import random
+
+    rnd = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 12))))
+        for i in range(60)
+    ]
+    out = decontaminate(_docs(spark, rows), eval_pct=30, threshold=0.3).collect()
+    train_ids = {i for i, _ in rows if _bucket_salt(i, "decon#") >= 30}
+    assert {r.doc_id for r in out} == train_ids
+    for r in out:
+        assert 0 <= r.n_overlap <= r.n_shingles
+        assert r.contaminated == (r.n_overlap / r.n_shingles >= 0.3)
+
+
+def _bucket_salt(doc_id: int, salt: str) -> int:
+    h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) % 100
+
+
+def test_bm25_tf_monotone(spark):
+    """More occurrences of a query term (same dl) → strictly higher
+    score: the BM25 tf saturation curve is increasing."""
+    corpus = [
+        (1, "t x x x"), (2, "t t x x"), (3, "t t t x"),
+        (4, "y y y y"), (5, "z z z z"),
+    ]
+    out = {
+        r.doc_id: float(r.score)
+        for r in bm25_topk(_docs(spark, corpus), ["t"], k=10).collect()
+    }
+    assert out[1] < out[2] < out[3]
+    assert set(out) == {1, 2, 3}
+
+
+def test_repetition_stats_bounds_random(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, " ".join(rnd.choice("abcdef") for _ in range(rnd.randint(1, 30))))
+        for i in range(50)
+    ]
+    for r in repetition_stats(_docs(spark, rows)).collect():
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert 0 < float(r.top_word_frac) <= 1
+        assert 0 <= float(r.top_bigram_frac) <= 1
+        assert 0 < float(r.distinct_ratio) <= 1
