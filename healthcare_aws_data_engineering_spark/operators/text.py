@@ -287,3 +287,40 @@ def repetition_stats(
             | (distinct_ratio < distinct_min)
         ).alias("repetitive"),
     )
+
+
+# ------------------------------------------------------------ PII redaction --
+# Training corpora scrub obvious personal identifiers before anything
+# else sees the text. Patterns are deliberately conservative (precision
+# over recall — a redactor that eats code or dates poisons the corpus).
+# Pure JVM regexp_replace chain: projection-only, codegen'd, no UDF.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before phone-ish digit runs (an email's local
+    # part can contain digits), IPs before phones (dotted quads would
+    # otherwise match the loose phone alternation's digit runs).
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / SSN-shaped / US-phone-shaped substrings
+    with typed placeholder tokens."""
+    out = text
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<emails,ips,ssns,phones> occurrence counts (audit column —
+    run BEFORE redaction)."""
+    names = ["emails", "ips", "ssns", "phones"]
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(n)
+            for n, (pat, _) in zip(names, PII_PATTERNS)
+        ]
+    )

@@ -45,6 +45,89 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------- lm_score --
+LM_THRESHOLD = -3.42  # mean token logprob below this → 'surprising' doc
+
+
+def lm_score(
+    docs: DataFrame,
+    threshold: float = LM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram LM quality score (the CCNet-style statistical filter,
+    reduced to its order-0 core): per document, the mean token
+    log-probability under the corpus's own unigram distribution; docs far
+    below the corpus norm are gibberish/outliers (``lm_flag``).
+
+    Cross-engine determinism: each word's logprob is ONE ln of an
+    identical rational (count/total) rounded to the DECIMAL(18,6) grid,
+    and the per-doc sum is exact decimal addition — order-free, so the
+    mean is bit-identical in DuckDB.
+
+    Scale shape: the vocabulary aggregation is one hash agg whose output
+    is language-sized (bounded) → BROADCAST back; the per-doc mean is one
+    map-side-combining agg by ``doc_id`` (tokens of a doc never leave
+    their split). Nothing corpus-sized shuffles.
+    """
+    from pyspark.sql import functions as F2
+
+    toks = docs.select(
+        F2.col(id_col).alias("doc_id"),
+        F2.explode(F2.split(F2.trim(F2.col(text_col)), r"\s+")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F2.count(F2.lit(1)).alias("c"))
+    total = vocab.agg(F2.sum("c").alias("n"))
+    lp = vocab.crossJoin(F2.broadcast(total)).select(
+        "w",
+        F2.log(F2.col("c") / F2.col("n").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("lpd"),
+    )
+    per = (
+        toks.join(F2.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F2.sum("lpd").alias("s"), F2.count(F2.lit(1)).alias("n_tokens"))
+    )
+    mean = F2.col("s").cast("double") / F2.col("n_tokens")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F2.round(mean, 6).cast("decimal(18,6)").alias("mean_logprob"),
+        (mean < threshold).alias("lm_flag"),
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_LM_SCORE_SQL = f"""
+WITH
+  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  tok AS (
+    SELECT doc_id, ws[i] AS w
+    FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+  ),
+  vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+  tot AS (SELECT SUM(c) AS n FROM vocab),
+  lp AS (
+    SELECT w, CAST(ln(c / CAST((SELECT n FROM tot) AS DOUBLE))
+                   AS DECIMAL(18,6)) AS lpd
+    FROM vocab
+  ),
+  per AS (
+    SELECT doc_id, SUM(lpd) AS s, COUNT(*) AS n_tokens
+    FROM tok JOIN lp USING (w) GROUP BY doc_id
+  )
+SELECT doc_id, n_tokens,
+       CAST(round(CAST(s AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6))
+         AS mean_logprob,
+       CAST(s AS DOUBLE) / n_tokens < {LM_THRESHOLD} AS lm_flag
+FROM per
+"""
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(load_table(spark, sf_dir, "documents"))
 
@@ -102,6 +185,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_filter": q_repetition_filter,
     "incremental_dedup": q_incremental_dedup,
     "shard_manifest": q_shard_manifest,
+    "lm_score": q_lm_score,
 }
 
 CURATION_ORACLE: dict[str, str] = {
@@ -110,4 +194,5 @@ CURATION_ORACLE: dict[str, str] = {
     "repetition_filter": _repetition_sql(),
     "incremental_dedup": incremental_dedup_sql("documents"),
     "shard_manifest": shard_manifest_sql("documents"),
+    "lm_score": _LM_SCORE_SQL,
 }

@@ -320,3 +320,69 @@ def test_repetition_stats_bounds_random(spark):
         assert 0 < float(r.top_word_frac) <= 1
         assert 0 <= float(r.top_bigram_frac) <= 1
         assert 0 < float(r.distinct_ratio) <= 1
+
+
+# ------------------------------------------------------------ redact_pii --
+def test_redact_pii_patterns(spark):
+    from healthcare_aws_data_engineering_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or call 415-555-1234 now"),
+        (2, "server at 10.0.42.7 leaked ssn 123-45-6789"),
+        (3, "clean text with numbers 12345 and date 2024-01-01"),
+    ]
+    df = _docs(spark, rows).select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c"),
+    )
+    out = {r.doc_id: r for r in df.collect()}
+    assert "[EMAIL]" in out[1].red and "[PHONE]" in out[1].red
+    assert "john.doe" not in out[1].red and "555-1234" not in out[1].red
+    assert out[1].c.emails == 1 and out[1].c.phones == 1
+    assert "[IP]" in out[2].red and "[SSN]" in out[2].red
+    assert out[2].c.ips == 1 and out[2].c.ssns == 1
+    # conservative: plain numbers and ISO dates survive
+    assert out[3].red == rows[2][1]
+    assert out[3].c == (0, 0, 0, 0)
+
+
+# --------------------------------------------------------------- lm_score --
+def test_lm_score_python_model(spark):
+    import math
+
+    from healthcare_aws_data_engineering_spark.plans.curation_queries import lm_score
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a c c")]
+    toks = [w for _, t in rows for w in t.split()]
+    n = len(toks)
+    cnt = {w: toks.count(w) for w in set(toks)}
+    # replicate the decimal grid: round each logprob to 6 dp, exact sum
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def lpd(w):
+        return Decimal(repr(math.log(cnt[w] / n))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+
+    out = {r.doc_id: r for r in lm_score(_docs(spark, rows)).collect()}
+    for i, t in rows:
+        ws = t.split()
+        expect = float(sum(lpd(w) for w in ws)) / len(ws)
+        assert abs(float(out[i].mean_logprob) - expect) < 2e-6, (i, out[i])
+        assert out[i].n_tokens == len(ws)
+
+
+def test_lm_score_flags_rare_doc(spark):
+    from healthcare_aws_data_engineering_spark.plans.curation_queries import lm_score
+
+    # one doc of singleton words vs many docs of a common word: the
+    # singleton doc scores far below and is flagged at a mid threshold.
+    rows = [(i, "x x x x") for i in range(9)] + [(9, "q w e r")]
+    out = {r.doc_id: r for r in lm_score(_docs(spark, rows), threshold=-2.0).collect()}
+    assert out[9].lm_flag and not out[0].lm_flag
+    assert float(out[9].mean_logprob) < float(out[0].mean_logprob)
