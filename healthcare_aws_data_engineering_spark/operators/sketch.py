@@ -115,3 +115,109 @@ SELECT {group_col},
   (CAST({k} AS DOUBLE) / ({total})) - CAST(1 AS DOUBLE) AS est_distinct
 FROM s
 """
+
+
+# ------------------------------------------------------ histogram quantiles --
+# The scale path dist_summary's docstring promises for UNBOUNDED group
+# counts: exact per-group sort-quantiles need a per-group sort, while a
+# fixed equi-width histogram needs only (group, bin) counts — one hash
+# aggregation with map-side combine, fixed-width shuffle rows, any group
+# cardinality. The estimate is the upper edge of the bin where the
+# cumulative count first reaches ceil(q·n) — deterministic integer math,
+# so it replays exactly in any engine (no interpolation, no float sums).
+HIST_BINS = 64
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[int, ...] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group approximate quantiles from a fixed [lo, hi) equi-width
+    histogram. Returns ``group_col, n_rows, p<q>...`` (bin upper edges,
+    error ≤ one bin width). Values outside [lo, hi) clamp to the edge
+    bins (same rule both engines)."""
+    w = (hi - lo) / bins
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - lo) / w).cast("int"),
+        ),
+    )
+    counts = df.select(F.col(group_col), bin_col.alias("bin")).groupBy(
+        group_col, "bin"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    cum = counts.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.partitionBy(group_col).orderBy("bin").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    ).withColumn("n", F.sum("c").over(W.partitionBy(group_col)))
+    aggs = [F.first("n").alias("n_rows")]
+    for q in qs:
+        # smallest bin whose cumulative count reaches ceil(q·n/100):
+        # min() over bins satisfying the threshold — integer math only.
+        target = (F.col("n") * q + 99) / 100  # ceil via integer arithmetic
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor(target).cast("long"), F.col("bin")
+                )
+            ).alias(f"__b{q}")
+        )
+    out = cum.groupBy(group_col).agg(*aggs)
+    edges = [
+        (F.lit(float(lo)) + (F.col(f"__b{q}") + 1) * F.lit(float(w))).alias(
+            f"p{q}"
+        )
+        for q in qs
+    ]
+    return out.select(group_col, "n_rows", *edges)
+
+
+def hist_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[int, ...] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin of :func:`hist_quantiles` (same clamp, same ceil rule,
+    same upper-edge estimate)."""
+    w = (hi - lo) / bins
+    bcols = ",\n  ".join(
+        f"CAST({float(lo)!r} AS DOUBLE) + (MIN(CASE WHEN cum >= (n * {q} + 99) // 100 "
+        f"THEN bin END) + 1) * CAST({float(w)!r} AS DOUBLE) AS p{q}"
+        for q in qs
+    )
+    return f"""
+WITH b AS (
+  SELECT {group_col},
+         LEAST({bins - 1}, GREATEST(0,
+           CAST(FLOOR((CAST({value_col} AS DOUBLE) - {float(lo)!r}) / {float(w)!r}) AS INT)
+         )) AS bin
+  FROM {table}
+),
+counts AS (SELECT {group_col}, bin, COUNT(*) AS c FROM b GROUP BY {group_col}, bin),
+cum AS (
+  SELECT {group_col}, bin, c,
+         SUM(c) OVER (PARTITION BY {group_col} ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY {group_col}) AS n
+  FROM counts
+)
+SELECT {group_col}, CAST(MIN(n) AS BIGINT) AS n_rows,
+  {bcols}
+FROM cum GROUP BY {group_col}
+"""

@@ -480,6 +480,27 @@ FROM base GROUP BY ROLLUP(event_type, month, day)
 """
 
 
+# -------------------------------------------------------- hist_quantiles --
+HIST_LO, HIST_HI = 0.0, 512.0  # covers the events value domain (≤ ~490)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles — the unbounded-group-count scale path
+    that `dist_summary`'s exact per-group sort deliberately trades away:
+    (group, bin) counts only, one hash agg, error ≤ one bin width,
+    deterministic integer bin/ceil math (replays exactly in DuckDB)."""
+    from ..operators.sketch import hist_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return hist_quantiles(ev, "event_type", "value", HIST_LO, HIST_HI)
+
+
+def _hist_quantiles_sql() -> str:
+    from ..operators.sketch import hist_quantiles_sql
+
+    return hist_quantiles_sql("events", "event_type", "value", HIST_LO, HIST_HI)
+
+
 # ------------------------------------------------------------ rolling_avg --
 ROLLING_WINDOW_MS = 7 * 24 * 3600 * 1000  # trailing 7 days, inclusive
 
@@ -735,6 +756,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch": q_distinct_sketch,
     "rolling_avg": q_rolling_avg,
     "unpivot_wide": q_unpivot_wide,
+    "hist_quantiles": q_hist_quantiles,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
@@ -750,4 +772,5 @@ PIPELINE_ORACLE: dict[str, str] = {
     "vocab_topk": _VOCAB_TOPK_SQL,
     "rolling_avg": _ROLLING_AVG_SQL,
     "unpivot_wide": _unpivot_sql(),
+    "hist_quantiles": _hist_quantiles_sql(),
 }

@@ -453,3 +453,48 @@ def test_unpivot_single_shuffle(spark):
     — one exchange total."""
     plan = _plan(pq.q_unpivot_wide(spark, SF))
     assert _n_exchanges(plan) == 1, plan
+
+
+# --------------------------------------------------------- hist_quantiles --
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    from healthcare_aws_data_engineering_spark.operators.sketch import (
+        HIST_BINS,
+        hist_quantiles,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 7.0)] * 5
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    lo, hi = 0.0, 128.0
+    width = (hi - lo) / HIST_BINS
+    out = {r.event_type: r for r in
+           hist_quantiles(df, "event_type", "value", lo, hi).collect()}
+    import math
+    a = out["a"]
+    assert a.n_rows == 100
+    for q, exact in ((50, 50.0), (90, 90.0), (99, 99.0)):
+        est = float(a[f"p{q}"])
+        assert exact <= est <= exact + 2 * width, (q, est, exact)
+    b = out["b"]
+    assert b.n_rows == 5
+    # all values in one bin → every quantile reports that bin's edge
+    assert float(b.p50) == float(b.p99)
+
+
+def test_hist_quantiles_clamps_out_of_range(spark):
+    from healthcare_aws_data_engineering_spark.operators.sketch import (
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 1e9)], "event_type string, value double"
+    )
+    out = hist_quantiles(df, "event_type", "value", 0.0, 64.0).collect()[0]
+    # clamped to edge bins; estimates stay inside [lo, hi]
+    assert 0.0 <= float(out.p50) <= 64.0 and 0.0 <= float(out.p99) <= 64.0
+
+
+def test_hist_quantiles_single_pass_shuffles(spark):
+    plan = _plan(pq.q_hist_quantiles(spark, SF))
+    # (group, bin) agg + the group window/final agg: ≤2 exchanges, and
+    # never a per-group global sort of raw values.
+    assert _n_exchanges(plan) <= 2, plan
