@@ -480,6 +480,94 @@ FROM base GROUP BY ROLLUP(event_type, month, day)
 """
 
 
+# ----------------------------------------------------------------- funnel --
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-sequence funnel: for each user, the earliest time each
+    step was reached STRICTLY AFTER the previous step (the classic
+    product-analytics operator; no reference counterpart). Returns
+    ``user_id, t1_ms..tN_ms`` (epoch millis, NULL once the chain breaks)
+    and ``stage`` (count of steps completed in order).
+
+    Scale shape: one filtered scan per step + N hash aggregations, all
+    keyed on ``user_id`` — the joins and aggs reuse the same hash
+    partitioning (no cross-step window over the full event stream, no
+    per-user sort of unmatched events). Earliest-after-previous uses
+    ``min`` aggregates, so duplicate timestamps and out-of-order input
+    change nothing."""
+    ms = F.unix_millis(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        ms.alias("ms"),
+    )
+    cur = (
+        base.filter(F.col("etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1_ms"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}_ms"
+        nxt = (
+            base.filter(F.col("etype") == step)
+            .join(cur.select("user_id", prev_t), "user_id")
+            .filter(F.col("ms") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ms").alias(f"t{i}_ms"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    stage = None
+    for i in range(1, len(steps) + 1):
+        leg = F.col(f"t{i}_ms").isNotNull().cast("int")
+        stage = leg if stage is None else stage + leg
+    return cur.select(
+        "user_id",
+        *[F.col(f"t{i}_ms") for i in range(1, len(steps) + 1)],
+        stage.alias("stage"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type AS etype, epoch_ms(ts) AS ms FROM events
+),
+f1 AS (
+  SELECT user_id, MIN(ms) AS t1_ms FROM base WHERE etype = '{s1}'
+  GROUP BY user_id
+),
+f2 AS (
+  SELECT b.user_id, MIN(b.ms) AS t2_ms
+  FROM base b JOIN f1 USING (user_id)
+  WHERE b.etype = '{s2}' AND b.ms > f1.t1_ms
+  GROUP BY b.user_id
+),
+f3 AS (
+  SELECT b.user_id, MIN(b.ms) AS t3_ms
+  FROM base b JOIN f2 USING (user_id)
+  WHERE b.etype = '{s3}' AND b.ms > f2.t2_ms
+  GROUP BY b.user_id
+)
+SELECT f1.user_id, f1.t1_ms, f2.t2_ms, f3.t3_ms,
+       1 + CAST(f2.t2_ms IS NOT NULL AS INT) + CAST(f3.t3_ms IS NOT NULL AS INT)
+         AS stage
+FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+"""
+
+
 # -------------------------------------------------------- hist_quantiles --
 HIST_LO, HIST_HI = 0.0, 512.0  # covers the events value domain (≤ ~490)
 
@@ -757,6 +845,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_avg": q_rolling_avg,
     "unpivot_wide": q_unpivot_wide,
     "hist_quantiles": q_hist_quantiles,
+    "funnel": q_funnel,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
@@ -773,4 +862,5 @@ PIPELINE_ORACLE: dict[str, str] = {
     "rolling_avg": _ROLLING_AVG_SQL,
     "unpivot_wide": _unpivot_sql(),
     "hist_quantiles": _hist_quantiles_sql(),
+    "funnel": _funnel_sql(),
 }

@@ -498,3 +498,42 @@ def test_hist_quantiles_single_pass_shuffles(spark):
     # (group, bin) agg + the group window/final agg: ≤2 exchanges, and
     # never a per-group global sort of raw values.
     assert _n_exchanges(plan) <= 2, plan
+
+
+# ----------------------------------------------------------------- funnel --
+def test_funnel_strict_ordering(spark):
+    from healthcare_aws_data_engineering_spark.plans.pipeline_queries import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", _ts(0)), (1, "view", _ts(5)), (1, "purchase", _ts(9)),
+        # user 2: purchase BEFORE view → chain stops at view
+        (2, "signup", _ts(0)), (2, "purchase", _ts(1)), (2, "view", _ts(2)),
+        # user 3: view only, never signed up → not in funnel at all
+        (3, "view", _ts(4)),
+        # user 4: simultaneous signup/view (strictly-after excludes ties)
+        (4, "signup", _ts(7)), (4, "view", _ts(7)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.user_id: r for r in funnel(ev).collect()}
+    assert out[1].stage == 3
+    assert out[1].t3_ms > out[1].t2_ms > out[1].t1_ms
+    assert out[2].stage == 2 and out[2].t3_ms is None  # purchase pre-view ignored
+    assert 3 not in out
+    assert out[4].stage == 1  # tie is not strictly after
+
+
+def test_funnel_takes_earliest_valid_step(spark):
+    from healthcare_aws_data_engineering_spark.plans.pipeline_queries import funnel
+
+    rows = [
+        (1, "signup", _ts(0)),
+        (1, "view", _ts(3)), (1, "view", _ts(8)),       # earliest valid view = 3
+        (1, "purchase", _ts(2)),                          # before any view → invalid
+        (1, "purchase", _ts(10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = funnel(ev).collect()[0]
+    assert r.t2_ms == int(_ts(3).timestamp() * 1000)
+    assert r.t3_ms == int(_ts(10).timestamp() * 1000)
+    assert r.stage == 3
