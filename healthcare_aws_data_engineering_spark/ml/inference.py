@@ -393,9 +393,11 @@ def xgb_walk_sql(features_cte: str) -> str:
 
     Float-determinism boundary: the 400-leaf margin sum and exp() are the
     two places engine bit-parity is NOT guaranteed (summation order /
-    libm ulps), so probabilities are rounded to 5 decimals on BOTH
-    engines; the residual noise is ~1e-13 against a 1e-5 grid. Flags and
-    bands compare the unrounded probability to .25/.5 in both engines.
+    libm ulps), so probabilities are snapped to a 1e-5 grid on BOTH
+    engines — emitted as BIGINT micro-units ``prob_*_e5 = round(p·1e5)``
+    (~1e-13 residual vs the 1e-5 grid; integer cells survive any driver
+    cell-rendering, unlike the r2 DECIMAL(18,5) output). Flags and bands
+    compare the unrounded probability to .25/.5 in both engines.
 
     ``features_cte``: SQL for the raw 19-column feature table (the same
     text the ml_features oracle runs)."""
@@ -421,7 +423,7 @@ def xgb_walk_sql(features_cte: str) -> str:
     for mi, d in enumerate(DISEASES):
         pexpr = f"1.0/(1.0+exp(-(margin_{mi})))"
         prob_cols.append(
-            f"CAST(round({pexpr}, 5) AS DECIMAL(18,5)) AS prob_{d},\n"
+            f"CAST(round({pexpr} * 100000.0, 0) AS BIGINT) AS prob_{d}_e5,\n"
             f"  CAST({pexpr} >= 0.5 AS INT) AS flag_{d},\n"
             f"  CASE WHEN {pexpr} < 0.25 THEN 'Low'\n"
             f"       WHEN {pexpr} < 0.5 THEN 'Moderate'\n"

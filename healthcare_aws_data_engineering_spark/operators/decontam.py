@@ -58,7 +58,7 @@ def decontaminate(
     meets ``threshold``.
 
     Returns one row per TRAIN document: ``doc_id, n_shingles, n_overlap,
-    overlap_ratio`` (DECIMAL(18,6)), ``contaminated`` (boolean).
+    overlap_ratio`` (DOUBLE on the DECIMAL(18,6) grid), ``contaminated`` (boolean).
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -84,7 +84,9 @@ def decontaminate(
         "doc_id",
         "n_shingles",
         "n_overlap",
-        F.round(ratio, 6).cast("decimal(18,6)").alias("overlap_ratio"),
+        # decimal-grid snap, DOUBLE out: integer/double cells are the
+        # only numerics the driver's hash renders like the local replica.
+        F.round(ratio, 6).cast("decimal(18,6)").cast("double").alias("overlap_ratio"),
         (ratio >= threshold).alias("contaminated"),
     )
 
@@ -113,8 +115,8 @@ WITH
   ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE bucket < {eval_pct}),
   tr AS (SELECT doc_id, shingle FROM sh WHERE bucket >= {eval_pct})
 SELECT doc_id, n_shingles, n_overlap,
-       CAST(round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS DECIMAL(18,6))
-         AS overlap_ratio,
+       CAST(CAST(round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS overlap_ratio,
        n_overlap / CAST(n_shingles AS DOUBLE) >= {threshold} AS contaminated
 FROM (
   SELECT tr.doc_id, COUNT(*) AS n_shingles,

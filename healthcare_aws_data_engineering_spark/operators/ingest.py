@@ -185,8 +185,8 @@ SELECT CAST(('0x' || substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8
        COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc,
-       SUM(len(string_split(trim(text), ' '))) AS total_tokens,
-       SUM(len(text)) AS total_chars
+       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars
 FROM {table}
 GROUP BY shard
 """

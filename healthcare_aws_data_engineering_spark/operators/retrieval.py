@@ -21,7 +21,8 @@ Scale design (the 100 TB story):
 
 Cross-engine determinism: tf/df/dl/N are exact integers; the only float
 ops are ln and the closed-form ratio, computed identically (IEEE double)
-in Spark and DuckDB, then rounded to DECIMAL(18,6) before the final
+in Spark and DuckDB, then snapped to the DECIMAL(18,6) grid (emitted
+as DOUBLE) before the final
 order/limit so near-ties cannot reorder between engines.
 """
 
@@ -46,7 +47,8 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query under Okapi BM25.
 
-    Returns ``doc_id, n_terms_hit, score`` (DECIMAL(18,6), unique total
+    Returns ``doc_id, n_terms_hit, score`` (DOUBLE on the DECIMAL(18,6)
+    grid, unique total
     order score DESC then doc_id).
     """
     base = docs.select(
@@ -86,7 +88,14 @@ def bm25_topk(
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms_hit"),
-        F.round(F.sum("leg"), 6).cast("decimal(18,6)").alias("score"),
+        # Snap to the DECIMAL(18,6) grid, then emit as DOUBLE: decimal→
+        # double is the correctly-rounded nearest double in both engines,
+        # and integer/double cells are the only numeric kinds the
+        # driver's hash renders identically to the local replica.
+        F.round(F.sum("leg"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("score"),
     )
     return per_doc.orderBy(F.desc("score"), "doc_id").limit(k)
 
@@ -128,7 +137,7 @@ WITH
   )
 SELECT doc_id, n_terms_hit, score FROM (
   SELECT doc_id, COUNT(*) AS n_terms_hit,
-         CAST(round(SUM(leg), 6) AS DECIMAL(18,6)) AS score,
+         CAST(CAST(round(SUM(leg), 6) AS DECIMAL(18,6)) AS DOUBLE) AS score,
          ROW_NUMBER() OVER (
            ORDER BY CAST(round(SUM(leg), 6) AS DECIMAL(18,6)) DESC, doc_id
          ) AS rk

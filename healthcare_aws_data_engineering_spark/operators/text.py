@@ -249,7 +249,8 @@ def repetition_stats(
     """Per-document repetition profile + keep/drop flag.
 
     Returns ``doc_id, n_tokens, n_distinct, distinct_ratio,
-    top_word_frac, top_bigram_frac`` (ratios DECIMAL(18,6)) and
+    top_word_frac, top_bigram_frac`` (ratios DOUBLE on the DECIMAL(18,6)
+    grid) and
     ``repetitive`` (boolean: any threshold violated). Projection-only —
     no Exchange in the plan.
     """
@@ -278,9 +279,11 @@ def repetition_stats(
         F.col("doc_id"),
         n.alias("n_tokens"),
         nd.alias("n_distinct"),
-        F.round(distinct_ratio, 6).cast("decimal(18,6)").alias("distinct_ratio"),
-        F.round(top_word_frac, 6).cast("decimal(18,6)").alias("top_word_frac"),
-        F.round(top_bigram_frac, 6).cast("decimal(18,6)").alias("top_bigram_frac"),
+        # decimal-grid snap, DOUBLE out: integer/double cells are the
+        # only numerics the driver's hash renders like the local replica.
+        F.round(distinct_ratio, 6).cast("decimal(18,6)").cast("double").alias("distinct_ratio"),
+        F.round(top_word_frac, 6).cast("decimal(18,6)").cast("double").alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).cast("decimal(18,6)").cast("double").alias("top_bigram_frac"),
         (
             (top_word_frac > top_word_max)
             | (top_bigram_frac > top_bigram_max)

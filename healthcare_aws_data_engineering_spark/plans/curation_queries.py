@@ -93,7 +93,8 @@ def lm_score(
     return per.select(
         "doc_id",
         "n_tokens",
-        F2.round(mean, 6).cast("decimal(18,6)").alias("mean_logprob"),
+        # decimal-grid snap, DOUBLE out (driver-hash-safe cell kind)
+        F2.round(mean, 6).cast("decimal(18,6)").cast("double").alias("mean_logprob"),
         (mean < threshold).alias("lm_flag"),
     )
 
@@ -121,8 +122,8 @@ WITH
     FROM tok JOIN lp USING (w) GROUP BY doc_id
   )
 SELECT doc_id, n_tokens,
-       CAST(round(CAST(s AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6))
-         AS mean_logprob,
+       CAST(CAST(round(CAST(s AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS mean_logprob,
        CAST(s AS DOUBLE) / n_tokens < {LM_THRESHOLD} AS lm_flag
 FROM per
 """
@@ -130,6 +131,103 @@ FROM per
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- pii_redact --
+# Driver leg for the PII scrubber (operators/text.py::redact_pii). The
+# r2 waiver ("Java regex vs DuckDB RE2 parity not provable on arbitrary
+# text") is closed by CONTROLLING the text: documents.text is verified
+# digit-free, so every match comes from the deterministic PII suffix
+# synthesized below, where the shared patterns (ASCII character classes,
+# counted repeats, \b, optional groups — a subset Java and RE2 treat
+# identically) cannot diverge. Patterns are rendered into the oracle SQL
+# from the SAME PII_PATTERNS constants, so they can never drift.
+
+
+def _pii_raw_spark() -> "F2.Column":  # noqa: F821
+    from pyspark.sql import functions as F2
+
+    d = F2.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F2.concat(
+        F2.substring(F2.col("text"), 1, 60),
+        F2.lit(" contact user"), s(d), F2.lit("@example.com"),
+        F2.when(
+            d % 2 == 0,
+            F2.concat(
+                F2.lit(" call ("), s(F2.lit(200) + d % 700), F2.lit(") "),
+                s(F2.lit(100) + d % 900), F2.lit("-"), s(F2.lit(1000) + d % 9000),
+            ),
+        ).otherwise(F2.lit("")),
+        F2.when(
+            d % 3 == 0,
+            F2.concat(
+                F2.lit(" ssn "), s(F2.lit(100) + d % 900), F2.lit("-"),
+                s(F2.lit(10) + d % 90), F2.lit("-"), s(F2.lit(1000) + d % 9000),
+            ),
+        ).otherwise(F2.lit("")),
+        F2.when(
+            d % 5 == 0,
+            F2.concat(
+                F2.lit(" ip 10."), s(d % 256), F2.lit(".0."), s(d % 250),
+                F2.lit(" end"),
+            ),
+        ).otherwise(F2.lit("")),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F2
+
+    from ..operators.text import PII_PATTERNS, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    names = ["n_emails", "n_ips", "n_ssns", "n_phones"]
+    raw = docs.select("doc_id", _pii_raw_spark().alias("raw"))
+    return raw.select(
+        "doc_id",
+        redact_pii(F2.col("raw")).alias("redacted"),
+        *[
+            F2.regexp_count(F2.col("raw"), F2.lit(pat)).cast("long").alias(n)
+            for n, (pat, _) in zip(names, PII_PATTERNS)
+        ],
+    )
+
+
+def _pii_redact_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    raw = """substr(text, 1, 60)
+      || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 2 = 0 THEN
+           ' call (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') '
+           || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+           || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN
+           ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+           || CAST(10 + doc_id % 90 AS VARCHAR) || '-'
+           || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN
+           ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           || CAST(doc_id % 250 AS VARCHAR) || ' end'
+         ELSE '' END"""
+    red = "raw"
+    for pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    names = ["n_emails", "n_ips", "n_ssns", "n_phones"]
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(raw, '{pat}')) AS BIGINT) AS {n}"
+        for n, (pat, _) in zip(names, PII_PATTERNS)
+    )
+    return f"""
+WITH r AS (SELECT doc_id, {raw} AS raw FROM documents)
+SELECT doc_id,
+  {red} AS redacted,
+  {counts}
+FROM r
+"""
 
 
 _REPETITION_SQL = """
@@ -154,10 +252,12 @@ WITH
 SELECT a1.doc_id,
        CAST(n AS BIGINT) AS n_tokens,
        CAST(nd AS BIGINT) AS n_distinct,
-       CAST(round(nd / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS distinct_ratio,
-       CAST(round(topw / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS top_word_frac,
-       CAST(round(COALESCE(topb / CAST(nb AS DOUBLE), 0.0), 6) AS DECIMAL(18,6))
-         AS top_bigram_frac,
+       CAST(CAST(round(nd / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         AS distinct_ratio,
+       CAST(CAST(round(topw / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         AS top_word_frac,
+       CAST(CAST(round(COALESCE(topb / CAST(nb AS DOUBLE), 0.0), 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS top_bigram_frac,
        (topw / CAST(n AS DOUBLE) > {topw_max}
         OR COALESCE(topb / CAST(nb AS DOUBLE), 0.0) > {topb_max}
         OR nd / CAST(n AS DOUBLE) < {nd_min}) AS repetitive
@@ -186,6 +286,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "shard_manifest": q_shard_manifest,
     "lm_score": q_lm_score,
+    "pii_redact": q_pii_redact,
 }
 
 CURATION_ORACLE: dict[str, str] = {
@@ -195,4 +296,5 @@ CURATION_ORACLE: dict[str, str] = {
     "incremental_dedup": incremental_dedup_sql("documents"),
     "shard_manifest": shard_manifest_sql("documents"),
     "lm_score": _LM_SCORE_SQL,
+    "pii_redact": _pii_redact_sql(),
 }

@@ -399,11 +399,108 @@ SELECT
 FROM orders WHERE o_orderkey % 10 = 0
 """
 
+# ---------------------------------------------------------------------------
+# Glue choice-struct leg: the reference's DynamicFrame writes
+# ``valueQuantity.value`` as a genuine ``{double, int}`` union struct
+# (Glue_tranformation_json_parquet.py:141-147). The from_json path above
+# normalizes that away (spark.read.json widens mixed numerics), so this
+# query materializes the struct THROUGH A PARQUET ROUND TRIP — exactly
+# the shape a Glue-written curated-zone file hands a downstream reader —
+# and runs it through the real ``extract_observations``, exercising
+# choice_double's StructType coalesce branch (fhir_extract.py) under the
+# driver's value hash instead of unit tests alone.
+
+
+def _choice_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entries-shaped frame (one ``resource`` struct per events row) with
+    the Glue choice struct: even event_ids carry the ``int`` leg
+    (event_id % 97), odd event_ids the ``double`` leg (raw ``value`` —
+    bit-identical in both engines since DuckDB reads the same parquet;
+    NULL values stay NULL through the coalesce)."""
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    even = eid % 2 == 0
+    iso = F.date_format("ts", _ISO)
+    resource = F.struct(
+        F.lit("Observation").alias("resourceType"),
+        F.concat(F.lit("obs-"), _s(eid)).alias("id"),
+        F.lit("final").alias("status"),
+        F.struct(
+            F.concat(F.lit("urn:uuid:patient-"), _s(F.col("user_id"))).alias(
+                "reference"
+            )
+        ).alias("subject"),
+        F.struct(
+            F.concat(
+                F.lit("urn:uuid:enc-"), _s(F.col("user_id")), F.lit("-"), _s(eid % 5)
+            ).alias("reference")
+        ).alias("encounter"),
+        F.array(
+            F.struct(
+                F.array(F.struct(F.lit("laboratory").alias("display"))).alias(
+                    "coding"
+                )
+            )
+        ).alias("category"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("http://loinc.org").alias("system"),
+                    F.col("event_type").alias("code"),
+                    F.concat(F.lit("Lab "), F.col("event_type")).alias("display"),
+                )
+            ).alias("coding"),
+            F.concat(F.col("event_type"), F.lit(" panel")).alias("text"),
+        ).alias("code"),
+        F.struct(
+            F.struct(
+                F.when(~even, F.col("value")).alias("double"),
+                F.when(even, (eid % 97).cast("long")).alias("int"),
+            ).alias("value"),
+            F.lit("mg/dL").alias("unit"),
+        ).alias("valueQuantity"),
+        iso.alias("effectiveDateTime"),
+    )
+    return events.select(resource.alias("resource"))
+
+
+def q_etl_obs_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+F4 driver leg: choice-struct entries → parquet (the Glue-written
+    curated shape) → parquet scan → ``extract_observations``."""
+    import os
+
+    path = f"/tmp/hsp_fixtures/glue_choice_obs_{os.path.basename(sf_dir.rstrip('/'))}.parquet"
+    _choice_entries(spark, sf_dir).write.mode("overwrite").parquet(path)
+    entries = spark.read.parquet(path)
+    return extract_observations(entries, deterministic_dedup=True)
+
+
+_ETL_OBS_CHOICE_SQL = """
+SELECT
+  'obs-' || CAST(event_id AS VARCHAR) AS observation_id,
+  'final' AS status,
+  'laboratory' AS category,
+  'http://loinc.org' AS code_system,
+  event_type AS code,
+  'Lab ' || event_type AS code_display,
+  CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 97 AS DOUBLE)
+       ELSE value END AS value_quantity,
+  'mg/dL' AS value_unit,
+  CAST(NULL AS VARCHAR) AS value_string,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS effective_datetime,
+  'patient-' || CAST(user_id AS VARCHAR) AS patient_id,
+  'enc-' || CAST(user_id AS VARCHAR) || '-' || CAST(event_id % 5 AS VARCHAR)
+    AS encounter_id
+FROM events
+"""
+
+
 ETL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "etl_observations": q_etl_observations,
     "etl_patients": q_etl_patients,
     "etl_encounters": q_etl_encounters,
     "etl_conditions": q_etl_conditions,
+    "etl_obs_choice": q_etl_obs_choice,
 }
 
 ETL_ORACLE: dict[str, str] = {
@@ -411,4 +508,5 @@ ETL_ORACLE: dict[str, str] = {
     "etl_patients": _ETL_PATIENTS_SQL,
     "etl_encounters": _ETL_ENCOUNTERS_SQL,
     "etl_conditions": _ETL_CONDITIONS_SQL,
+    "etl_obs_choice": _ETL_OBS_CHOICE_SQL,
 }

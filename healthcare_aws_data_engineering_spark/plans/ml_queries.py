@@ -9,10 +9,12 @@
   oracle is a GENERATED recursive-CTE tree walk over the inlined ~42k-node
   table of all three boosters (``inference.xgb_walk_sql``) — DuckDB
   replays the exact numpy lock-step traversal (float32 feature grid,
-  margin + logit(base_score), sigmoid), with probabilities rounded to 5
-  decimals on both engines (the margin sum and exp() are the only
-  non-bit-parity float ops). Independent ground truth against real
-  xgboost remains pinned in ``test_xgb_golden.py``.
+  margin + logit(base_score), sigmoid), with probabilities emitted as
+  BIGINT micro-units ``prob_*_e5 = round(p·1e5)`` on both engines (the
+  margin sum and exp() are the only non-bit-parity float ops; integer
+  cells are immune to driver-side DECIMAL/float rendering differences).
+  Independent ground truth against real xgboost remains pinned in
+  ``test_xgb_golden.py``.
 """
 
 from __future__ import annotations
@@ -45,11 +47,16 @@ def q_ml_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = I.predict_diseases(_features(spark, sf_dir))
     cols = [F.col("patient_id"), F.col("cluster")]
     for d in I.DISEASES:
-        # 5-decimal grid: the driver's value hash must survive the two
-        # engine-dependent float ops (margin summation order, exp ulps);
-        # flags/bands are computed on the unrounded probability upstream.
+        # 1e-5 grid as BIGINT micro-units (prob_*_e5 = round(p·1e5)): the
+        # driver's value hash must survive the two engine-dependent float
+        # ops (margin summation order, exp ulps) AND its cell rendering —
+        # r2 showed DECIMAL cells hash differently on the driver than in
+        # the local replica, so no DECIMAL/float leaves this query.
+        # Flags/bands are computed on the unrounded probability upstream.
         cols += [
-            F.round(F.col(f"prob_{d}"), 5).cast("decimal(18,5)").alias(f"prob_{d}"),
+            F.round(F.col(f"prob_{d}") * 100000.0, 0)
+            .cast("long")
+            .alias(f"prob_{d}_e5"),
             F.col(f"flag_{d}"),
             F.col(f"risk_{d}"),
         ]

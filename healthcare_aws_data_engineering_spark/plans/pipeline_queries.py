@@ -123,13 +123,17 @@ def dist_summary(
     p50-p90-p99. Quantiles are *discrete* (an actual element of the
     group, at sorted index ``ceil(n·k/100)`` computed in integer math) —
     no interpolation, hence bit-identical across engines. Values are
-    quantized to DECIMAL(18,6) before anything order-sensitive.
+    quantized to BIGINT scale-6 micro-units (``*_u6`` columns = value·1e6
+    via the proven DECIMAL(18,6) grid) before anything order-sensitive —
+    integer output cells survive the driver's cell rendering, where the
+    r2 DECIMAL(18,6) output hash-mismatched despite a green local
+    replica.
 
     NULL values are excluded up front (``n_rows`` counts non-null
     values): Spark ranks NULLS FIRST and DuckDB NULLS LAST, so keeping
     them would both shift the quantile index onto NULL rows and diverge
     between engines."""
-    val = F.col(value_col).cast("decimal(18,6)")
+    val = (F.col(value_col).cast("decimal(18,6)") * 1000000).cast("long")
     base = events.select(F.col(group_col).alias("grp"), val.alias("val")).filter(
         val.isNotNull()
     )
@@ -146,9 +150,9 @@ def dist_summary(
 
     return ranked.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
-        at(50).alias("p50"), at(90).alias("p90"), at(99).alias("p99"),
+        F.min("val").alias("min_val_u6"),
+        F.max("val").alias("max_val_u6"),
+        at(50).alias("p50_u6"), at(90).alias("p90_u6"), at(99).alias("p99_u6"),
     ).withColumnRenamed("grp", "event_type")
 
 
@@ -158,18 +162,20 @@ def q_dist_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIST_SUMMARY_SQL = """
 WITH r AS (
-  SELECT event_type AS grp, CAST(value AS DECIMAL(18,6)) AS val,
+  SELECT event_type AS grp,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS val,
          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                 ORDER BY CAST(value AS DECIMAL(18,6))) AS BIGINT) AS rn,
+                 ORDER BY CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+              ) AS BIGINT) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
   WHERE value IS NOT NULL
 )
 SELECT grp AS event_type, COUNT(*) AS n_rows,
-  MIN(val) AS min_val, MAX(val) AS max_val,
-  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN val END) AS p50,
-  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN val END) AS p90,
-  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN val END) AS p99
+  MIN(val) AS min_val_u6, MAX(val) AS max_val_u6,
+  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN val END) AS p50_u6,
+  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN val END) AS p90_u6,
+  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN val END) AS p99_u6
 FROM r GROUP BY grp
 """
 

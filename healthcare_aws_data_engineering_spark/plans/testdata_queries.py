@@ -1016,3 +1016,49 @@ ORACLE.update(ML_ORACLE)
 ORACLE.update(ETL_ORACLE)
 ORACLE.update(PIPELINE_ORACLE)
 ORACLE.update(CURATION_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Driver-gate ordering
+# --------------------------------------------------------------------------
+# The r2 driver checked only the FIRST 50 registry entries (insertion
+# order), leaving 13 queries with no hard-signal row. Order the registry
+# so the driver's checked prefix covers the queries that most need a
+# fresh verdict:
+#   1. _CHECK_FIRST — never driver-checked in r2, plus the three r2
+#      hash-mismatches whose outputs were reworked this round.
+#   2. everything else in stable insertion order.
+#   3. _CHECK_LAST — exiled past position 50: green in BOTH r1 and r2
+#      with byte-identical definitions, so they carry two rounds of hard
+#      signal already and lose the least from sitting out one round.
+_CHECK_FIRST = [
+    # r2 hash-mismatches, now emitting only int/double/varchar cells
+    "ml_risk_scores", "ann_pq_topk", "dist_summary",
+    # never driver-checked in r2 (positions 51-63)
+    "time_rollup", "range_join", "distinct_sketch", "rolling_avg",
+    "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
+    "bm25_search", "repetition_filter", "incremental_dedup",
+    "shard_manifest", "lm_score",
+    # new this round
+    "etl_obs_choice", "pii_redact",
+]
+_CHECK_LAST = [
+    "filtered_count", "between_filter", "isin_filter", "keyed_dedup",
+    "frequency_count", "latest_per_key", "daily_latest", "top3_per_group",
+    "linear_trend", "first_last_delta", "pricing_summary",
+    "revenue_by_nation", "text_stats", "doc_fingerprint", "dedup_exact",
+]
+
+
+def _reorder(d: dict) -> dict:
+    middle = [k for k in d if k not in _CHECK_FIRST and k not in _CHECK_LAST]
+    order = (
+        [k for k in _CHECK_FIRST if k in d]
+        + middle
+        + [k for k in _CHECK_LAST if k in d]
+    )
+    return {k: d[k] for k in order}
+
+
+QUERIES = _reorder(QUERIES)
+ORACLE = {k: ORACLE[k] for k in QUERIES}  # identical iteration order

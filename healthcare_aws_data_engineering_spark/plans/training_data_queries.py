@@ -834,8 +834,10 @@ cent AS (
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
 ),
 enc_terms AS (
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; the driver's fetch renders
+  -- HUGEINT cells differently than BIGINT (r2 hash mismatch) — snap back.
   SELECT e.vec_id, s.s, c.j,
-         SUM((e.q[s.s*8+i] - c.cq[s.s*8+i]) * (e.q[s.s*8+i] - c.cq[s.s*8+i])) AS d
+         CAST(SUM((e.q[s.s*8+i] - c.cq[s.s*8+i]) * (e.q[s.s*8+i] - c.cq[s.s*8+i])) AS BIGINT) AS d
   FROM qe e, cent c,
        unnest(generate_series(0, 7)) AS s(s),
        unnest(generate_series(1, 8)) AS t(i)
@@ -850,7 +852,7 @@ codes AS (
 ),
 qtab AS (SELECT vec_id AS query_id, s, j, d FROM enc_terms WHERE vec_id < 5),
 pairs AS (
-  SELECT t.query_id, c.vec_id AS neighbor_id, SUM(t.d) AS adist
+  SELECT t.query_id, c.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adist
   FROM codes c
   JOIN qtab t ON t.s = c.s AND t.j = c.code
   WHERE c.vec_id <> t.query_id

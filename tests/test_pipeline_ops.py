@@ -65,10 +65,10 @@ def test_dist_summary_discrete_quantiles(spark):
     a = out["a"]
     # n=10: idx50=(500+99)//100=5 → 5; idx90=(999)//100=9 → 9; idx99=10 → 10
     assert a.n_rows == 10
-    assert float(a.p50) == 5.0 and float(a.p90) == 9.0 and float(a.p99) == 10.0
-    assert float(a.min_val) == 1.0 and float(a.max_val) == 10.0
+    assert a.p50_u6 == 5_000_000 and a.p90_u6 == 9_000_000 and a.p99_u6 == 10_000_000
+    assert a.min_val_u6 == 1_000_000 and a.max_val_u6 == 10_000_000
     b = out["b"]
-    assert b.n_rows == 1 and float(b.p50) == 7.0 == float(b.p99)
+    assert b.n_rows == 1 and b.p50_u6 == 7_000_000 == b.p99_u6
 
 
 def test_dist_summary_single_shuffle(spark):
@@ -330,7 +330,7 @@ def test_dist_summary_ignores_nulls(spark):
         "event_type string, value double",
     )
     row = pq.dist_summary(ev).collect()[0]
-    assert row.n_rows == 2 and float(row.p50) == 10.0 and float(row.max_val) == 20.0
+    assert row.n_rows == 2 and row.p50_u6 == 10_000_000 and row.max_val_u6 == 20_000_000
 
 
 def test_asof_join_single_shuffle_no_inequality_join(spark):
