@@ -75,14 +75,26 @@ def _f(x: float) -> str:
     return repr(float(x))
 
 
-def _fold_sql(terms: list[str]) -> str:
+def _fold_sql(terms: list[str], parity: bool = True) -> str:
     """Order-independent exact fold of per-row double term strings: each
     TERM is bit-identical across engines (same scalar expression), but a
     chained double ADDITION is not (engines may vectorize/reassociate the
     fold), so terms are cast to DECIMAL and summed exactly. The SAME string
     is parsed by Spark (F.expr) and DuckDB — textual identity is the parity
     argument. Building expressions as one parsed string also avoids ~1,600
-    py4j round-trips per query (~3 s of plan-build)."""
+    py4j round-trips per query (~3 s of plan-build).
+
+    ``parity=False`` is the PRODUCTION fast path: plain double adds
+    (~2× cheaper per-row math — no per-term decimal conversion). The
+    result differs from the parity fold only by the grid itself — the
+    parity path rounds every term to 1e-6, so a 19-term fold can move by
+    ~1e-5 (pinned by
+    ``test_ml_inference.py::test_fast_path_matches_parity``; cluster ids
+    and downstream XGBoost probabilities are unaffected). Use it when no
+    cross-engine hash must match — i.e. everywhere except the oracle
+    gate."""
+    if not parity:
+        return f"({' + '.join(terms)})"
     cast_terms = [f"CAST({t} AS {_DEC})" for t in terms]
     return f"CAST({' + '.join(cast_terms)} AS DOUBLE)"
 
@@ -106,7 +118,9 @@ def _scaled_sql_map() -> dict[str, str]:
     }
 
 
-def pca_sql_exprs(scaled: dict[str, str] | None = None) -> list[str]:
+def pca_sql_exprs(
+    scaled: dict[str, str] | None = None, parity: bool = True
+) -> list[str]:
     """z_j = Σ_i components[j][i] * (scaled_i - pca_mean_i), j = 0..13, as
     engine-neutral SQL text (decimal-folded, see :func:`_fold_sql`).
 
@@ -124,20 +138,26 @@ def pca_sql_exprs(scaled: dict[str, str] | None = None) -> list[str]:
             f"{_f(c)} * ({scaled[n]} - {_f(mean[i])})"
             for i, (n, c) in enumerate(zip(names, row))
         ]
-        out.append(_fold_sql(terms))
+        out.append(_fold_sql(terms, parity))
     return out
 
 
-def pca_columns(scaled: dict[str, str] | None = None) -> list[Column]:
+def pca_columns(
+    scaled: dict[str, str] | None = None, parity: bool = True
+) -> list[Column]:
     """Spark columns for the PCA projection — F.expr over the same strings
-    the DuckDB oracle runs."""
+    the DuckDB oracle runs (``parity=False`` → plain-double production
+    fold, see :func:`_fold_sql`)."""
     return [
-        F.expr(e).alias(f"z{j}") for j, e in enumerate(pca_sql_exprs(scaled))
+        F.expr(e).alias(f"z{j}")
+        for j, e in enumerate(pca_sql_exprs(scaled, parity))
     ]
 
 
 # -------------------------------------------------------------------- M4 --
-def kmeans_sql_expr(z_names: list[str], engine: str = "duckdb") -> str:
+def kmeans_sql_expr(
+    z_names: list[str], engine: str = "duckdb", parity: bool = True
+) -> str:
     """argmin_j ‖z − center_j‖² as SQL text; ties break to the LOWER center
     index (first-match position). Distance folds are engine-identical; only
     the array/position function NAMES differ per dialect."""
@@ -148,7 +168,7 @@ def kmeans_sql_expr(z_names: list[str], engine: str = "duckdb") -> str:
             f"({z} - {_f(cj)}) * ({z} - {_f(cj)})"
             for z, cj in zip(z_names, c)
         ]
-        dists.append(f"({_fold_sql(terms)})")
+        dists.append(f"({_fold_sql(terms, parity)})")
     if engine == "spark":
         arr = f"array({', '.join(dists)})"
         return (
@@ -158,8 +178,8 @@ def kmeans_sql_expr(z_names: list[str], engine: str = "duckdb") -> str:
     return f"CAST(list_position({arr}, list_min({arr})) - 1 AS INT)"
 
 
-def kmeans_cluster_expr(z_cols: list[str]) -> Column:
-    return F.expr(kmeans_sql_expr(z_cols, engine="spark"))
+def kmeans_cluster_expr(z_cols: list[str], parity: bool = True) -> Column:
+    return F.expr(kmeans_sql_expr(z_cols, engine="spark", parity=parity))
 
 
 # -------------------------------------------------------------------- M5 --
@@ -303,15 +323,22 @@ def _staged_scaled(features: DataFrame, id_col: str, extra: list[Column]):
     return staged, {n: f"__s_{n}" for n in names}
 
 
-def preprocess(features: DataFrame, id_col: str = "patient_id") -> DataFrame:
+def preprocess(
+    features: DataFrame, id_col: str = "patient_id", parity: bool = True
+) -> DataFrame:
     """features (19 raw columns, nulls allowed) → 14 PCA components +
     cluster id. Two projection stages (scaled → z+cluster), all JVM column
     math; the z / distance folds parse from the same SQL text the DuckDB
-    oracle executes."""
+    oracle executes.
+
+    ``parity=False`` swaps the exact DECIMAL(18,6) folds for plain double
+    sums — the production path when no cross-engine hash must match
+    (~2× cheaper per-row math; ~1e-5 z drift from the grid, pinned by
+    test)."""
     staged, refs = _staged_scaled(features, id_col, [])
-    z = staged.select(F.col(id_col), *pca_columns(refs))
+    z = staged.select(F.col(id_col), *pca_columns(refs, parity))
     znames = [f"z{j}" for j in range(len(sklearn_pipeline()["pca"]["components"]))]
-    return z.withColumn("cluster", kmeans_cluster_expr(znames))
+    return z.withColumn("cluster", kmeans_cluster_expr(znames, parity))
 
 
 def predict_diseases(
@@ -319,6 +346,7 @@ def predict_diseases(
     id_col: str = "patient_id",
     threshold: float = THRESHOLD,
     score_partitions: int | None = None,
+    parity: bool = True,
 ) -> DataFrame:
     """Full M1→M6 chain as ONE linear flow (no self-join): imputed model
     inputs ride along through the z/cluster stages, then the fused
@@ -330,7 +358,12 @@ def predict_diseases(
     coalesces a small feature table to ONE partition and serializes the
     scoring. Default (None) = the session's default parallelism; pass 0
     to skip when the upstream partitioning already saturates the cluster
-    (the 100-TB case — input splits ≫ cores)."""
+    (the 100-TB case — input splits ≫ cores).
+
+    ``parity=False``: production fast path — plain-double z/cluster
+    folds instead of the exact DECIMAL(18,6) oracle grid (see
+    :func:`_fold_sql`); the XGBoost stage is identical either way (its
+    features are the raw imputed values plus the cluster id)."""
     mf = model_features()  # includes 'cluster'
     imput = imputed_columns()
     carried = [imput[n].alias(n) for n in mf if n != "cluster"]
@@ -339,9 +372,9 @@ def predict_diseases(
     z = staged.select(
         F.col(id_col),
         *[F.col(n) for n in mf if n != "cluster"],
-        *pca_columns(refs),
+        *pca_columns(refs, parity),
     )
-    scored_in = z.withColumn("cluster", kmeans_cluster_expr(znames)).select(
+    scored_in = z.withColumn("cluster", kmeans_cluster_expr(znames, parity)).select(
         id_col, "cluster", *[F.col(n) for n in mf if n != "cluster"]
     )
     if score_partitions != 0:

@@ -160,21 +160,24 @@ def resize_images(
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def resize_row(row):
-                if row["kind"] != "image":
-                    return row["content"], row["meta"]
-                vals = _decode_bytes(
-                    row["content"], 8, deterministic_fake
-                )  # "pixels"
-                content = hashlib.md5(
+            def resize_row(kind, content, meta):
+                if kind != "image":
+                    return content, meta
+                vals = _decode_bytes(content, 8, deterministic_fake)  # "pixels"
+                out = hashlib.md5(
                     bytes(bytearray(int(v * 255) for v in vals))
                     + f"#resize:{width}x{height}".encode()
                 ).digest()
-                meta = dict(row["meta"] or {})
+                meta = dict(meta or {})
                 meta["width"], meta["height"] = width, height
-                return content, meta
+                return out, meta
 
-            res = [resize_row(r) for _, r in pdf.iterrows()]
+            # zip over column Series, not iterrows — no per-row Series
+            # construction inside the Arrow batch loop
+            res = [
+                resize_row(k, c, m)
+                for k, c, m in zip(pdf["kind"], pdf["content"], pdf["meta"])
+            ]
             pdf = pdf.copy()
             pdf["content"] = [r[0] for r in res]
             pdf["meta"] = [r[1] for r in res]
@@ -207,23 +210,26 @@ def sample_frames(
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, mss, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
+            # zip over column Series, not iterrows (per-row Series cost)
+            for media_id, kind, content, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
+            ):
+                if kind != "video":
                     continue
-                dur = (row["meta"] or {}).get("duration_ms") or 0
+                dur = (meta or {}).get("duration_ms") or 0
                 n = min(max_frames, max(1, dur // every_ms))
                 for i in range(int(n)):
-                    ids.append(row["media_id"])
+                    ids.append(media_id)
                     idxs.append(i)
                     mss.append(i * every_ms)
                     # md5 + ASCII salt (not raw-byte salts): the DuckDB
                     # oracle rebuilds this as md5(text || '#frame:' || i)
                     frames.append(
                         hashlib.md5(
-                            (row["content"] or b"") + f"#frame:{i}".encode()
+                            (content or b"") + f"#frame:{i}".encode()
                         ).digest()
                         if deterministic_fake
-                        else _decode_bytes(row["content"], 1, False)  # raises
+                        else _decode_bytes(content, 1, False)  # raises
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame": frames}

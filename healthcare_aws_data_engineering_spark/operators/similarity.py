@@ -57,6 +57,27 @@ def cosine(a: Column, b: Column, exact: bool = False) -> Column:
     return dot(a, b, exact) / (norm(a, exact) * norm(b, exact))
 
 
+def cosine_q(qa: Column, qb: Column) -> Column:
+    """Cosine of two PRE-QUANTIZED micro-unit long vectors — the cheap
+    engine-reproducible exact path: the three inner products are EXACT
+    long sums (unit vectors: |q_i| ≤ 1e6 → a 64-dim dot ≤ 6.4e13, inside
+    both long and double-exact range), and the final sqrt/divide are
+    correctly-rounded IEEE ops — bit-identical in Spark and DuckDB with
+    no decimal accumulator at all (~the decimal fold's cost per ELEMENT
+    buys the whole pair here)."""
+
+    def isum(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    return isum(qa, qb).cast("double") / (
+        F.sqrt(isum(qa, qa).cast("double")) * F.sqrt(isum(qb, qb).cast("double"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -502,24 +523,30 @@ def embedding_near_dup(
     fan-out happens only inside signature buckets (size-capped).
 
     ``plane_matrix``/``exact``: engine-reproducible literal planes and
-    decimal-folded cosine, for the DuckDB oracle (see :func:`lsh_topk`)."""
+    quantized-integer cosine, for the DuckDB oracle (see :func:`lsh_topk`).
+    In exact mode the scale-6 micro-unit vector ``__q`` is staged ONCE and
+    is the ONLY array carried through banding, capping, and the bucket
+    self-join — signature and final cosine both read it (r2 carried the
+    raw vector and re-derived exactness via a per-pair decimal fold,
+    ~1.5× the cost)."""
     width = planes // bands
     if plane_matrix is not None:
         staged = corpus.select(
             F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("vec"),
             quantize_vec(F.col(vec_col)).alias("__q"),
         ).select(
             "doc",
-            "vec",
+            F.col("__q").alias("vec"),
             hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
         )
+        exact = True  # quantized carrier ⇒ integer cosine
     else:
         staged = corpus.select(
             F.col(id_col).alias("doc"),
             F.col(vec_col).alias("vec"),
             hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
         )
+        exact = False
     banded = staged.select(
         "doc",
         "vec",
@@ -557,11 +584,14 @@ def embedding_near_dup(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        cosine(F.col("vec_a"), F.col("vec_b"), exact).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    sim = (
+        cosine_q(F.col("vec_a"), F.col("vec_b"))
+        if exact
+        else cosine(F.col("vec_a"), F.col("vec_b"))
+    )
+    return pairs.select("doc_a", "doc_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
 
 
 # ---------------------------------------------------------------- PQ-ADC --

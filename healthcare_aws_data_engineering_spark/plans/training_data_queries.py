@@ -569,7 +569,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.35 because the synthetic embeddings are near-orthogonal
     random vectors (max pairwise cosine ≈ 0.51 at sf0.01) — a production
     0.9+ threshold would make the check vacuously empty. Literal
-    md5-derived planes + decimal cosine → full DuckDB oracle."""
+    md5-derived planes + quantized-integer cosine (cosine_q: exact long
+    sums, IEEE sqrt/divide — no decimal fold) → full DuckDB oracle."""
     return S.embedding_near_dup(
         _embs(spark, sf_dir), threshold=0.35, planes=16, bands=8,
         plane_matrix=_PLANES16, exact=True,
@@ -590,9 +591,32 @@ WITH {_sig_bands_sql(_PLANES16, bands=8)},
     FROM capped a JOIN capped b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
   ),
-{_RERANK_SQL}
-SELECT query_id AS doc_a, neighbor_id AS doc_b, sim AS cosine
-FROM ranked WHERE sim >= 0.35
+  qpairs AS (
+    SELECT cands.query_id, cands.neighbor_id, a.q AS qa, b.q AS qb
+    FROM cands
+    JOIN qe a ON a.vec_id = cands.query_id
+    JOIN qe b ON b.vec_id = cands.neighbor_id
+  ),
+  qterms AS (
+    SELECT query_id, neighbor_id,
+           qa[i] * qb[i] AS ab, qa[i] * qa[i] AS aa, qb[i] * qb[i] AS bb
+    FROM qpairs, unnest(generate_series(1, 64)) AS t(i)
+  ),
+  qsums AS (
+    -- twin of cosine_q: exact long sums of micro-unit products, then
+    -- correctly-rounded IEEE sqrt/divide — no decimal accumulator
+    SELECT query_id, neighbor_id,
+           CAST(SUM(ab) AS BIGINT) AS dq,
+           CAST(SUM(aa) AS BIGINT) AS na,
+           CAST(SUM(bb) AS BIGINT) AS nb
+    FROM qterms GROUP BY query_id, neighbor_id
+  )
+SELECT query_id AS doc_a, neighbor_id AS doc_b,
+       CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         AS cosine
+FROM qsums
+WHERE CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+      >= 0.35
 """
 
 

@@ -167,3 +167,29 @@ def test_feature_table_latest_tiebreak(spark):
     # labs with no events analog exist and are NULL
     assert out[0].albumin_latest is None
     assert set(EVENTS_ML_KEYS) < set(FEATS)
+
+
+def test_fast_path_matches_parity(spark):
+    """parity=False (plain-double folds) vs the DECIMAL(18,6) oracle
+    grid: the parity fold quantizes each of the 19 terms at 1e-6, so z
+    components may differ by up to ~1e-5 (n_terms x half-ulp of the
+    grid); clusters must agree exactly, and probabilities to 1e-9 (the
+    XGBoost features are the raw imputed values — parity only touches
+    z/cluster)."""
+    df = spark.createDataFrame(_rows(n=40))
+    zp = {r.patient_id: r for r in I.preprocess(df, parity=True).collect()}
+    zf = {r.patient_id: r for r in I.preprocess(df, parity=False).collect()}
+    znames = [f"z{j}" for j in range(len(P.sklearn_pipeline()["pca"]["components"]))]
+    for pid, rp in zp.items():
+        rf = zf[pid]
+        assert rp.cluster == rf.cluster
+        for z in znames:
+            assert abs(rp[z] - rf[z]) < 2e-5, (pid, z)
+    sp = {r.patient_id: r for r in I.predict_diseases(df, parity=True).collect()}
+    sf = {r.patient_id: r for r in I.predict_diseases(df, parity=False).collect()}
+    for pid, rp in sp.items():
+        rf = sf[pid]
+        assert rp.cluster == rf.cluster
+        for d in I.DISEASES:
+            assert abs(rp[f"prob_{d}"] - rf[f"prob_{d}"]) < 1e-9, (pid, d)
+            assert rp[f"risk_{d}"] == rf[f"risk_{d}"]
