@@ -184,6 +184,120 @@ def hist_quantiles(
     return out.select(group_col, "n_rows", *edges)
 
 
+# --------------------------------------------------------- count-min sketch --
+# Heavy-hitter estimation with O(d·w) state regardless of vocabulary
+# size (Cormode & Muthukrishnan). Each item increments one counter per
+# row r at column (h1 + r·h2) mod w (the same Kirsch–Mitzenmacher
+# double-hashing family as the KMV sketch above — one md5 per item);
+# an item's estimate is the MIN of its d counters, which can only
+# OVER-estimate (collisions add, never subtract). At 100 TB the cell
+# table is what shuffles: ≤ d·w fixed-width rows after map-side
+# combine, versus an exact count's one row per distinct token.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    top_k: int = 40,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """``value, true_count, cms_count`` for the top-k values by exact
+    count (ties broken by value asc — a total order both engines
+    replay). ``cms_count >= true_count`` always; the gap is the
+    collision mass, bounded in expectation by n/width per row and the
+    min over ``depth`` rows takes the least-collided cell.
+
+    The exact count exists to EXPOSE the estimate's error for the
+    driver oracle and tests; the production path at scale is the cell
+    table + point lookups, never the exact agg."""
+    h1, h2 = digest_halves(F.col(value_col).cast("string"))
+    staged = df.select(
+        F.col(value_col).alias("v"), h1.alias("__h1"), h2.alias("__h2")
+    )
+    # One pass builds every row's cell id via an in-row transform —
+    # the shuffle key space is (row, cell): at most depth·width groups.
+    cells = (
+        staged.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        ((F.col("__h1") + r * F.col("__h2")) % width).cast("int")
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("r", "cell")
+        )
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        staged.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("v").asc())
+        .limit(top_k)
+    )
+    th1, th2 = digest_halves(F.col("v").cast("string"))
+    probes = top.select(
+        "v",
+        "true_count",
+        F.posexplode(
+            F.array(*[((th1 + r * th2) % width).cast("int") for r in range(depth)])
+        ).alias("r", "cell"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "cell"], "left")
+        .groupBy("v", "true_count")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )
+    return est.select(
+        F.col("v").alias("value"),
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_count").cast("long").alias("cms_count"),
+    )
+
+
+def cms_sql(
+    source_sql: str,
+    value_col: str,
+    top_k: int = 40,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters`. ``source_sql`` is a
+    one-column-producing relation (aliased ``src``) supplying
+    ``{value_col}``."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST((__h1 + {r} * __h2) % {width} AS INT) AS cell, v FROM h"
+        for r in range(depth)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+h AS (
+  SELECT {value_col} AS v,
+    CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS __h1,
+    CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 9, 8)) AS BIGINT) AS __h2
+  FROM src
+),
+probes AS ({cell_rows}),
+cells AS (SELECT r, cell, COUNT(*) AS c FROM probes GROUP BY r, cell),
+top AS (
+  SELECT v, COUNT(*) AS true_count FROM h GROUP BY v
+  ORDER BY true_count DESC, v ASC LIMIT {top_k}
+),
+lookup AS (
+  SELECT DISTINCT t.v, t.true_count, p.r, p.cell
+  FROM top t JOIN probes p ON p.v = t.v
+)
+SELECT l.v AS value, CAST(l.true_count AS BIGINT) AS true_count,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_count
+FROM lookup l LEFT JOIN cells c ON c.r = l.r AND c.cell = l.cell
+GROUP BY l.v, l.true_count
+"""
+
+
 def hist_quantiles_sql(
     table: str,
     group_col: str,

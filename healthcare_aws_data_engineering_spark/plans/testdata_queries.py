@@ -977,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .corpus_queries import CORPUS_ORACLE, CORPUS_QUERIES  # noqa: E402
 from .curation_queries import CURATION_ORACLE, CURATION_QUERIES  # noqa: E402
 from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
 from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
@@ -988,6 +989,7 @@ QUERIES.update(ML_QUERIES)
 QUERIES.update(ETL_QUERIES)
 QUERIES.update(PIPELINE_QUERIES)
 QUERIES.update(CURATION_QUERIES)
+QUERIES.update(CORPUS_QUERIES)
 
 ORACLE: dict[str, str] = {
     "disease_confidence": _DISEASE_CONFIDENCE_SQL,
@@ -1016,6 +1018,7 @@ ORACLE.update(ML_ORACLE)
 ORACLE.update(ETL_ORACLE)
 ORACLE.update(PIPELINE_ORACLE)
 ORACLE.update(CURATION_ORACLE)
+ORACLE.update(CORPUS_ORACLE)
 
 
 # --------------------------------------------------------------------------
@@ -1039,8 +1042,10 @@ _CHECK_FIRST = [
     "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
     "bm25_search", "repetition_filter", "incremental_dedup",
     "shard_manifest", "lm_score",
-    # new this round
+    # new in r3 (first possible driver verdict)
     "etl_obs_choice", "pii_redact",
+    "span_dedup", "doc_chunks", "mix_weights", "source_overlap",
+    "json_props", "heavy_hitters",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

@@ -1,0 +1,224 @@
+"""Semantics + plan-shape tests for the round-3 corpus operators
+(span_dedup / chunk_documents / cms_heavy_hitters / mix_weights /
+source_overlap / json_props).
+
+Each operator is checked against an independent pure-Python model (not
+the DuckDB oracle — that parity runs in the driver gate), so a shared
+systematic bug in the SQL twin can't hide here.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from conftest import n_exchanges as _n_exchanges, plan_string as _plan
+from healthcare_aws_data_engineering_spark.operators.chunking import chunk_documents
+from healthcare_aws_data_engineering_spark.operators.sketch import cms_heavy_hitters
+from healthcare_aws_data_engineering_spark.operators.spans import span_dedup
+from healthcare_aws_data_engineering_spark.plans import corpus_queries as cq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -------------------------------------------------------------- span_dedup --
+
+
+def _py_span_dedup(rows, k):
+    """Reference model: global keep-first over non-overlapping k-token
+    blocks, ordered by (doc_id, span_idx)."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        toks = text.split(" ")
+        kept = []
+        n_spans = 0
+        for s in range(0, len(toks), k):
+            span = " ".join(toks[s : s + k])
+            n_spans += 1
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        out[doc_id] = (n_spans, len(kept), " ".join(kept))
+    return out
+
+
+def test_span_dedup_matches_python_model(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),          # spans: [a..h], [i j]
+        (2, "a b c d e f g h x y"),          # first span repeats doc 1's
+        (3, "i j"),                          # repeats doc 1's tail span
+        (4, "q r"),                          # unique
+    ]
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["dedup_text"])
+        for r in span_dedup(_docs(spark, rows), span_tokens=8, emit_text=True).collect()
+    }
+    assert got == _py_span_dedup(rows, 8)
+    # doc 2 lost its first block, doc 3 lost everything
+    assert got[2][2] == "x y"
+    assert got[3] == (1, 0, "")
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the SAME block twice inside one document dedups too (span_idx order)
+    rows = [(7, "a b c d e f g h a b c d e f g h")]
+    got = span_dedup(_docs(spark, rows), span_tokens=8, emit_text=True).collect()[0]
+    assert (got["n_spans"], got["n_kept"]) == (2, 1)
+    assert got["dedup_text"] == "a b c d e f g h"
+
+
+def test_span_dedup_corpus_invariants(spark):
+    out = cq.q_span_dedup(spark, SF).collect()
+    total_kept = sum(r["n_kept"] for r in out)
+    total_spans = sum(r["n_spans"] for r in out)
+    # kept == number of DISTINCT spans in the corpus, and <= total
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    distinct_spans = (
+        docs.select(F.explode(spans).alias("s")).distinct().count()
+    )
+    assert total_kept == distinct_spans < total_spans
+
+
+def test_span_dedup_plan_shape(spark):
+    # fingerprint window + reassembly agg: exactly 2 shuffles, no more
+    plan = _plan(cq.q_span_dedup(spark, SF))
+    assert _n_exchanges(plan) == 2
+
+
+# ----------------------------------------------------------------- chunking --
+
+
+def test_chunks_match_python_model(spark):
+    rows = [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b"), (3, "x")]
+    got = chunk_documents(
+        _docs(spark, rows), window=64, stride=48, emit_text=True
+    ).collect()
+    by_doc = collections.defaultdict(list)
+    for r in got:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        starts = list(range(0, len(toks), 48))
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [c["start_tok"] for c in chunks] == starts
+        for c in chunks:
+            s = c["start_tok"]
+            assert c["chunk_text"] == " ".join(toks[s : s + 64])
+            assert c["chunk_tokens"] == len(toks[s : s + 64])
+    # overlap: consecutive chunks of doc 1 share window - stride tokens
+    c0, c1 = by_doc[1][0], by_doc[1][1]
+    assert c0["chunk_text"].split(" ")[48:] == c1["chunk_text"].split(" ")[:16]
+
+
+def test_chunks_cover_every_token(spark):
+    out = cq.q_doc_chunks(spark, SF)
+    from pyspark.sql import functions as F
+
+    per_doc = out.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("chunk_tokens")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    joined = per_doc.join(docs, "doc_id").collect()
+    assert joined and all(r["covered"] == r["n_tok"] for r in joined)
+
+
+def test_chunks_zero_shuffle_plan(spark):
+    plan = _plan(cq.q_doc_chunks(spark, SF))
+    assert _n_exchanges(plan) == 0
+
+
+# ---------------------------------------------------------- cms heavy hitters --
+
+
+def test_cms_never_underestimates_and_exact_on_testdata(spark):
+    rows = cq.q_heavy_hitters(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_count"] >= r["true_count"]
+    # independent exact counts for the same words
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    truth = dict(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        assert r["true_count"] == truth[r["value"]]
+
+
+def test_cms_collision_overestimates(spark):
+    # Force a tiny sketch so collisions are certain: width=2, depth=1.
+    df = _docs(
+        spark, [(i, w) for i, w in enumerate(["a"] * 5 + ["b"] * 3 + ["c"] * 2)]
+    ).selectExpr("text as w")
+    out = {
+        r["value"]: (r["true_count"], r["cms_count"])
+        for r in cms_heavy_hitters(df, "w", top_k=3, depth=1, width=2).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert all(est >= true for true, est in out.values())
+    # 3 words into 2 cells: some word MUST share a cell (pigeonhole)
+    assert any(est > true for true, est in out.values())
+
+
+# -------------------------------------------------------------- mix_weights --
+
+
+def test_mix_weights_normalized_and_monotone(spark):
+    rows = cq.q_mix_weights(spark, SF).collect()
+    assert rows
+    total_share = sum(r["share_e6"] for r in rows)
+    # rounding each share to the 1e-6 grid: off by at most 1 ulp/source
+    assert abs(total_share - 1_000_000) <= len(rows)
+    ordered = sorted(rows, key=lambda r: r["n_tokens"])
+    weights = [r["weight_u6"] for r in ordered]
+    assert weights == sorted(weights)  # sqrt is monotone
+    for r in rows:
+        assert 0 <= r["docs_per_epoch"] <= cq.MIX_EPOCH_DOCS
+
+
+# ----------------------------------------------------------- source_overlap --
+
+
+def test_source_overlap_pairs_ordered_and_positive(spark):
+    rows = cq.q_source_overlap(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # sf0.01 has known cross-source prefix collisions
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared_fps"] >= 1
+
+
+# --------------------------------------------------------------- json_props --
+
+
+def test_json_props_totals(spark):
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    rows = cq.q_json_props(spark, SF).collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_with_k"] <= r["n_events"]
+        assert r["min_k"] <= r["max_k"]
