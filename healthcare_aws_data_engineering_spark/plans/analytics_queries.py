@@ -1,0 +1,459 @@
+"""Round-3 driver queries (brief extensions; no reference counterpart):
+semantic dedup, k-NN graph, hashed-linear quality classifier, int8
+quantization audit, length-bucket padding audit, per-source dataset
+card, and z-score outlier detection.
+
+Every query emits only BIGINT / INTEGER / VARCHAR / exact-double cells
+(the r2 lesson: no DECIMAL / HUGEINT / NULL-bearing cells reach the
+driver's value hash) and every oracle is generated from the same
+constants as the Spark plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..operators import similarity as S
+from ..operators.quality import (
+    classifier_sql,
+    classify_quality,
+    int8_audit,
+    int8_audit_sql,
+)
+from ..operators.semdedup import knn_graph, semantic_dedup
+from ..sources.tables import load_table
+from .training_data_queries import (
+    _EMB_DIM,
+    _PLANES16,
+    _QUANT_SQL,
+    _sig_bands_sql,
+)
+
+# ---------------------------------------------------------- semantic_dedup --
+# SemDeDup (Abbas et al. 2023): coarse clusters via the md5-stratified
+# deterministic centroid sample (the same engine-replayable index build
+# as ann_ivf_topk), pairs only within a cluster, capped membership.
+SEM_CENTROIDS = 8
+SEM_THRESHOLD = 0.30  # near-orthogonal synthetic corpus; see near_dup note
+SEM_MAX_CLUSTER = 256
+
+_SEM_CENTROIDS_CACHE: dict[str, list[list[float]]] = {}
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _SEM_CENTROIDS_CACHE:
+        _SEM_CENTROIDS_CACHE[sf_dir] = S.sample_centroids(embs, SEM_CENTROIDS)
+    return semantic_dedup(
+        embs,
+        _SEM_CENTROIDS_CACHE[sf_dir],
+        threshold=SEM_THRESHOLD,
+        max_cluster=SEM_MAX_CLUSTER,
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH {_QUANT_SQL},
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         q AS qc
+  FROM qe
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_CENTROIDS}
+),
+dterms AS (
+  SELECT e.vec_id, c.cell,
+    (e.q[i] - c.qc[i]) * (e.q[i] - c.qc[i]) AS t
+  FROM qe e, cent c, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+),
+dists AS (SELECT vec_id, cell, SUM(t) AS d FROM dterms GROUP BY vec_id, cell),
+assign AS (
+  SELECT vec_id, cell AS cluster FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM assign
+  ) WHERE rn <= {SEM_MAX_CLUSTER}
+),
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM members a JOIN members b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+qpairs AS (
+  SELECT cands.id_a, cands.id_b, a.q AS qa, b.q AS qb
+  FROM cands
+  JOIN qe a ON a.vec_id = cands.id_a
+  JOIN qe b ON b.vec_id = cands.id_b
+),
+qterms AS (
+  SELECT id_a, id_b,
+         qa[i] * qb[i] AS ab, qa[i] * qa[i] AS aa, qb[i] * qb[i] AS bb
+  FROM qpairs, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+),
+qsums AS (
+  SELECT id_a, id_b,
+         CAST(SUM(ab) AS BIGINT) AS dq,
+         CAST(SUM(aa) AS BIGINT) AS na,
+         CAST(SUM(bb) AS BIGINT) AS nb
+  FROM qterms GROUP BY id_a, id_b
+),
+dup_pairs AS (
+  SELECT id_a, id_b FROM qsums
+  WHERE CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        >= {SEM_THRESHOLD}
+),
+removed AS (
+  SELECT id_b AS vec_id, MIN(id_a) AS kept_by FROM dup_pairs GROUP BY id_b
+)
+SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+       CAST(CASE WHEN r.kept_by IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(COALESCE(r.kept_by, -1) AS BIGINT) AS kept_by
+FROM assign s LEFT JOIN removed r ON r.vec_id = s.vec_id
+"""
+
+
+# --------------------------------------------------------------- knn_graph --
+KNN_K = 3
+KNN_BANDS = 4
+KNN_MAX_BUCKET = 200
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(
+        embs,
+        k=KNN_K,
+        plane_matrix=_PLANES16,
+        bands=KNN_BANDS,
+        max_bucket=KNN_MAX_BUCKET,
+    )
+
+
+_KNN_GRAPH_SQL = f"""
+WITH {_sig_bands_sql(_PLANES16, bands=KNN_BANDS)},
+capped AS (
+  SELECT * FROM (
+    SELECT band, bkey, vec_id,
+           COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n
+    FROM banded
+  ) WHERE bucket_n BETWEEN 2 AND {KNN_MAX_BUCKET}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+),
+norms AS (
+  -- per-vector squared norms, hoisted out of the pair fan-out (twin of
+  -- the staged __n2 column)
+  SELECT vec_id, CAST(SUM(q[i] * q[i]) AS BIGINT) AS n2
+  FROM qe, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+  GROUP BY vec_id
+),
+qpairs AS (
+  SELECT cands.vec_id, cands.neighbor_id, a.q AS qa, b.q AS qb
+  FROM cands
+  JOIN qe a ON a.vec_id = cands.vec_id
+  JOIN qe b ON b.vec_id = cands.neighbor_id
+),
+qterms AS (
+  SELECT vec_id, neighbor_id, qa[i] * qb[i] AS ab
+  FROM qpairs, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+),
+qsums AS (
+  SELECT q.vec_id, q.neighbor_id,
+         CAST(SUM(q.ab) AS BIGINT) AS dq,
+         CAST(MIN(na.n2) AS BIGINT) AS na,
+         CAST(MIN(nb.n2) AS BIGINT) AS nb
+  FROM qterms q
+  JOIN norms na ON na.vec_id = q.vec_id
+  JOIN norms nb ON nb.vec_id = q.neighbor_id
+  GROUP BY q.vec_id, q.neighbor_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dq AS DOUBLE)
+                    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                    neighbor_id ASC
+         ) AS rank
+  FROM qsums
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# ------------------------------------------------------- quality_classifier --
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify_quality(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- int8_quantize --
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return int8_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------- length_buckets --
+# Padding-waste audit for fixed-length training batches: bucket documents
+# by ceil(tokens / 64) · 64 and report how many pad tokens a max-length
+# batcher would burn per bucket. Zero-shuffle projection + one
+# bounded-key hash agg.
+BUCKET_TOKENS = 64
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = (
+        F.expr(f"CAST((size(split(text, ' ')) + {BUCKET_TOKENS - 1}) "
+               f"DIV {BUCKET_TOKENS} AS BIGINT)") * BUCKET_TOKENS
+    )
+    agg = (
+        docs.select(bucket.alias("bucket_len"), tokens.alias("__t"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+        )
+    )
+    padded = F.col("bucket_len") * F.col("n_docs")
+    return agg.select(
+        "bucket_len",
+        "n_docs",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            F.lit(1e6)
+            * (
+                (padded - F.col("sum_tokens")).cast("double")
+                / padded.cast("double")
+            )
+        )
+        .cast("long")
+        .alias("waste_e6"),
+    )
+
+
+_LENGTH_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT CAST((len(string_split(text, ' ')) + {BUCKET_TOKENS - 1})
+              // {BUCKET_TOKENS} AS BIGINT) * {BUCKET_TOKENS} AS bucket_len,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS sum_tokens
+  FROM t GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs, sum_tokens,
+       CAST(bucket_len * n_docs AS BIGINT) AS padded_tokens,
+       CAST(round(CAST(1000000 AS DOUBLE)
+            * (CAST(bucket_len * n_docs - sum_tokens AS DOUBLE)
+               / CAST(bucket_len * n_docs AS DOUBLE))) AS BIGINT) AS waste_e6
+FROM agg
+"""
+
+
+# ------------------------------------------------------------ dataset_card --
+# The per-source summary table a data card ships with: volume, token
+# mass, language spread, exact-dup rate, mean length. Bounded-key aggs
+# only (|sources| rows); the fingerprint distinct is the one wide
+# shuffle and it carries a 32-byte hash, not the text.
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("__chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__t"),
+        F.md5(F.col("text").cast("binary")).alias("__fp"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("__fp")).alias("n_exact_dups"),
+        F.sum("__chars").alias("__sum_chars"),
+    )
+    lang_rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.col("__n").desc(), F.col("lang").asc()
+        )
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__rn", lang_rn)
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        agg.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "top_lang",
+            "n_exact_dups",
+            F.round(
+                F.lit(1e3)
+                * (
+                    F.col("__sum_chars").cast("double")
+                    / F.col("n_docs").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("mean_chars_e3"),
+        )
+    )
+
+
+_DATASET_CARD_SQL = """
+WITH base AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         md5(text) AS fp
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+         CAST(SUM(chars) AS BIGINT) AS sum_chars
+  FROM base GROUP BY source
+),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC
+    ) AS rn
+    FROM base GROUP BY source, lang
+  ) WHERE rn = 1
+)
+SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, t.top_lang, a.n_exact_dups,
+       CAST(round(CAST(1000 AS DOUBLE)
+            * (CAST(a.sum_chars AS DOUBLE) / CAST(a.n_docs AS DOUBLE))) AS BIGINT)
+         AS mean_chars_e3
+FROM agg a JOIN top_lang t ON t.source = a.source
+"""
+
+
+# --------------------------------------------------------- zscore_outliers --
+# Classic per-group anomaly flagging on the events stream: values ride
+# the shared DECIMAL(18,6) micro-unit grid, per-type moment sums are
+# EXACT (decimal(38,0) in Spark / HUGEINT in DuckDB — both exact
+# integers that cast to the identical double), and z is one identical
+# double expression in both engines. One bounded-key agg + one broadcast
+# join back; the event stream itself is never shuffled.
+Z_THRESHOLD_E3 = 2500  # |z| ≥ 2.5
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v_u6 = (
+        (F.col("value").cast("double").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+    )
+    base = events.select(
+        "event_id", "event_type", v_u6.alias("value_u6")
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value_u6").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            (F.col("value_u6") * F.col("value_u6")).cast("decimal(38,0)")
+        ).alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    msq = F.col("__s2").cast("double") / F.col("__n").cast("double")
+    enriched = base.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value_u6",
+        mean.alias("__mean"),
+        F.sqrt(msq - mean * mean).alias("__std"),
+    )
+    z_e3 = F.round(
+        F.lit(1e3)
+        * (
+            (F.col("value_u6").cast("double") - F.col("__mean"))
+            / F.col("__std")
+        )
+    ).cast("long")
+    return (
+        enriched.filter(F.col("__std") > 0)
+        .select("event_id", "event_type", "value_u6", z_e3.alias("z_e3"))
+        .filter(F.abs(F.col("z_e3")) >= Z_THRESHOLD_E3)
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           AS value_u6
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(value_u6) AS s, SUM(value_u6 * value_u6) AS s2
+  FROM base GROUP BY event_type
+),
+z AS (
+  SELECT b.event_id, b.event_type, b.value_u6,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+  FROM base b JOIN stats ON stats.event_type = b.event_type
+)
+SELECT event_id, event_type, value_u6,
+       CAST(round(CAST(1000 AS DOUBLE) * ((CAST(value_u6 AS DOUBLE) - mean) / std))
+            AS BIGINT) AS z_e3
+FROM z
+WHERE std > 0
+  AND abs(CAST(round(CAST(1000 AS DOUBLE) * ((CAST(value_u6 AS DOUBLE) - mean) / std))
+               AS BIGINT)) >= {Z_THRESHOLD_E3}
+"""
+
+
+ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semantic_dedup": q_semantic_dedup,
+    "knn_graph": q_knn_graph,
+    "quality_classifier": q_quality_classifier,
+    "int8_quantize": q_int8_quantize,
+    "length_buckets": q_length_buckets,
+    "dataset_card": q_dataset_card,
+    "zscore_outliers": q_zscore_outliers,
+}
+
+ANALYTICS_ORACLE: dict[str, str] = {
+    "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+    "knn_graph": _KNN_GRAPH_SQL,
+    "quality_classifier": classifier_sql(),
+    "int8_quantize": int8_audit_sql(),
+    "length_buckets": _LENGTH_BUCKETS_SQL,
+    "dataset_card": _DATASET_CARD_SQL,
+    "zscore_outliers": _ZSCORE_SQL,
+}

@@ -977,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast": q_forecast,
 }
 
+from .analytics_queries import ANALYTICS_ORACLE, ANALYTICS_QUERIES  # noqa: E402
 from .corpus_queries import CORPUS_ORACLE, CORPUS_QUERIES  # noqa: E402
 from .curation_queries import CURATION_ORACLE, CURATION_QUERIES  # noqa: E402
 from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
@@ -990,6 +991,7 @@ QUERIES.update(ETL_QUERIES)
 QUERIES.update(PIPELINE_QUERIES)
 QUERIES.update(CURATION_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
+QUERIES.update(ANALYTICS_QUERIES)
 
 ORACLE: dict[str, str] = {
     "disease_confidence": _DISEASE_CONFIDENCE_SQL,
@@ -1019,6 +1021,7 @@ ORACLE.update(ETL_ORACLE)
 ORACLE.update(PIPELINE_ORACLE)
 ORACLE.update(CURATION_ORACLE)
 ORACLE.update(CORPUS_ORACLE)
+ORACLE.update(ANALYTICS_ORACLE)
 
 
 # --------------------------------------------------------------------------
@@ -1046,6 +1049,8 @@ _CHECK_FIRST = [
     "etl_obs_choice", "pii_redact",
     "span_dedup", "doc_chunks", "mix_weights", "source_overlap",
     "json_props", "heavy_hitters",
+    "semantic_dedup", "knn_graph", "quality_classifier", "int8_quantize",
+    "length_buckets", "dataset_card", "zscore_outliers",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

@@ -1,0 +1,247 @@
+"""Round-3 analytics operators: semantic dedup, k-NN graph, hashed
+quality classifier, int8 quantization audit, length buckets, dataset
+card, z-score outliers — invariants, python-model twins, plan shapes."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from healthcare_aws_data_engineering_spark.operators.quality import (
+    INT8_LEVELS,
+    WEIGHT_SHIFT,
+    WEIGHT_SPAN,
+    classify_quality,
+    int8_audit,
+)
+from healthcare_aws_data_engineering_spark.operators.semdedup import (
+    knn_graph,
+    semantic_dedup,
+)
+from healthcare_aws_data_engineering_spark.operators.similarity import (
+    quantize_py,
+    rademacher_planes,
+)
+
+from conftest import n_exchanges, plan_string
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- quality classifier
+
+
+def _py_logit(text: str) -> tuple[int, int]:
+    ws = text.split(" ")
+    n = len(ws) - 1
+    if n <= 0:
+        return max(n, 0), 0
+    total = 0
+    for i in range(n):
+        bg = ws[i] + " " + ws[i + 1]
+        h = int(hashlib.md5(bg.encode()).hexdigest()[:8], 16)
+        total += (h % WEIGHT_SPAN) - WEIGHT_SHIFT
+    from decimal import ROUND_HALF_UP, Decimal
+
+    logit = int(
+        Decimal(repr(1e6 * (total / (float(WEIGHT_SHIFT) * n)))).quantize(
+            Decimal(1), ROUND_HALF_UP
+        )
+    )
+    return n, logit
+
+
+def test_classifier_matches_python_model(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "alpha beta gamma",
+        "one two",
+        "single",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logit_e6"], r["label"])
+        for r in classify_quality(df).collect()
+    }
+    for i, t in enumerate(texts):
+        n, logit = _py_logit(t)
+        assert got[i][0] == n, (t, got[i])
+        assert got[i][1] == logit, (t, got[i])
+        assert got[i][2] == (1 if logit > 0 else 0)
+
+
+def test_classifier_zero_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert n_exchanges(plan_string(classify_quality(docs))) == 0
+
+
+# ------------------------------------------------------------- int8 audit
+
+
+def test_int8_error_bound(spark):
+    """|255·(q−mn) − code·span| ≤ span/2 by the rounding definition."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = int8_audit(embs).collect()
+    assert len(rows) == embs.count()
+    for r in rows:
+        span = r["max_u6"] - r["min_u6"]
+        assert 0 <= r["max_err_255"] <= span / 2 + 1, dict(r.asDict())
+        assert r["sum_err_255"] >= r["max_err_255"]
+
+
+def test_int8_constant_vector_exact(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.25] * 8), Row(vec_id=2, embedding=[-0.1] * 8)]
+    )
+    for r in int8_audit(df).collect():
+        assert r["max_err_255"] == 0 and r["sum_err_255"] == 0
+        assert r["min_u6"] == r["max_u6"]
+
+
+def test_int8_zero_shuffle(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert n_exchanges(plan_string(int8_audit(embs))) == 0
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def _dup_corpus(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    clones = embs.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    return embs.unionByName(clones)
+
+
+def test_semantic_dedup_drops_exact_clones(spark):
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        sample_centroids,
+    )
+
+    corpus = _dup_corpus(spark)
+    cents = sample_centroids(corpus, 4)
+    out = semantic_dedup(corpus, cents, threshold=0.9).collect()
+    assert len(out) == corpus.count()
+    by_id = {r["vec_id"]: r for r in out}
+    for vid in range(5):
+        clone = by_id[vid + 10_000]
+        # identical vector ⇒ same cluster, cosine 1 ⇒ clone removed
+        assert clone["keep"] == 0
+        assert clone["kept_by"] == vid
+        assert by_id[vid]["cluster"] == clone["cluster"]
+    for r in out:
+        assert r["keep"] in (0, 1)
+        assert (r["kept_by"] == -1) == (r["keep"] == 1)
+        if r["keep"] == 0:
+            assert r["kept_by"] < r["vec_id"]
+
+
+# -------------------------------------------------------------- knn graph
+
+
+def test_knn_graph_clone_is_rank1(spark):
+    corpus = _dup_corpus(spark)
+    planes = rademacher_planes(16, 64)
+    g = knn_graph(corpus, k=3, plane_matrix=planes, bands=4).collect()
+    top = {
+        r["vec_id"]: r for r in g if r["rank"] == 1
+    }
+    for vid in range(5):
+        # clone pairs share every band → each is the other's top neighbor
+        assert top[vid]["neighbor_id"] == vid + 10_000
+        assert top[vid]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    for r in g:
+        assert 1 <= r["rank"] <= 3
+        assert r["neighbor_id"] != r["vec_id"]
+        assert r["cosine"] <= 1.0 + 1e-9
+
+
+def test_knn_graph_pair_stage_carries_no_vectors(spark):
+    """The banding/capping/dedup side of the plan must shuffle only ids —
+    the quantized array may appear ONLY in the staged index subtree
+    (joined back after candidate dedup)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planes = rademacher_planes(16, 64)
+    plan = plan_string(knn_graph(embs, k=3, plane_matrix=planes), "formatted")
+    tree = plan.split("\n\n(1)")[0]
+    import re
+
+    # every shuffle exchange row description that mentions band must not
+    # carry __q
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", tree):
+        assert "__q" not in m.group(1)
+
+
+# --------------------------------------------------- aggregate-style checks
+
+
+def test_length_buckets_bounds(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_length_buckets,
+    )
+
+    rows = q_length_buckets(spark, SF_DIR).collect()
+    docs_total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs_total
+    for r in rows:
+        assert r["bucket_len"] % 64 == 0 and r["bucket_len"] > 0
+        assert r["sum_tokens"] <= r["padded_tokens"]
+        assert 0 <= r["waste_e6"] < 1_000_000
+
+
+def test_dataset_card_consistency(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_dataset_card,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = q_dataset_card(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert r["top_lang"] in langs
+        assert 0 <= r["n_exact_dups"] < r["n_docs"]
+        assert r["n_langs"] >= 1
+
+
+def test_zscore_outliers_python_twin(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        Z_THRESHOLD_E3,
+        q_zscore_outliers,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for e in events:
+        by_type.setdefault(e["event_type"], []).append(
+            (e["event_id"], quantize_py(e["value"]))
+        )
+    expected = {}
+    for et, vals in by_type.items():
+        n = len(vals)
+        s = sum(v for _, v in vals)
+        s2 = sum(v * v for _, v in vals)
+        mean = s / n
+        var = s2 / n - mean * mean
+        std = math.sqrt(var)
+        if std <= 0:
+            continue
+        for eid, v in vals:
+            z = round(1000.0 * ((v - mean) / std))
+            if abs(z) >= Z_THRESHOLD_E3:
+                expected[eid] = (et, v, int(z))
+    got = {
+        r["event_id"]: (r["event_type"], r["value_u6"], r["z_e3"])
+        for r in q_zscore_outliers(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, exp in expected.items():
+        assert got[eid][0] == exp[0]
+        assert got[eid][1] == exp[1]
+        assert abs(got[eid][2] - exp[2]) <= 1  # float-order slack vs python
