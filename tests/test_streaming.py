@@ -215,3 +215,109 @@ def test_stateful_latest_equals_batch(spark, tmp_path):
         assert f.n_events == b.n_events, pid
         for a in analytes:
             assert getattr(f, a) == getattr(b, a), (pid, a)
+
+
+def test_session_window_stream_equals_batch_and_sessionize(spark, tmp_path):
+    """session_window on an availableNow stream == the batch session_window
+    == the independent lag→flag→cumsum sessionizer (three algorithms, one
+    semantics)."""
+    from healthcare_aws_data_engineering_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = str(tmp_path / "events_src_sess")
+    batch_events.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    agg = session_window_stats(stream, gap="30 minutes", watermark="1 hour")
+    run_available_now_to_memory(
+        agg, "sess_stats", str(tmp_path / "ckpt_sess"), output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stats").collect()
+    }
+    assert got, "stream emitted nothing"
+
+    batch = session_window_stats(
+        spark.read.parquet(src_dir), gap="30 minutes", streaming=False
+    )
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert expected[k] == v, k
+    # append mode may withhold sessions the watermark hasn't closed
+    assert len(got) >= len(expected) * 0.8
+
+    # cross-check against the independent batch sessionizer: same number
+    # of sessions and same per-session event counts per user
+    from healthcare_aws_data_engineering_spark.plans.pipeline_queries import (
+        sessionize,
+    )
+
+    sess = sessionize(batch_events, gap_ms=30 * 60 * 1000)
+    lag_counts = sorted(
+        (r.user_id, r.n_events) for r in sess.collect()
+    )
+    win_counts = sorted((u, n) for (u, _), (_, n) in expected.items())
+    assert lag_counts == win_counts
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the identical batch join
+    (inner joins emit only watermark-safe matches; everything emitted must
+    be in the batch result, and coverage must be substantial)."""
+    from healthcare_aws_data_engineering_spark.streaming.windows import (
+        correlated_events_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    t_first, t_second = sorted(types)[:2]
+    src_dir = str(tmp_path / "events_src_join")
+    events.write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src_dir)
+
+    joined = correlated_events_join(
+        stream().filter(F.col("event_type") == t_first),
+        stream().filter(F.col("event_type") == t_second),
+        max_gap_minutes=30,
+        watermark="1 hour",
+    )
+    run_available_now_to_memory(
+        joined, "ss_join", str(tmp_path / "ckpt_join"), output_mode="append"
+    )
+    got = {
+        (r.first_id, r.second_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    batch = spark.read.parquet(src_dir)
+    expected = {
+        (r.first_id, r.second_id)
+        for r in correlated_events_join(
+            batch.filter(F.col("event_type") == t_first),
+            batch.filter(F.col("event_type") == t_second),
+            max_gap_minutes=30,
+            streaming=False,
+        ).collect()
+    }
+    assert got, "stream join emitted nothing"
+    assert got <= expected
+    assert len(got) >= len(expected) * 0.8
