@@ -438,6 +438,271 @@ WHERE std > 0
 """
 
 
+# ------------------------------------------------------- curriculum_stages --
+# Curriculum assignment (easy→hard training order) WITHOUT a global
+# sort: exact quartile thresholds come from a bounded histogram of the
+# quality logit (201 buckets), cumulative counts in one tiny window, and
+# the per-doc stage is then a broadcast-threshold projection — the same
+# "histogram is the scale path" trade `hist_quantiles` documents, here
+# applied to NTILE. Buckets are shifted to a non-negative domain first so
+# integer division truncates identically in both engines.
+CURRICULUM_BUCKET = 10_000
+CURRICULUM_SHIFT = 1_000_000
+CURRICULUM_STAGES = 4
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bg, logit = quality_score(F.col("text"))
+    # Persisted score table: the histogram leg AND the final stage
+    # projection both read it — without persistence each re-runs the
+    # md5-bigram scoring HOF over the corpus (the expensive part). At
+    # cluster scale this materializes as the scored-corpus table.
+    logits = docs.select(F.col("doc_id"), logit.alias("logit_e6")).persist()
+    bucket = F.expr(
+        f"CAST((logit_e6 + {CURRICULUM_SHIFT}) DIV {CURRICULUM_BUCKET} AS BIGINT)"
+    )
+    hist = (
+        logits.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(W.partitionBy())
+    )
+    th = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * CURRICULUM_STAGES >= i * F.col("n"),
+                    F.col("b"),
+                )
+            ).alias(f"t{i}")
+            for i in range(1, CURRICULUM_STAGES)
+        ]
+    )
+    stage = (
+        F.lit(1)
+        + sum(
+            (bucket > F.col(f"t{i}")).cast("int")
+            for i in range(1, CURRICULUM_STAGES)
+        )
+    ).cast("int")
+    return logits.crossJoin(F.broadcast(th)).select(
+        "doc_id", "logit_e6", stage.alias("stage")
+    )
+
+
+def _curriculum_sql() -> str:
+    from ..operators.quality import classifier_sql
+
+    t_cols = ", ".join(
+        f"MIN(CASE WHEN cum * {CURRICULUM_STAGES} >= {i} * n THEN b END) AS t{i}"
+        for i in range(1, CURRICULUM_STAGES)
+    )
+    stage_expr = " + ".join(
+        f"(CASE WHEN (logit_e6 + {CURRICULUM_SHIFT}) // {CURRICULUM_BUCKET} > t{i} "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, CURRICULUM_STAGES)
+    )
+    return f"""
+WITH scored AS ({classifier_sql()}),
+logits AS (SELECT doc_id, logit_e6 FROM scored),
+hist AS (
+  SELECT (logit_e6 + {CURRICULUM_SHIFT}) // {CURRICULUM_BUCKET} AS b,
+         COUNT(*) AS c
+  FROM logits GROUP BY 1
+),
+cum AS (
+  SELECT b, SUM(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+th AS (SELECT {t_cols} FROM cum)
+SELECT doc_id, logit_e6,
+       CAST(1 + {stage_expr} AS INTEGER) AS stage
+FROM logits, th
+"""
+
+
+# --------------------------------------------------------------- eval_draw --
+# Deterministic fixed-K eval-set draw per source: rank by md5 of the id
+# (unbiased, engine-reproducible, no RNG state) and keep the first K of
+# each stratum. One bounded shuffle on source.
+EVAL_DRAW_K = 10
+
+
+def q_eval_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rn.alias("draw_rank"))
+        .filter(F.col("draw_rank") <= EVAL_DRAW_K)
+        .select("doc_id", "source", F.col("draw_rank").cast("int").alias("draw_rank"))
+    )
+
+
+_EVAL_DRAW_SQL = f"""
+SELECT doc_id, source, CAST(draw_rank AS INTEGER) AS draw_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS draw_rank
+  FROM documents
+)
+WHERE draw_rank <= {EVAL_DRAW_K}
+"""
+
+
+# ------------------------------------------------------------ drift_monitor --
+# Distribution-drift monitor: per (event_type, day), L1 distance between
+# the day's value histogram and the type's overall histogram. The L1
+# numerator is summed as EXACT integers (|n_db·n_t − n_b·n_d| over the
+# dense bin grid — missing bins count with n_db = 0) and divided ONCE at
+# the end, so no double-addition order can diverge between engines.
+# Scale shape: three bounded-key hash aggs + broadcast range/total joins;
+# the event stream is scanned once and never shuffled by row.
+DRIFT_BINS = 8
+
+
+def q_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v_u6 = (
+        (F.col("value").cast("double").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+    )
+    typed = events.select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        v_u6.alias("v"),
+    ).filter(F.col("v").isNotNull())
+    rng = typed.groupBy("event_type").agg(
+        F.min("v").alias("__mn"),
+        F.max("v").alias("__mx"),
+        F.count(F.lit(1)).alias("n_type"),
+    )
+    bin_col = F.least(
+        F.lit(DRIFT_BINS - 1),
+        F.expr(
+            f"CAST(((v - __mn) * {DRIFT_BINS}) DIV (__mx - __mn + 1) AS BIGINT)"
+        ),
+    )
+    binned = typed.join(F.broadcast(rng), "event_type").select(
+        "event_type", "day", bin_col.alias("bin")
+    )
+    cnt_db = binned.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).alias("n_db")
+    )
+    cnt_b = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    n_d = cnt_db.groupBy("event_type", "day").agg(
+        F.sum("n_db").alias("n_day")
+    )
+    dense = n_d.select(
+        "event_type",
+        "day",
+        "n_day",
+        F.explode(F.sequence(F.lit(0), F.lit(DRIFT_BINS - 1))).alias("bin"),
+    )
+    joined = (
+        dense.join(cnt_db, ["event_type", "day", "bin"], "left")
+        .join(cnt_b, ["event_type", "bin"], "left")
+        .join(F.broadcast(rng.select("event_type", "n_type")), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_day",
+            "n_type",
+            F.coalesce(F.col("n_db"), F.lit(0)).alias("n_db"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
+    )
+    num = F.abs(
+        F.col("n_db") * F.col("n_type") - F.col("n_b") * F.col("n_day")
+    )
+    return (
+        joined.groupBy("event_type", "day")
+        .agg(
+            F.max("n_day").alias("n_day"),
+            F.sum(num).alias("__num"),
+            F.max(F.col("n_day") * F.col("n_type")).alias("__den"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_day",
+            F.round(
+                F.lit(1e6)
+                * (F.col("__num").cast("double") / F.col("__den").cast("double"))
+            )
+            .cast("long")
+            .alias("l1_e6"),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH typed AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+),
+rng AS (
+  SELECT event_type, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n_type
+  FROM typed GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.day,
+         LEAST({DRIFT_BINS - 1}, ((t.v - r.mn) * {DRIFT_BINS}) // (r.mx - r.mn + 1)) AS bin
+  FROM typed t JOIN rng r ON r.event_type = t.event_type
+),
+cnt_db AS (
+  SELECT event_type, day, bin, COUNT(*) AS n_db
+  FROM binned GROUP BY event_type, day, bin
+),
+cnt_b AS (
+  SELECT event_type, bin, COUNT(*) AS n_b
+  FROM binned GROUP BY event_type, bin
+),
+n_d AS (
+  SELECT event_type, day, SUM(n_db) AS n_day FROM cnt_db
+  GROUP BY event_type, day
+),
+dense AS (
+  SELECT d.event_type, d.day, d.n_day, g.bin
+  FROM n_d d, (SELECT unnest(generate_series(0, {DRIFT_BINS - 1})) AS bin) g
+),
+joined AS (
+  SELECT de.event_type, de.day, de.n_day, r.n_type,
+         COALESCE(db.n_db, 0) AS n_db, COALESCE(cb.n_b, 0) AS n_b
+  FROM dense de
+  LEFT JOIN cnt_db db ON db.event_type = de.event_type
+                     AND db.day = de.day AND db.bin = de.bin
+  LEFT JOIN cnt_b cb ON cb.event_type = de.event_type AND cb.bin = de.bin
+  JOIN rng r ON r.event_type = de.event_type
+)
+SELECT event_type, day, CAST(MAX(n_day) AS BIGINT) AS n_day,
+       CAST(round(CAST(1000000 AS DOUBLE)
+            * (CAST(SUM(abs(n_db * n_type - n_b * n_day)) AS DOUBLE)
+               / CAST(MAX(n_day * n_type) AS DOUBLE))) AS BIGINT) AS l1_e6
+FROM joined
+GROUP BY event_type, day
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "knn_graph": q_knn_graph,
@@ -446,6 +711,9 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_buckets": q_length_buckets,
     "dataset_card": q_dataset_card,
     "zscore_outliers": q_zscore_outliers,
+    "curriculum_stages": q_curriculum_stages,
+    "eval_draw": q_eval_draw,
+    "drift_monitor": q_drift_monitor,
 }
 
 ANALYTICS_ORACLE: dict[str, str] = {
@@ -456,4 +724,7 @@ ANALYTICS_ORACLE: dict[str, str] = {
     "length_buckets": _LENGTH_BUCKETS_SQL,
     "dataset_card": _DATASET_CARD_SQL,
     "zscore_outliers": _ZSCORE_SQL,
+    "curriculum_stages": _curriculum_sql(),
+    "eval_draw": _EVAL_DRAW_SQL,
+    "drift_monitor": _DRIFT_SQL,
 }

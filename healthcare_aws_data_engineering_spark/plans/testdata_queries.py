@@ -1051,6 +1051,7 @@ _CHECK_FIRST = [
     "json_props", "heavy_hitters",
     "semantic_dedup", "knn_graph", "quality_classifier", "int8_quantize",
     "length_buckets", "dataset_card", "zscore_outliers",
+    "curriculum_stages", "eval_draw", "drift_monitor",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

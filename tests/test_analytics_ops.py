@@ -245,3 +245,71 @@ def test_zscore_outliers_python_twin(spark):
         assert got[eid][0] == exp[0]
         assert got[eid][1] == exp[1]
         assert abs(got[eid][2] - exp[2]) <= 1  # float-order slack vs python
+
+
+def test_curriculum_monotone_and_covering(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        CURRICULUM_STAGES,
+        q_curriculum_stages,
+    )
+
+    rows = q_curriculum_stages(spark, SF_DIR).collect()
+    docs_total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs_total
+    by_logit = sorted(rows, key=lambda r: (r["logit_e6"], r["doc_id"]))
+    stages = [r["stage"] for r in by_logit]
+    assert all(1 <= s <= CURRICULUM_STAGES for s in stages)
+    # stage is a monotone function of the logit
+    assert stages == sorted(stages)
+    # every stage is populated (histogram thresholds actually split)
+    assert set(stages) == set(range(1, CURRICULUM_STAGES + 1))
+
+
+def test_eval_draw_fixed_k_deterministic(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        EVAL_DRAW_K,
+        q_eval_draw,
+    )
+
+    r1 = sorted((r["source"], r["draw_rank"], r["doc_id"])
+                for r in q_eval_draw(spark, SF_DIR).collect())
+    r2 = sorted((r["source"], r["draw_rank"], r["doc_id"])
+                for r in q_eval_draw(spark, SF_DIR).collect())
+    assert r1 == r2  # no RNG state anywhere
+    from collections import Counter
+
+    per_source = Counter(s for s, _, _ in r1)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    source_sizes = {
+        r["source"]: r["n"] for r in
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, n in source_sizes.items():
+        assert per_source[s] == min(EVAL_DRAW_K, n)
+
+
+def test_drift_monitor_bounds_and_totals(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_drift_monitor,
+    )
+
+    rows = q_drift_monitor(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # L1 between two probability distributions is in [0, 2]
+        assert 0 <= r["l1_e6"] <= 2_000_000, dict(r.asDict())
+        assert r["n_day"] >= 1
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_type = {
+        r["event_type"]: r["n"] for r in
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_type_totals: dict[str, int] = {}
+    for r in rows:
+        got_type_totals[r["event_type"]] = (
+            got_type_totals.get(r["event_type"], 0) + r["n_day"]
+        )
+    assert got_type_totals == per_type
