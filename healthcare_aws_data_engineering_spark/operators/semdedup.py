@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
     _centroid_cell,
-    cosine_q,
     hyperplane_signature_q,
     quantize_vec,
 )
@@ -71,6 +70,11 @@ def semantic_dedup(
     assigned = staged.select(
         "vec_id",
         "__q",
+        F.aggregate(
+            F.transform(F.col("__q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ).alias("__n2"),
         _centroid_cell(F.col("__q"), centroids, exact=True).alias("cluster"),
     ).persist()
     rn = F.row_number().over(
@@ -82,6 +86,18 @@ def semantic_dedup(
     members = assigned.withColumn("__rn", rn).filter(
         F.col("__rn") <= max_cluster
     )
+    # One exact long dot per pair; the norm sums ride in from the staged
+    # assignment (same hoist as knn_graph — 3× less interpreted HOF work
+    # on the pair fan-out, identical doubles for the oracle).
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__q"), F.col("b.__q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("a.__n2").cast("double"))
+        * F.sqrt(F.col("b.__n2").cast("double"))
+    )
     pairs = (
         members.alias("a")
         .join(
@@ -92,7 +108,7 @@ def semantic_dedup(
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine_q(F.col("a.__q"), F.col("b.__q")).alias("__cos"),
+            sim.alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
     )

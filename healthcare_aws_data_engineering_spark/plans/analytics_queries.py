@@ -1,7 +1,10 @@
 """Round-3 driver queries (brief extensions; no reference counterpart):
 semantic dedup, k-NN graph, hashed-linear quality classifier, int8
 quantization audit, length-bucket padding audit, per-source dataset
-card, and z-score outlier detection.
+card, z-score outlier detection, histogram-threshold curriculum staging,
+fixed-K eval draws, distribution-drift monitoring, SCD2 dimension
+history, k-anonymity auditing, TPC-H Q3-shaped shipping priority,
+weekly cohort retention, and RFM segmentation.
 
 Every query emits only BIGINT / INTEGER / VARCHAR / exact-double cells
 (the r2 lesson: no DECIMAL / HUGEINT / NULL-bearing cells reach the
@@ -35,7 +38,10 @@ from .training_data_queries import (
 # SemDeDup (Abbas et al. 2023): coarse clusters via the md5-stratified
 # deterministic centroid sample (the same engine-replayable index build
 # as ann_ivf_topk), pairs only within a cluster, capped membership.
-SEM_CENTROIDS = 8
+# 16 cells halve the expected within-cluster pair fan-out vs 8 at equal
+# corpus size (pairs scale ~n²/cells); more cells = cheaper AND finer
+# semantic granularity, the standard SemDeDup tuning direction.
+SEM_CENTROIDS = 16
 SEM_THRESHOLD = 0.30  # near-orthogonal synthetic corpus; see near_dup note
 SEM_MAX_CLUSTER = 256
 
@@ -88,6 +94,13 @@ cands AS (
   FROM members a JOIN members b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 ),
+norms AS (
+  -- per-vector squared norms, hoisted out of the pair fan-out (twin of
+  -- the staged __n2 column)
+  SELECT vec_id, CAST(SUM(q[i] * q[i]) AS BIGINT) AS n2
+  FROM qe, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+  GROUP BY vec_id
+),
 qpairs AS (
   SELECT cands.id_a, cands.id_b, a.q AS qa, b.q AS qb
   FROM cands
@@ -95,16 +108,18 @@ qpairs AS (
   JOIN qe b ON b.vec_id = cands.id_b
 ),
 qterms AS (
-  SELECT id_a, id_b,
-         qa[i] * qb[i] AS ab, qa[i] * qa[i] AS aa, qb[i] * qb[i] AS bb
+  SELECT id_a, id_b, qa[i] * qb[i] AS ab
   FROM qpairs, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
 ),
 qsums AS (
-  SELECT id_a, id_b,
-         CAST(SUM(ab) AS BIGINT) AS dq,
-         CAST(SUM(aa) AS BIGINT) AS na,
-         CAST(SUM(bb) AS BIGINT) AS nb
-  FROM qterms GROUP BY id_a, id_b
+  SELECT q.id_a, q.id_b,
+         CAST(SUM(q.ab) AS BIGINT) AS dq,
+         CAST(MIN(na.n2) AS BIGINT) AS na,
+         CAST(MIN(nb.n2) AS BIGINT) AS nb
+  FROM qterms q
+  JOIN norms na ON na.vec_id = q.id_a
+  JOIN norms nb ON nb.vec_id = q.id_b
+  GROUP BY q.id_a, q.id_b
 ),
 dup_pairs AS (
   SELECT id_a, id_b FROM qsums
@@ -452,15 +467,18 @@ CURRICULUM_STAGES = 4
 
 
 def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality import quality_score
+    from ..operators.quality import quality_score, tokens_staged
 
     docs = load_table(spark, sf_dir, "documents")
-    n_bg, logit = quality_score(F.col("text"))
+    staged = docs.select(
+        "doc_id", tokens_staged(F.col("text")).alias("__ws")
+    )
+    n_bg, logit = quality_score(F.col("__ws"))
     # Persisted score table: the histogram leg AND the final stage
     # projection both read it — without persistence each re-runs the
     # md5-bigram scoring HOF over the corpus (the expensive part). At
     # cluster scale this materializes as the scored-corpus table.
-    logits = docs.select(F.col("doc_id"), logit.alias("logit_e6")).persist()
+    logits = staged.select(F.col("doc_id"), logit.alias("logit_e6")).persist()
     bucket = F.expr(
         f"CAST((logit_e6 + {CURRICULUM_SHIFT}) DIV {CURRICULUM_BUCKET} AS BIGINT)"
     )
@@ -703,6 +721,269 @@ GROUP BY event_type, day
 """
 
 
+# ------------------------------------------------------------ scd2_history --
+# SCD type-2 dimension history on the customer table: the snapshot is
+# version 1 (T0); a deterministic ~19% of customers (md5 first hex digit
+# 0-2) get a segment change at T1. The operator builds the validity
+# intervals; see operators/scd.py for the scale shape.
+SCD_T0_MS = 1_577_836_800_000  # 2020-01-01T00:00:00Z
+SCD_T1_MS = 1_609_459_200_000  # 2021-01-01T00:00:00Z
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer")
+    snap = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(SCD_T0_MS).cast("long").alias("effective_ms"),
+    )
+    updated = cust.filter(
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 1
+        ).isin("0", "1", "2")
+    ).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+        F.lit(SCD_T1_MS).cast("long").alias("effective_ms"),
+    )
+    return scd2_history(
+        snap.unionByName(updated), ["c_custkey"], "effective_ms"
+    )
+
+
+def _scd2_sql() -> str:
+    from ..operators.scd import SCD_OPEN_MS
+
+    return f"""
+WITH versions AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST({SCD_T0_MS} AS BIGINT) AS effective_ms
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2' AS c_mktsegment,
+         CAST({SCD_T1_MS} AS BIGINT) AS effective_ms
+  FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+),
+hist AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(effective_ms AS BIGINT) AS valid_from,
+         CAST(COALESCE(
+           LEAD(effective_ms) OVER (PARTITION BY c_custkey
+                                    ORDER BY effective_ms ASC),
+           {SCD_OPEN_MS}) AS BIGINT) AS valid_to
+  FROM versions
+)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+       CAST(CASE WHEN valid_to = {SCD_OPEN_MS} THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM hist
+"""
+
+
+# ------------------------------------------------------------- k_anonymity --
+# k=10 keeps the violation set non-empty from sf0.001 up (min group
+# size at sf0.01 is 5) — a vacuously-empty privacy audit checks nothing.
+K_ANON = 10
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=K_ANON)
+
+
+_K_ANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_n
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < {K_ANON}
+"""
+
+
+# -------------------------------------------------------- shipping_priority --
+# TPC-H Q3-shaped three-way join: segment-filtered customers ⨝ orders ⨝
+# lineitem, revenue per open order, top 10. The star side (customer)
+# broadcasts; lineitem↔orders is the one big shuffle join; TakeOrdered
+# replaces a global sort for the top-k.
+SHIP_CUTOFF = "1997-07-01"
+SHIP_SEGMENT = "BUILDING"
+SHIP_TOP_K = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sqlsum import dsum
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SHIP_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(SHIP_TOP_K)
+    )
+
+
+def _shipping_sql() -> str:
+    from .sqlsum import _dsum
+
+    return f"""
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{SHIP_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{SHIP_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT {SHIP_TOP_K}
+"""
+
+
+# --------------------------------------------------------- cohort_retention --
+# Weekly cohort retention on the events stream: cohort = the user's
+# first-activity week, age = weeks since cohort; cell = distinct active
+# users. Weeks are pure integer math on epoch millis (no calendar/WEEK
+# semantics to disagree on). Two user-keyed shuffles (first-week agg +
+# join back) and one bounded (cohort, age) distinct-count.
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wk = F.expr("CAST((unix_millis(ts) DIV 86400000) DIV 7 AS BIGINT)")
+    base = events.select("user_id", "event_type", wk.alias("wk"))
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        base.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"),
+        )
+        .groupBy("cohort_wk", "age_weeks", "event_type")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH base AS (
+  SELECT user_id, event_type,
+         (CAST(epoch_ms(ts) AS BIGINT) // 86400000) // 7 AS wk
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY user_id
+)
+SELECT c.cohort_wk, b.wk - c.cohort_wk AS age_weeks, b.event_type,
+       CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_active_users
+FROM base b JOIN cohort c ON c.user_id = b.user_id
+GROUP BY c.cohort_wk, b.wk - c.cohort_wk, b.event_type
+"""
+
+
+# ------------------------------------------------------------ rfm_segments --
+# RFM customer segmentation with FIXED literal thresholds (scale-free: no
+# global quantile pass; thresholds chosen from the corpus profile and
+# identical in both engines). One customer-keyed agg, then a projection.
+RFM_R2_DATE = "1998-01-01"
+RFM_R3_DATE = "2000-01-01"
+RFM_F2 = 8
+RFM_F3 = 11
+RFM_M2 = 2_050_000.0
+RFM_M3 = 2_800_000.0
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sqlsum import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    r = (
+        F.when(F.col("__last") >= F.lit(RFM_R3_DATE).cast("timestamp"), 3)
+        .when(F.col("__last") >= F.lit(RFM_R2_DATE).cast("timestamp"), 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= RFM_F3, 3)
+        .when(F.col("frequency") >= RFM_F2, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary") >= RFM_M3, 3)
+        .when(F.col("monetary") >= RFM_M2, 2)
+        .otherwise(1)
+    )
+    return agg.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("frequency"),
+        F.col("monetary"),
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        (r * 100 + f * 10 + m).cast("int").alias("segment"),
+    )
+
+
+def _rfm_sql() -> str:
+    from .sqlsum import _dsum
+
+    return f"""
+WITH agg AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {_dsum("o_totalprice")} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c_custkey, frequency, monetary,
+    CASE WHEN last_order >= TIMESTAMP '{RFM_R3_DATE}' THEN 3
+         WHEN last_order >= TIMESTAMP '{RFM_R2_DATE}' THEN 2 ELSE 1 END AS r_score,
+    CASE WHEN frequency >= {RFM_F3} THEN 3
+         WHEN frequency >= {RFM_F2} THEN 2 ELSE 1 END AS f_score,
+    CASE WHEN monetary >= {RFM_M3} THEN 3
+         WHEN monetary >= {RFM_M2} THEN 2 ELSE 1 END AS m_score
+  FROM agg
+)
+SELECT c_custkey, frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment
+FROM scored
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "knn_graph": q_knn_graph,
@@ -714,6 +995,11 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_stages": q_curriculum_stages,
     "eval_draw": q_eval_draw,
     "drift_monitor": q_drift_monitor,
+    "scd2_history": q_scd2_history,
+    "k_anonymity": q_k_anonymity,
+    "shipping_priority": q_shipping_priority,
+    "cohort_retention": q_cohort_retention,
+    "rfm_segments": q_rfm_segments,
 }
 
 ANALYTICS_ORACLE: dict[str, str] = {
@@ -727,4 +1013,9 @@ ANALYTICS_ORACLE: dict[str, str] = {
     "curriculum_stages": _curriculum_sql(),
     "eval_draw": _EVAL_DRAW_SQL,
     "drift_monitor": _DRIFT_SQL,
+    "scd2_history": _scd2_sql(),
+    "k_anonymity": _K_ANON_SQL,
+    "shipping_priority": _shipping_sql(),
+    "cohort_retention": _COHORT_SQL,
+    "rfm_segments": _rfm_sql(),
 }

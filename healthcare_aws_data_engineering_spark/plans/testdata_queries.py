@@ -71,21 +71,7 @@ _QUAL_SQL = """CASE
       ELSE 'neg' END"""
 
 
-def _dsum(expr: str, scale: int = 6) -> str:
-    """SQL fragment: order-independent exact sum of a per-row double expr.
-
-    Scale 6 because every per-row expression here is a product of ≤3
-    two-decimal factors — exactly representable at 6 decimals, and the double
-    sits far closer to that 6-dp value than to any rounding midpoint, so both
-    engines' double→decimal casts agree. (Higher scales run into the engines'
-    differing shortest-repr vs exact-binary cast digits.)
-    """
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
-
-
-def dsum(col: F.Column, scale: int = 6) -> F.Column:
-    """Spark twin of :func:`_dsum`."""
-    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+from .sqlsum import _dsum, dsum  # noqa: E402,F401  (shared; see sqlsum.py)
 
 
 # --------------------------------------------------------------------------
@@ -1052,6 +1038,8 @@ _CHECK_FIRST = [
     "semantic_dedup", "knn_graph", "quality_classifier", "int8_quantize",
     "length_buckets", "dataset_card", "zscore_outliers",
     "curriculum_stages", "eval_draw", "drift_monitor",
+    "scd2_history", "k_anonymity",
+    "shipping_priority", "cohort_retention", "rfm_segments",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

@@ -35,7 +35,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _py_logit(text: str) -> tuple[int, int]:
-    ws = text.split(" ")
+    from healthcare_aws_data_engineering_spark.operators.quality import (
+        CLS_MAX_TOKENS,
+    )
+
+    ws = text.split(" ")[:CLS_MAX_TOKENS]
     n = len(ws) - 1
     if n <= 0:
         return max(n, 0), 0
@@ -313,3 +317,115 @@ def test_drift_monitor_bounds_and_totals(spark):
             got_type_totals.get(r["event_type"], 0) + r["n_day"]
         )
     assert got_type_totals == per_type
+
+
+def test_scd2_intervals_partition_time(spark):
+    from healthcare_aws_data_engineering_spark.operators.scd import SCD_OPEN_MS
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        SCD_T0_MS,
+        SCD_T1_MS,
+        q_scd2_history,
+    )
+
+    rows = q_scd2_history(spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert len(by_key) == n_cust
+    n_updated = 0
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["valid_to"] == SCD_OPEN_MS
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # seamless history
+        if len(vs) == 2:
+            n_updated += 1
+            assert vs[0]["valid_from"] == SCD_T0_MS
+            assert vs[1]["valid_from"] == SCD_T1_MS
+            assert vs[1]["c_mktsegment"].endswith("_V2")
+        else:
+            assert len(vs) == 1
+    assert 0 < n_updated < n_cust  # the md5 subset is real and proper
+
+
+def test_k_anonymity_flags_exactly_small_groups(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        K_ANON,
+        q_k_anonymity,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    true_counts = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["group_n"]
+        for r in q_k_anonymity(spark, SF_DIR).collect()
+    }
+    expected = {k: n for k, n in true_counts.items() if n < K_ANON}
+    assert got == expected
+
+
+def test_shipping_priority_topk_shape(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        SHIP_CUTOFF,
+        SHIP_TOP_K,
+        q_shipping_priority,
+    )
+
+    rows = q_shipping_priority(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= SHIP_TOP_K
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(SHIP_CUTOFF)
+    for r in rows:
+        assert r["o_orderdate"] < cutoff
+        assert r["revenue"] > 0
+
+
+def test_rfm_segments_consistency(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_rfm_segments,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    rows = q_rfm_segments(spark, SF_DIR).collect()
+    assert len(rows) == orders.select("o_custkey").distinct().count()
+    for r in rows:
+        for s in (r["r_score"], r["f_score"], r["m_score"]):
+            assert s in (1, 2, 3)
+        assert r["segment"] == 100 * r["r_score"] + 10 * r["f_score"] + r["m_score"]
+        assert r["frequency"] >= 1 and r["monetary"] > 0
+
+
+def test_cohort_retention_python_twin(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_cohort_retention,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", F.expr("unix_millis(ts)").alias("ms")
+    ).collect()
+    wk = {}
+    rows_by_user: dict[int, list] = {}
+    for e in events:
+        w = (e["ms"] // 86400000) // 7
+        rows_by_user.setdefault(e["user_id"], []).append((e["event_type"], w))
+    expected: dict[tuple, set] = {}
+    for uid, evs in rows_by_user.items():
+        c = min(w for _, w in evs)
+        for et, w in evs:
+            expected.setdefault((c, w - c, et), set()).add(uid)
+    got = {
+        (r["cohort_wk"], r["age_weeks"], r["event_type"]): r["n_active_users"]
+        for r in q_cohort_retention(spark, SF_DIR).collect()
+    }
+    assert got == {k: len(v) for k, v in expected.items()}

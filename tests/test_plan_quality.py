@@ -187,3 +187,46 @@ def test_etl_observations_linear_flow(spark):
     assert "Window" not in tree, tree
     assert "Generate" in tree, tree  # the explode_outer leg
     assert _n_exchanges(plan) <= 3, plan
+
+
+def test_drift_monitor_broadcasts_range_and_totals(spark):
+    """The per-type range/total tables (bounded-key aggs) must broadcast
+    into the binning projection and the final join — the event stream is
+    never shuffled row-wise by a SortMergeJoin against them."""
+    plan = _plan(spark, "drift_monitor")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # no sort-merge join anywhere: every join keys on bounded-cardinality
+    # derived tables
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_eval_draw_single_bounded_shuffle(spark):
+    """Fixed-K draw: one hash exchange on source (the window), nothing
+    else."""
+    plan = _plan(spark, "eval_draw")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_length_buckets_partial_agg(spark):
+    """Bucket rollup must partial-aggregate map-side before its single
+    shuffle."""
+    plan = _plan(spark, "length_buckets")
+    assert _n_exchanges(plan) == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """Within-cluster pairing must be an equi-join on cluster (plus the
+    id inequality as a join filter) — never a cartesian/nested-loop."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_graph_no_cartesian_and_id_only_pair_shuffles(spark):
+    plan = _plan(spark, "knn_graph")
+    assert "CartesianProduct" not in plan, plan
+    # banding/pair exchanges must not carry the quantized vector
+    tree = plan.split("\n\n(1)")[0]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", tree):
+        assert "__q" not in m.group(1), m.group(0)
