@@ -114,3 +114,127 @@ def dup_clusters(
         "cluster_size",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------- pagerank --
+
+PR_GRID = 1_000_000_000_000  # 1e12: rank mass rides an integer grid
+PR_DAMP_PCT = 85
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank on an EXACT integer grid: total mass
+    :data:`PR_GRID` is split uniformly, each iteration moves
+    ``rank DIV out_degree`` along every edge (integer floor — the
+    remainder stays with the node implicitly via the damping base term),
+    dangling mass redistributes uniformly, and damping is integer
+    ``85/100``. Every operation is BIGINT add/div on non-negative
+    values, so the result is bit-identical in any engine and independent
+    of aggregation order — no float mass anywhere.
+
+    Fixed ``n_iter`` (not convergence-tested) keeps the plan static and
+    the SQL oracle an unrolled CTE chain; 3 iterations is the standard
+    "influence score" depth for corpus-graph weighting, not a numeric
+    fixpoint claim.
+
+    Scale shape per iteration: one edges⋈ranks shuffle join on ``src``
+    (the same partitioning every round — Spark reuses the exchange), one
+    hash agg on ``dst``, one broadcast of the O(1) dangling aggregate.
+    ``localCheckpoint`` would be needed past ~10 iterations (see
+    :func:`connected_components`); at 3 the lineage stays shallow.
+
+    Output: one row per vertex, ``(id, rank_u12)`` — BIGINT grid units
+    summing to ≈ PR_GRID (floor losses are deterministic).
+    """
+    n = vertices.count()  # bounded driver scalar: graph cardinality
+    init = PR_GRID // n
+    base = ((100 - PR_DAMP_PCT) * PR_GRID // n) // 100
+    out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = vertices.select(
+        F.col(id_col).alias("id"), F.lit(init).cast("long").alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["id"])
+            .join(out_deg, src_col)
+            .select(
+                F.col(dst_col).alias("id"),
+                F.expr("CAST(rank DIV __deg AS BIGINT)").alias("__c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        dang = (
+            ranks.join(
+                out_deg, ranks["id"] == out_deg[src_col], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"CAST(({PR_DAMP_PCT} * (COALESCE(__in, 0)"
+                        f" + __dang DIV {n})) DIV 100 AS BIGINT)"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("id").alias(id_col), F.col("rank").alias("rank_u12"))
+
+
+def pagerank_sql(
+    vertices_sql: str,
+    edges_sql: str,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed iterations unroll into
+    a CTE chain performing the identical integer arithmetic. The caller
+    embeds this after its own WITH-chain (vertices/edges CTEs)."""
+    frags = [
+        f"""pr_n AS (SELECT COUNT(*) AS n FROM ({vertices_sql})),
+pr_deg AS (SELECT src, COUNT(*) AS deg FROM ({edges_sql}) GROUP BY src),
+pr_r0 AS (
+  SELECT {id_col} AS id,
+         CAST({PR_GRID} // (SELECT n FROM pr_n) AS BIGINT) AS rank
+  FROM ({vertices_sql})
+)"""
+    ]
+    for i in range(n_iter):
+        frags.append(
+            f"""pr_c{i} AS (
+  SELECT e.dst AS id, SUM(r.rank // d.deg) AS in_mass
+  FROM ({edges_sql}) e
+  JOIN pr_r{i} r ON r.id = e.src
+  JOIN pr_deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr_d{i} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dang FROM pr_r{i}
+  WHERE id NOT IN (SELECT src FROM pr_deg)
+),
+pr_r{i + 1} AS (
+  SELECT r.id,
+         CAST((({100 - PR_DAMP_PCT} * {PR_GRID} // (SELECT n FROM pr_n)) // 100)
+              + (({PR_DAMP_PCT} * (COALESCE(c.in_mass, 0)
+                  + (SELECT dang FROM pr_d{i}) // (SELECT n FROM pr_n))) // 100)
+           AS BIGINT) AS rank
+  FROM pr_r{i} r LEFT JOIN pr_c{i} c ON c.id = r.id
+)"""
+        )
+    return ",\n".join(frags) + f"""
+SELECT id AS {id_col}, rank AS rank_u12 FROM pr_r{n_iter}
+"""

@@ -153,8 +153,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_GRAPH_SQL = f"""
-WITH {_sig_bands_sql(_PLANES16, bands=KNN_BANDS)},
+_KNN_CTES = f"""{_sig_bands_sql(_PLANES16, bands=KNN_BANDS)},
 capped AS (
   SELECT * FROM (
     SELECT band, bkey, vec_id,
@@ -205,6 +204,10 @@ ranked AS (
          ) AS rank
   FROM qsums
 )
+"""
+
+_KNN_GRAPH_SQL = f"""
+WITH {_KNN_CTES}
 SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {KNN_K}
 """
@@ -984,6 +987,51 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------- graph_pagerank --
+# Corpus-influence scores: PageRank over the approximate k-NN graph
+# (integer-grid power iteration — see operators/graph.py::pagerank for
+# the exactness and scale arguments). The edge list is the index-build
+# artifact, persisted once; the oracle replays knn + 3 unrolled
+# iterations with the identical BIGINT arithmetic.
+PR_ITER = 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(
+            embs,
+            k=KNN_K,
+            plane_matrix=_PLANES16,
+            bands=KNN_BANDS,
+            max_bucket=KNN_MAX_BUCKET,
+        )
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .persist()
+    )
+    return pagerank(embs, edges, n_iter=PR_ITER)
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return (
+        # MATERIALIZED: the edge list is referenced by pr_deg and by every
+        # unrolled iteration — without the hint DuckDB re-inlines (and
+        # re-computes) the whole knn chain per reference (20.8s → 0.8s).
+        f"WITH {_KNN_CTES},\n"
+        f"knn_edges AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst "
+        f"FROM ranked WHERE rank <= {KNN_K}),\n"
+        + pagerank_sql(
+            "SELECT vec_id FROM embeddings",
+            "SELECT src, dst FROM knn_edges",
+            n_iter=PR_ITER,
+        )
+    )
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "knn_graph": q_knn_graph,
@@ -1000,6 +1048,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "cohort_retention": q_cohort_retention,
     "rfm_segments": q_rfm_segments,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ANALYTICS_ORACLE: dict[str, str] = {
@@ -1018,4 +1067,5 @@ ANALYTICS_ORACLE: dict[str, str] = {
     "shipping_priority": _shipping_sql(),
     "cohort_retention": _COHORT_SQL,
     "rfm_segments": _rfm_sql(),
+    "graph_pagerank": _pagerank_oracle(),
 }

@@ -86,3 +86,51 @@ def test_dup_clusters_keeper_and_size(spark):
     assert not rows[11].is_keeper and rows[11].cluster_id == 10
     assert rows[30].is_keeper and rows[30].cluster_size == 2
     assert not rows[31].is_keeper and rows[31].cluster_id == 30
+
+
+def test_pagerank_python_twin(spark):
+    from pyspark.sql import Row
+
+    from healthcare_aws_data_engineering_spark.operators.graph import (
+        PR_DAMP_PCT,
+        PR_GRID,
+        pagerank,
+    )
+
+    vertices = spark.createDataFrame([Row(vec_id=i) for i in range(4)])
+    edge_list = [(0, 1), (1, 2), (2, 0), (0, 2)]  # node 3 dangling
+    edges = spark.createDataFrame([Row(src=s, dst=d) for s, d in edge_list])
+    got = {
+        r["vec_id"]: r["rank_u12"]
+        for r in pagerank(vertices, edges, n_iter=3).collect()
+    }
+    n = 4
+    base = ((100 - PR_DAMP_PCT) * PR_GRID // n) // 100
+    deg = {0: 2, 1: 1, 2: 1}
+    ranks = {i: PR_GRID // n for i in range(n)}
+    for _ in range(3):
+        contrib: dict[int, int] = {}
+        for s, d in edge_list:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // deg[s]
+        dang = sum(r for i, r in ranks.items() if i not in deg)
+        ranks = {
+            i: base + (PR_DAMP_PCT * (contrib.get(i, 0) + dang // n)) // 100
+            for i in range(n)
+        }
+    assert got == ranks
+
+
+def test_pagerank_mass_conserved(spark):
+    from healthcare_aws_data_engineering_spark.operators.graph import (
+        PR_GRID,
+    )
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_graph_pagerank,
+    )
+
+    rows = q_graph_pagerank(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["rank_u12"] for r in rows)
+    # floor losses only: mass never grows, and per-step loss is bounded
+    assert total <= PR_GRID
+    assert total >= int(PR_GRID * 0.85)
+    assert all(r["rank_u12"] > 0 for r in rows)
