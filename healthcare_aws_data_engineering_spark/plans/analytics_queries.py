@@ -1032,6 +1032,118 @@ def _pagerank_oracle() -> str:
     )
 
 
+# ------------------------------------------------------------- fuzzy_match --
+# Entity resolution across a clean and a dirty key source: ~31% of
+# customer names get one md5-positioned character deleted, then the
+# deletion-neighborhood fuzzy join recovers candidate matches with an
+# exact Levenshtein verify. See operators/fuzzy.py for the scale story.
+FUZZY_MAX_DIST = 1
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = (h % F.length(F.col("c_name"))) + 1
+    dirty = F.concat(
+        F.col("c_name").substr(F.lit(1), pos - F.lit(1)),
+        F.col("c_name").substr(pos + F.lit(1), F.length(F.col("c_name"))),
+    )
+    return cust.filter(
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 1
+        ).isin("0", "1", "2", "3", "4")
+    ).select(
+        F.col("c_custkey").alias("id"), dirty.alias("key")
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_join
+
+    clean = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
+    )
+    return fuzzy_join(
+        clean, _dirty_customers(spark, sf_dir), max_dist=FUZZY_MAX_DIST
+    )
+
+
+def _fuzzy_sql() -> str:
+    from ..operators.fuzzy import fuzzy_join_sql
+
+    dirty = """
+SELECT c_custkey AS id,
+       substr(c_name, 1,
+              CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % length(c_name) AS BIGINT)) ||
+       substr(c_name,
+              CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % length(c_name) AS BIGINT) + 2) AS key
+FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3','4')
+"""
+    clean = "SELECT c_custkey AS id, c_name AS key FROM customer"
+    return fuzzy_join_sql(clean, dirty, max_dist=FUZZY_MAX_DIST)
+
+
+# --------------------------------------------------------- debounce_events --
+# Retry-storm hygiene: collapse each burst of same-user events with
+# ≤ 12-hour gaps to its first event (12 h ≈ this corpus's knee: 10k
+# events → 3.3k kept at sf0.01, so the collapse path is substantive
+# under the value hash). Transitive (a storm longer than the gap still
+# collapses to ONE row) — the naive lag-only filter gets that wrong;
+# same single-shuffle shape as sessionize.
+DEBOUNCE_GAP_MS = 12 * 3600 * 1000
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import debounce
+
+    events = load_table(spark, sf_dir, "events")
+    return debounce(
+        events.select("event_id", "user_id", "event_type", "ts"),
+        gap_ms=DEBOUNCE_GAP_MS,
+        key_cols=["user_id"],
+    ).select("event_id", "user_id", "event_type", "burst_seq")
+
+
+_DEBOUNCE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ms(ts) AS BIGINT) AS ms
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > {DEBOUNCE_GAP_MS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+b AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS burst
+  FROM f
+)
+SELECT event_id, user_id, event_type, CAST(burst AS BIGINT) AS burst_seq
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, burst ORDER BY ms, event_id
+  ) AS rn
+  FROM b
+)
+WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "knn_graph": q_knn_graph,
@@ -1049,6 +1161,8 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "rfm_segments": q_rfm_segments,
     "graph_pagerank": q_graph_pagerank,
+    "fuzzy_match": q_fuzzy_match,
+    "debounce_events": q_debounce_events,
 }
 
 ANALYTICS_ORACLE: dict[str, str] = {
@@ -1068,4 +1182,6 @@ ANALYTICS_ORACLE: dict[str, str] = {
     "cohort_retention": _COHORT_SQL,
     "rfm_segments": _rfm_sql(),
     "graph_pagerank": _pagerank_oracle(),
+    "fuzzy_match": _fuzzy_sql(),
+    "debounce_events": _DEBOUNCE_SQL,
 }

@@ -1040,7 +1040,7 @@ _CHECK_FIRST = [
     "curriculum_stages", "eval_draw", "drift_monitor",
     "scd2_history", "k_anonymity",
     "shipping_priority", "cohort_retention", "rfm_segments",
-    "graph_pagerank",
+    "graph_pagerank", "fuzzy_match", "debounce_events",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

@@ -429,3 +429,79 @@ def test_cohort_retention_python_twin(spark):
         for r in q_cohort_retention(spark, SF_DIR).collect()
     }
     assert got == {k: len(v) for k, v in expected.items()}
+
+
+def test_fuzzy_join_dist1_exact_recall(spark):
+    from healthcare_aws_data_engineering_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, key="alpha"), Row(id=2, key="beta"), Row(id=3, key="gamma")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(id=10, key="alpha"),   # exact
+            Row(id=11, key="alpa"),    # deletion
+            Row(id=12, key="betta"),   # insertion
+            Row(id=13, key="gamna"),   # substitution
+            Row(id=14, key="gmmaa"),   # dist 2 — must NOT match
+        ]
+    )
+    pairs = {
+        (r["left_id"], r["right_id"], r["dist"])
+        for r in fuzzy_join(left, right, max_dist=1).collect()
+    }
+    assert (1, 10, 0) in pairs
+    assert (1, 11, 1) in pairs
+    assert (2, 12, 1) in pairs
+    assert (3, 13, 1) in pairs
+    assert not any(r == 14 for (_, r, _) in pairs)
+
+
+def test_fuzzy_match_recovers_corrupted_names(spark):
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        q_fuzzy_match,
+    )
+
+    rows = q_fuzzy_match(spark, SF_DIR).collect()
+    assert rows
+    # every dirty customer's own original must be among its matches at
+    # dist exactly 1 (pure single-deletion corruption)
+    self_pairs = {
+        (r["left_id"], r["right_id"]): r["dist"]
+        for r in rows
+        if r["left_id"] == r["right_id"]
+    }
+    from healthcare_aws_data_engineering_spark.plans.analytics_queries import (
+        _dirty_customers,
+    )
+
+    n_dirty = _dirty_customers(spark, SF_DIR).count()
+    assert len(self_pairs) == n_dirty
+    assert all(d == 1 for d in self_pairs.values())
+
+
+def test_debounce_transitive_chain(spark):
+    """Events 0,40,80,120 min apart pairwise ≤ 60-min gap must collapse
+    to ONE row even though the chain spans > gap — the lag-only filter
+    would wrongly keep a middle row... actually keeps all-after-gap;
+    transitivity is the point."""
+    import datetime
+
+    from pyspark.sql import Row as R
+
+    from healthcare_aws_data_engineering_spark.operators.fuzzy import debounce
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = [0, 40, 80, 120, 500, 530]
+    events = spark.createDataFrame(
+        [
+            R(event_id=i, user_id=1, event_type="x",
+              ts=t0 + datetime.timedelta(minutes=m))
+            for i, m in enumerate(mins)
+        ]
+    )
+    kept = debounce(
+        events, gap_ms=60 * 60 * 1000, key_cols=["user_id"]
+    ).collect()
+    # chain 0-120 collapses to event 0 (burst 1); 500,530 to event 4
+    assert {(r["event_id"], r["burst_seq"]) for r in kept} == {(0, 1), (4, 2)}
