@@ -210,6 +210,171 @@ _HEAVY_HITTERS_SQL = cms_sql(
 )
 
 
+# ------------------------------------------------------------ word_bigrams --
+# Adjacent-pair frequency over the corpus — the count table a BPE merge
+# round ranks (merge the most frequent pair), and the unit of a bigram
+# LM. Pure explode → one map-side-combining hash agg → TakeOrdered
+# top-k with a total-order tiebreak; at 100 TB the pair space is the
+# shuffle key and the partial aggregation collapses each partition's
+# Zipf head before anything moves.
+BG_TOP_K = 100
+
+
+def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select(
+            F.explode(
+                # __ws staged once; the HOF indexes it (0-based) instead of
+                # re-splitting per element (SCALING.md staging lesson).
+                F.expr(
+                    "transform(sequence(0, size(__ws)-2),"
+                    " i -> concat(__ws[i], ' ', __ws[i+1]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(BG_TOP_K)
+    )
+
+
+_WORD_BIGRAMS_SQL = f"""
+WITH ws AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM ws WHERE len(w) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT {BG_TOP_K}
+"""
+
+
+# -------------------------------------------------------- shingle_novelty --
+# Per-document novelty: the fraction of a doc's distinct word-3-gram
+# shingles that first appear in THAT doc (first = lowest doc_id — the
+# corpus's stable ingest order). The dedup-adjacent "how much of this
+# doc is new text" curation signal. Shape: explode → per-doc DISTINCT →
+# one shingle-keyed agg for first-occurrence → join back on the same
+# key (shuffle reused) → per-doc rollup. No all-pairs anything.
+SHINGLE_W = 3
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size("__ws") >= SHINGLE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__ws)-{SHINGLE_W}),"
+                    " i -> concat(__ws[i], ' ', __ws[i+1], ' ', __ws[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("novel_shingles"),
+        )
+        .select(
+            "doc_id",
+            "total_shingles",
+            "novel_shingles",
+            (F.col("novel_shingles") / F.col("total_shingles")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+_SHINGLE_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {SHINGLE_W - 2}),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {SHINGLE_W}
+  )
+),
+first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS novelty_rate
+FROM sh s JOIN first f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+"""
+
+
+# ------------------------------------------------------- importance_sample --
+# Quality-weighted downsampling: keep a doc with probability
+# w = n_chars / (n_chars + HALF_CHARS) — a saturating length prior
+# (longer docs are likelier real prose; the half-point doc keeps with
+# p = 0.5). The coin is the same deterministic md5 bucket family as
+# stratified_sample / split_assign, so the draw replays identically in
+# both engines and across reruns at any scale: pure projection+filter,
+# zero shuffles, pushes toward the scan. The BIGINT bucket is compared
+# against w·10⁶ (double) — both sides exact well below 2^53.
+IMP_HALF_CHARS = 2000.0
+IMP_GRID = 1_000_000
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("imp#"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % IMP_GRID
+    )
+    weight = F.col("n_chars") / (F.col("n_chars") + F.lit(IMP_HALF_CHARS))
+    return docs.withColumn("bucket", bucket).filter(
+        F.col("bucket") < weight * IMP_GRID
+    )
+
+
+_IMPORTANCE_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars, bucket FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(('0x' || substr(md5('imp#' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % {IMP_GRID} AS bucket
+  FROM documents
+)
+WHERE bucket < (n_chars / (n_chars + {IMP_HALF_CHARS})) * {IMP_GRID}
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "doc_chunks": q_doc_chunks,
@@ -217,6 +382,9 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "json_props": q_json_props,
     "heavy_hitters": q_heavy_hitters,
+    "word_bigrams": q_word_bigrams,
+    "shingle_novelty": q_shingle_novelty,
+    "importance_sample": q_importance_sample,
 }
 
 CORPUS_ORACLE: dict[str, str] = {
@@ -226,4 +394,7 @@ CORPUS_ORACLE: dict[str, str] = {
     "source_overlap": _SOURCE_OVERLAP_SQL,
     "json_props": _JSON_PROPS_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
+    "word_bigrams": _WORD_BIGRAMS_SQL,
+    "shingle_novelty": _SHINGLE_NOVELTY_SQL,
+    "importance_sample": _IMPORTANCE_SAMPLE_SQL,
 }

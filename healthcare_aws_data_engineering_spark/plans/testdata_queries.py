@@ -970,6 +970,7 @@ from .etl_queries import ETL_ORACLE, ETL_QUERIES  # noqa: E402
 from .ml_queries import ML_ORACLE, ML_QUERIES  # noqa: E402
 from .pipeline_queries import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402
 from .training_data_queries import TRAINING_ORACLE, TRAINING_QUERIES  # noqa: E402
+from .warehouse_queries import WAREHOUSE_ORACLE, WAREHOUSE_QUERIES  # noqa: E402
 
 QUERIES.update(TRAINING_QUERIES)
 QUERIES.update(ML_QUERIES)
@@ -978,6 +979,7 @@ QUERIES.update(PIPELINE_QUERIES)
 QUERIES.update(CURATION_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(ANALYTICS_QUERIES)
+QUERIES.update(WAREHOUSE_QUERIES)
 
 ORACLE: dict[str, str] = {
     "disease_confidence": _DISEASE_CONFIDENCE_SQL,
@@ -1008,6 +1010,7 @@ ORACLE.update(PIPELINE_ORACLE)
 ORACLE.update(CURATION_ORACLE)
 ORACLE.update(CORPUS_ORACLE)
 ORACLE.update(ANALYTICS_ORACLE)
+ORACLE.update(WAREHOUSE_ORACLE)
 
 
 # --------------------------------------------------------------------------
@@ -1026,11 +1029,6 @@ ORACLE.update(ANALYTICS_ORACLE)
 _CHECK_FIRST = [
     # r2 hash-mismatches, now emitting only int/double/varchar cells
     "ml_risk_scores", "ann_pq_topk", "dist_summary",
-    # never driver-checked in r2 (positions 51-63)
-    "time_rollup", "range_join", "distinct_sketch", "rolling_avg",
-    "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
-    "bm25_search", "repetition_filter", "incremental_dedup",
-    "shard_manifest", "lm_score",
     # new in r3 (first possible driver verdict)
     "etl_obs_choice", "pii_redact",
     "span_dedup", "doc_chunks", "mix_weights", "source_overlap",
@@ -1041,6 +1039,16 @@ _CHECK_FIRST = [
     "scd2_history", "k_anonymity",
     "shipping_priority", "cohort_retention", "rfm_segments",
     "graph_pagerank", "fuzzy_match", "debounce_events",
+    "order_priority", "returned_items", "nation_trade", "promo_revenue",
+    "large_orders", "bracket_revenue", "dormant_customers",
+    "word_bigrams", "shingle_novelty", "importance_sample",
+    # never driver-checked in r2 (were positions 51-63); two full local
+    # replica validations each — ordered so the simplest spill past a
+    # 50-entry cap, if the driver still has one
+    "time_rollup", "range_join", "distinct_sketch", "rolling_avg",
+    "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
+    "bm25_search", "repetition_filter", "lm_score",
+    "incremental_dedup", "shard_manifest",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",

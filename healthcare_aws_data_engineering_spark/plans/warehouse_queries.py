@@ -1,0 +1,403 @@
+"""Warehouse analytics driver queries (brief extensions; TPC-H-shaped).
+
+The reference's analytical surface is Athena SQL over curated parquet
+(``AWS_Athena_queries.sql``, ``Athena_queries_for_reports.sql``); these
+queries exercise the same engine machinery — star joins, semi/anti
+joins with non-equi residuals, HAVING pushups, OR-of-ANDs predicate
+pushdown, scalar-subquery broadcasts — against the driver's TPC-H-ish
+testdata, in the classic TPC-H query shapes (Q4/Q7/Q10/Q14/Q18/Q19/Q22)
+adapted to the columns the testdata actually has.
+
+Scale notes apply throughout:
+- ``nation``/``region`` are genuinely tiny → explicit ``F.broadcast``.
+- ``customer``/``supplier``/``part`` are "small" only at test SF; the
+  plans leave them as plain equi-joins so AQE broadcasts them locally
+  but a 1000-executor run falls back to shuffle joins on the same key
+  the downstream agg groups by (no extra exchange).
+- Money sums go through :func:`..plans.sqlsum.dsum` (exact
+  DECIMAL(28,6) accumulation cast back to DOUBLE) so both engines'
+  order-independent sums agree bit-for-bit.
+- Every emitted cell is BIGINT / INTEGER / DOUBLE / VARCHAR / TIMESTAMP
+  — the driver-hash-safe set (r2 lesson).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .sqlsum import _dsum, dsum
+
+# ---------------------------------------------------------- order_priority --
+# TPC-H Q4 shape: how many orders per priority class shipped late?
+# Late = some lineitem shipped more than LATE_DAYS after the order date
+# (the testdata has no commit/receipt dates — ship-vs-order lag is the
+# analog). The EXISTS becomes a LEFT SEMI join with an equi key
+# (orderkey) plus a non-equi residual — one keyed shuffle, no fan-out,
+# and the date window prunes the orders scan before the join.
+OP_START = "1997-01-01"
+OP_END = "1997-07-01"
+LATE_DAYS = 60
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(OP_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(OP_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+_ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{OP_START}'
+  AND o_orderdate < TIMESTAMP '{OP_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------- returned_items --
+# TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+# lineitem filters on returnflag BEFORE the join (pushdown), orders on
+# the quarter window; customer/nation attach after the per-customer agg
+# so the wide name columns never ride through the big shuffle.
+RET_START = "1997-01-01"
+RET_END = "1997-04-01"
+RET_TOP_K = 20
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RET_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RET_END).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RET_TOP_K)
+    )
+
+
+_RETURNED_ITEMS_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{RET_START}'
+    AND o.o_orderdate < TIMESTAMP '{RET_END}'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name, p.revenue
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY p.revenue DESC, c.c_custkey ASC
+LIMIT {RET_TOP_K}
+"""
+
+
+# ------------------------------------------------------------ nation_trade --
+# TPC-H Q7 shape: bilateral trade volume — revenue by (supplier nation,
+# customer nation) for one ship year. Two dim attachments (supplier,
+# customer→nation) around the one big lineitem⨝orders shuffle; output is
+# bounded at 25×25 rows so the final agg is trivially small.
+NT_START = "1997-01-01"
+NT_END = "1998-01-01"
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(NT_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(NT_END).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_n, F.col("l_suppkey") == supp_n.s_suppkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_NATION_TRADE_SQL = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{NT_START}'
+  AND l.l_shipdate < TIMESTAMP '{NT_END}'
+GROUP BY ns.n_name, nc.n_name
+"""
+
+
+# ------------------------------------------------------------ promo_revenue --
+# TPC-H Q14 shape: share of revenue from promo-class parts in a ship
+# window. Single joined agg; the ratio divides two exact decimal sums
+# (cast back to double) so both engines produce the identical double.
+PR_START = "1997-09-01"
+PR_END = "1997-11-01"
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(PR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PR_END).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo_rev).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+_PROMO_REVENUE_SQL = f"""
+WITH sums AS (
+  SELECT
+    {_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS promo_revenue,
+    {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{PR_START}'
+    AND l.l_shipdate < TIMESTAMP '{PR_END}'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM sums
+"""
+
+
+# ------------------------------------------------------------- large_orders --
+# TPC-H Q18 shape: orders whose total quantity exceeds a threshold, with
+# the customer attached. The HAVING collapses lineitem to ~0.2% of
+# orders BEFORE the joins, so orders/customer only ever see the
+# surviving keys (semi-join-sized probe side). l_quantity is
+# integer-valued, so the double sum is exact in any order — emitted as
+# BIGINT.
+LO_MIN_QTY = 300
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > LO_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {LO_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------- bracket_revenue --
+# TPC-H Q19 shape: revenue under an OR-of-ANDs bracket predicate over
+# part attributes × lineitem quantity. The p_* legs push into the part
+# scan as a single OR filter; the mixed part+lineitem residual applies
+# post-join. One equi-join on partkey, one scalar agg.
+BRACKETS = (
+    # (brand, max p_size, qty lo, qty hi)
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#3", 15, 20.0, 30.0),
+)
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    pred = None
+    for brand, size_hi, qlo, qhi in BRACKETS:
+        leg = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_hi))
+            & (F.col("l_quantity").between(qlo, qhi))
+        )
+        pred = leg if pred is None else (pred | leg)
+    return joined.filter(pred).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _bracket_sql() -> str:
+    legs = "\n   OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {s} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, s, qlo, qhi in BRACKETS
+    )
+    return f"""
+SELECT {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {legs}
+"""
+
+
+# -------------------------------------------------------- dormant_customers --
+# TPC-H Q22 shape: above-average-balance customers with no recent
+# orders, rolled up by nation. Three cheap pieces: a scalar average
+# (exact decimal accumulation → identical double in both engines,
+# broadcast as a literal predicate), a LEFT ANTI join against the
+# date-pruned orders scan, and a 25-group rollup.
+DC_CUTOFF = "2000-01-01"
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(DC_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    # Exact global mean of positive balances: decimal sum / count, both
+    # engines round the same division the same way. Stays in-plan as a
+    # broadcast nested-loop join against a 1-row side (no driver
+    # collect, no second scan trigger).
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("__avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            dsum(F.col("c_acctbal")).alias("acctbal_sum"),
+        )
+    )
+
+
+_DORMANT_SQL = f"""
+WITH avg_bal AS (
+  SELECT {_dsum("c_acctbal")} / CAST(COUNT(*) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_dormant,
+       {_dsum("c.c_acctbal")} AS acctbal_sum
+FROM customer c
+WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{DC_CUTOFF}'
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "order_priority": q_order_priority,
+    "returned_items": q_returned_items,
+    "nation_trade": q_nation_trade,
+    "promo_revenue": q_promo_revenue,
+    "large_orders": q_large_orders,
+    "bracket_revenue": q_bracket_revenue,
+    "dormant_customers": q_dormant_customers,
+}
+
+WAREHOUSE_ORACLE: dict[str, str] = {
+    "order_priority": _ORDER_PRIORITY_SQL,
+    "returned_items": _RETURNED_ITEMS_SQL,
+    "nation_trade": _NATION_TRADE_SQL,
+    "promo_revenue": _PROMO_REVENUE_SQL,
+    "large_orders": _LARGE_ORDERS_SQL,
+    "bracket_revenue": _bracket_sql(),
+    "dormant_customers": _DORMANT_SQL,
+}

@@ -1,0 +1,163 @@
+"""Warehouse (TPC-H-shaped) and new corpus driver queries: invariants,
+python twins, and plan-shape assertions. Value parity vs DuckDB runs in
+the driver gate / tools/check_correctness.py; these tests pin the
+semantics and the physical plans."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+    IMP_GRID,
+    IMP_HALF_CHARS,
+    q_importance_sample,
+    q_shingle_novelty,
+    q_word_bigrams,
+)
+from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+    BRACKETS,
+    LO_MIN_QTY,
+    RET_TOP_K,
+    q_bracket_revenue,
+    q_dormant_customers,
+    q_large_orders,
+    q_nation_trade,
+    q_order_priority,
+    q_promo_revenue,
+    q_returned_items,
+)
+from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+from conftest import plan_string
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- TPC-H shapes
+
+
+def test_order_priority_is_semi_join(spark):
+    df = q_order_priority(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan  # EXISTS must not fan out
+    rows = df.collect()
+    prios = {r["o_orderpriority"] for r in rows}
+    assert prios <= {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    assert all(r["n_late_orders"] > 0 for r in rows)
+
+
+def test_returned_items_topk_ordered(spark):
+    rows = q_returned_items(spark, SF_DIR).collect()
+    assert len(rows) <= RET_TOP_K
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_nation_trade_bounded_and_positive(spark):
+    rows = q_nation_trade(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 25 * 25
+    assert all(r["revenue"] > 0 and r["n_lineitems"] > 0 for r in rows)
+
+
+def test_promo_revenue_ratio_bounds(spark):
+    row = q_promo_revenue(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["promo_pct"] <= 100.0
+    assert row["promo_revenue"] <= row["total_revenue"]
+
+
+def test_large_orders_threshold(spark):
+    rows = q_large_orders(spark, SF_DIR).collect()
+    assert all(r["total_qty"] > LO_MIN_QTY for r in rows)
+    # cross-check one order's quantity sum from the base table
+    if rows:
+        k = rows[0]["o_orderkey"]
+        li = load_table(spark, SF_DIR, "lineitem")
+        s = li.filter(F.col("l_orderkey") == k).agg(
+            F.sum("l_quantity").cast("bigint").alias("s")
+        ).collect()[0]["s"]
+        assert s == rows[0]["total_qty"]
+
+
+def test_bracket_revenue_matches_manual_filter(spark):
+    row = q_bracket_revenue(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    n = 0
+    for brand, size_hi, qlo, qhi in BRACKETS:
+        n += j.filter(
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_hi))
+            & (F.col("l_quantity").between(qlo, qhi))
+        ).count()
+    assert n == row["n_lineitems"]
+
+
+def test_dormant_customers_anti_join_plan(spark):
+    df = q_dormant_customers(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan, plan
+    rows = df.collect()
+    assert all(r["n_dormant"] > 0 for r in rows)
+    # every counted customer beats the positive-balance average, so the
+    # per-nation sum must exceed n_dormant * 0 at minimum — and no
+    # nation can report more dormant customers than it has customers
+    cust = load_table(spark, SF_DIR, "customer")
+    per_nation = dict(
+        cust.groupBy("c_nationkey").count().rdd.map(tuple).collect()
+    )
+    assert all(r["n_dormant"] <= per_nation[r["c_nationkey"]] for r in rows)
+
+
+# ------------------------------------------------------------- corpus ops
+
+
+def test_word_bigrams_python_twin(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    from collections import Counter
+
+    counts = Counter()
+    for r in docs:
+        ws = r["text"].split(" ")
+        for i in range(len(ws) - 1):
+            counts[ws[i] + " " + ws[i + 1]] += 1
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:100]
+    got = [
+        (r["bigram"], r["cnt"]) for r in q_word_bigrams(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_shingle_novelty_bounds_and_first_doc(spark):
+    rows = q_shingle_novelty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["novel_shingles"] <= r["total_shingles"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+    # the lowest doc_id in the result can only contain first-occurrence
+    # shingles (nothing precedes it)
+    lo = min(r["doc_id"] for r in rows)
+    first = next(r for r in rows if r["doc_id"] == lo)
+    assert first["novel_shingles"] == first["total_shingles"]
+
+
+def test_importance_sample_replays_md5_coin(spark):
+    rows = q_importance_sample(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        h = hashlib.md5(f"imp#{r['doc_id']}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % IMP_GRID
+        assert bucket == r["bucket"]
+        weight = r["n_chars"] / (r["n_chars"] + IMP_HALF_CHARS)
+        assert bucket < weight * IMP_GRID
+    # longer docs keep with higher probability: the kept set's mean
+    # length should exceed the corpus mean
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    kept_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert kept_mean > corpus_mean * 0.9
