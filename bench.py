@@ -53,6 +53,13 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # Drop this query's persisted intermediates (scored tables, LSH
+        # stagings) so caches can't accumulate across 100 queries and
+        # distort later rows. Module-level index artifacts (IVF/SemDeDup
+        # centroid lists, the knn edge cache) are per-query-local in
+        # time: their cached data is only read by the query that built
+        # them, whose timed runs have already finished.
+        spark.catalog.clearCache()
 
     # suite total = driver-registry queries only (comparable to BASELINE)
     total = round(sum(timings[n] for n in QUERIES), 4)

@@ -382,6 +382,156 @@ GROUP BY c.c_nationkey
 """
 
 
+# ----------------------------------------------------------------- set_ops --
+# SURVEY §2.7 closure (the reference has no set operations; extension):
+# distinct EXCEPT / INTERSECT over (user, epoch-day) activity sets —
+# "days a user clicked but didn't buy" style funnel set algebra. Each
+# branch is a distinct-collapsed projection of the SAME date-pruned
+# scan; Spark plans EXCEPT/INTERSECT as LeftAnti/LeftSemi over the
+# distinct sets (no sort-based set operator), so the cost is two
+# hash-dedups + membership joins on the (user, day) key.
+SO_A = "click"
+SO_B = "purchase"
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_millis(ts) DIV 86400000")
+    base = events.select(
+        "event_type", F.col("user_id"), day.alias("day")
+    )
+    a = base.filter(F.col("event_type") == SO_A).select("user_id", "day").distinct()
+    b = base.filter(F.col("event_type") == SO_B).select("user_id", "day").distinct()
+    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("n_user_days")).select(  # noqa: E731
+        F.lit(t).alias("relation"), "n_user_days"
+    )
+    return (
+        tag(a.subtract(b), f"{SO_A}_only")
+        .unionAll(tag(a.intersect(b), "both"))
+        .unionAll(tag(b.subtract(a), f"{SO_B}_only"))
+    )
+
+
+_SET_OPS_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+  FROM events WHERE event_type = '{SO_A}'
+),
+b AS (
+  SELECT DISTINCT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+  FROM events WHERE event_type = '{SO_B}'
+)
+SELECT '{SO_A}_only' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'both', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT '{SO_B}_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
+# ------------------------------------------------------------ revenue_share --
+# Percent-of-total window: each nation's share of its region's order
+# revenue. The grouped sum stays DECIMAL through the 25-row window
+# partition (exact in any order in both engines) and only casts to
+# double for the final share division — identical operands, identical
+# quotient. One customer-keyed shuffle for the big agg; the window runs
+# over 25 rows.
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("__rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        (
+            F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
+FROM per_nation
+"""
+
+
+# ------------------------------------------------------------- cube_summary --
+# CUBE grouping sets over (orderstatus, priority): all four
+# granularities in ONE Expand + one shuffle instead of four passes
+# (time_rollup's ROLLUP argument, completed for the full lattice).
+# Grouped-out dimensions render as the literal 'ALL' — no NULL cells
+# reach the driver hash.
+
+
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+    return cube.select(
+        F.when(F.col("g_status") == 1, "ALL")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("orderstatus"),
+        F.when(F.col("g_priority") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("orderpriority"),
+        "n_orders",
+        "total_price",
+        "g_status",
+        "g_priority",
+    )
+
+
+_CUBE_SUMMARY_SQL = f"""
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+    AS orderstatus,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+    AS orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {_dsum("o_totalprice")} AS total_price,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -390,6 +540,9 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_orders": q_large_orders,
     "bracket_revenue": q_bracket_revenue,
     "dormant_customers": q_dormant_customers,
+    "set_ops": q_set_ops,
+    "revenue_share": q_revenue_share,
+    "cube_summary": q_cube_summary,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -400,4 +553,7 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "large_orders": _LARGE_ORDERS_SQL,
     "bracket_revenue": _bracket_sql(),
     "dormant_customers": _DORMANT_SQL,
+    "set_ops": _SET_OPS_SQL,
+    "revenue_share": _REVENUE_SHARE_SQL,
+    "cube_summary": _CUBE_SUMMARY_SQL,
 }

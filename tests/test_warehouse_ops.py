@@ -21,12 +21,15 @@ from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
     LO_MIN_QTY,
     RET_TOP_K,
     q_bracket_revenue,
+    q_cube_summary,
     q_dormant_customers,
     q_large_orders,
     q_nation_trade,
     q_order_priority,
     q_promo_revenue,
     q_returned_items,
+    q_revenue_share,
+    q_set_ops,
 )
 from healthcare_aws_data_engineering_spark.sources.tables import load_table
 
@@ -110,6 +113,43 @@ def test_dormant_customers_anti_join_plan(spark):
         cust.groupBy("c_nationkey").count().rdd.map(tuple).collect()
     )
     assert all(r["n_dormant"] <= per_nation[r["c_nationkey"]] for r in rows)
+
+
+def test_set_ops_counts_consistent(spark):
+    rows = {r["relation"]: r["n_user_days"] for r in q_set_ops(spark, SF_DIR).collect()}
+    assert set(rows) == {"click_only", "both", "purchase_only"}
+    # |A| = |A\\B| + |A∩B| against an independent distinct count
+    events = load_table(spark, SF_DIR, "events")
+    a = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert rows["click_only"] + rows["both"] == a
+
+
+def test_revenue_share_sums_to_one_per_region(spark):
+    rows = q_revenue_share(spark, SF_DIR).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r["region_share"])
+    for shares in by_region.values():
+        assert abs(sum(shares) - 1.0) < 1e-9
+        assert all(0.0 < s <= 1.0 for s in shares)
+
+
+def test_cube_summary_lattice_consistent(spark):
+    rows = q_cube_summary(spark, SF_DIR).collect()
+    total = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(total) == 1
+    fine = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
+    assert sum(r["n_orders"] for r in fine) == total[0]["n_orders"]
+    by_status = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
+    assert sum(r["n_orders"] for r in by_status) == total[0]["n_orders"]
+    assert all(
+        r["orderpriority"] == "ALL" for r in by_status
+    )
 
 
 # ------------------------------------------------------------- corpus ops
