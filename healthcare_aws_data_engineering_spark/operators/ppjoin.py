@@ -1,0 +1,188 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-style).
+
+The LSH family (``dedup.py``, ``similarity.py``) trades recall for
+cost: banding can miss true pairs. Prefix filtering (Chaudhuri et al.
+SSJoin 2006; Xiao et al. PPJoin 2008) is the EXACT counterpart — every
+pair with Jaccard ≥ t is guaranteed to survive candidate generation,
+so the verified output equals the brute-force all-pairs result at a
+fraction of its cost.
+
+Principle: order every doc's distinct shingle set by one global total
+order (ascending document frequency, rarest first; ties broken by the
+shingle string). With prefix length ``|X| - ceil(t·|X|) + 1``, any two
+sets with Jaccard ≥ t must share at least one token in BOTH prefixes —
+if the prefixes were disjoint, the overlap would be confined to the
+suffixes, which are too small to reach ``t``. So an equi-join of
+prefixes on the token produces a complete candidate set.
+
+Scale shape (the reason this works at 100 TB):
+
+- The df table and the per-doc rank are two shuffles on the shingle /
+  doc key — linear, no pairs yet.
+- The candidate join fans out per shared PREFIX token. Prefix tokens
+  are each doc's globally RAREST shingles, so bucket sizes are small by
+  construction — the frequent-token quadratic blowup that kills naive
+  token joins ("explode and self-join everything") never enters the
+  prefix. This is the skew story LSH solves with bucket caps, solved
+  instead by ordering, without losing exactness.
+- Verification touches candidates only: two slim (id, tok) joins and a
+  count — the same candidates-only pattern as ``ngram_jaccard``.
+- All math is integer (counts, cross-multiplied threshold compare);
+  the emitted jaccard is one BIGINT/BIGINT divide — identical doubles
+  in any engine.
+
+Reference parity: none (the reference has no similarity machinery);
+brief extension. Oracle strategy: the driver twin is the BRUTE-FORCE
+all-pairs SQL — an independent algorithm whose equality with this
+output is exactly the exactness guarantee under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+PPJ_T100 = 50  # Jaccard threshold, percent
+PPJ_SHINGLE_W = 3
+
+
+def _shingles(w: int) -> Column:
+    """Distinct word w-grams, built in-row from the staged ``__ws`` array."""
+    parts = " , ' ', ".join(f"__ws[i+{j}]" for j in range(w))
+    return F.array_distinct(
+        F.expr(f"transform(sequence(0, size(__ws)-{w}), i -> concat({parts}))")
+    )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    t100: int = PPJ_T100,
+    shingle_w: int = PPJ_SHINGLE_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ t100/100 — exact, no LSH misses.
+
+    Returns (a_id, b_id, shared, union_sz, jaccard), a_id < b_id.
+    """
+    # Persisted: the (id, tok) set feeds FIVE subtrees (sizes, df, rank,
+    # and both verification legs) — without it Spark re-runs the shingle
+    # explode per subtree. At cluster scale this is the materialized
+    # token-set table every set-similarity system builds first.
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+        )
+        .filter(F.size("__ws") >= shingle_w)
+        .select("id", F.explode(_shingles(shingle_w)).alias("tok"))
+        .persist()
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Global rarest-first total order; ties on the shingle string keep
+    # the order engine-independent.
+    pos = F.row_number().over(W.partitionBy("id").orderBy("df", "tok"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sizes, "id")
+        .withColumn("pos", pos)
+    )
+    # prefix length = sz - ceil(t·sz) + 1, all-integer ceil via DIV
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"(sz * {t100} + 99) DIV 100") + 1
+    )
+    a = prefix.select(
+        F.col("id").alias("a_id"),
+        "tok",
+        F.col("pos").alias("__pa"),
+        F.col("sz").alias("__sza"),
+    )
+    b = prefix.select(
+        F.col("id").alias("b_id"),
+        "tok",
+        F.col("pos").alias("__pb"),
+        F.col("sz").alias("__szb"),
+    )
+    # Two more EXACT prunes from the PPJoin toolkit, applied per matching
+    # prefix token before the pair dedup:
+    #   size filter  — J ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
+    #   position filter — the overlap can't exceed 1 + the smaller
+    #   remaining suffix, and J ≥ t needs overlap ≥ ceil(t/(1+t)·(|A|+|B|))
+    #   (all-integer ceil). Neither can drop a true pair; both cut the
+    #   dense-token candidate fan-out before the expensive verify joins.
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("__sza") * t100 <= F.col("__szb") * 100)
+            & (F.col("__szb") * t100 <= F.col("__sza") * 100)
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__sza") - F.col("__pa"), F.col("__szb") - F.col("__pb")
+            )
+            >= F.expr(f"(( __sza + __szb) * {t100} + {100 + t100} - 1) DIV {100 + t100}")
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("a_id"), "tok")
+    tb = toks.select(F.col("id").alias("b_id"), "tok")
+    shared = (
+        cand.join(ta, "a_id")
+        .join(tb, ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("__szb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("union_sz", F.col("__sza") + F.col("__szb") - F.col("shared"))
+        # cross-multiplied integer compare — no float threshold edge
+        .filter(F.col("shared") * 100 >= F.col("union_sz") * t100)
+        .select(
+            "a_id",
+            "b_id",
+            "shared",
+            "union_sz",
+            (F.col("shared") / F.col("union_sz")).alias("jaccard"),
+        )
+    )
+
+
+def brute_force_sql(
+    t100: int = PPJ_T100, shingle_w: int = PPJ_SHINGLE_W
+) -> str:
+    """Independent all-pairs oracle: equality with the prefix-filtered
+    output IS the exactness guarantee."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_w))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, len(w) - {shingle_w - 2}),
+                  i -> {parts})) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {shingle_w}
+  )
+),
+sizes AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY id
+),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.a_id, i.b_id, i.shared,
+       sa.sz + sb.sz - i.shared AS union_sz,
+       i.shared / (sa.sz + sb.sz - i.shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a_id = sa.id
+JOIN sizes sb ON i.b_id = sb.id
+WHERE i.shared * 100 >= (sa.sz + sb.sz - i.shared) * {t100}
+"""

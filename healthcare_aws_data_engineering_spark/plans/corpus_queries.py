@@ -375,6 +375,20 @@ WHERE bucket < (n_chars / (n_chars + {IMP_HALF_CHARS})) * {IMP_GRID}
 """
 
 
+# ------------------------------------------------------------ ppjoin_pairs --
+# Exact set-similarity join (prefix filtering): every doc pair with
+# word-3-gram Jaccard ≥ 0.5, NO LSH false negatives. The oracle is the
+# brute-force all-pairs SQL — an independent algorithm, so the driver's
+# hash equality doubles as the exactness proof. See operators/ppjoin.py
+# for the ordering-beats-skew scale argument.
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ppjoin import prefix_jaccard_join
+
+    return prefix_jaccard_join(load_table(spark, sf_dir, "documents"))
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "doc_chunks": q_doc_chunks,
@@ -385,6 +399,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_bigrams": q_word_bigrams,
     "shingle_novelty": q_shingle_novelty,
     "importance_sample": q_importance_sample,
+    "ppjoin_pairs": q_ppjoin_pairs,
 }
 
 CORPUS_ORACLE: dict[str, str] = {
@@ -398,3 +413,12 @@ CORPUS_ORACLE: dict[str, str] = {
     "shingle_novelty": _SHINGLE_NOVELTY_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
 }
+
+
+def _ppjoin_oracle() -> str:
+    from ..operators.ppjoin import brute_force_sql
+
+    return brute_force_sql()
+
+
+CORPUS_ORACLE["ppjoin_pairs"] = _ppjoin_oracle()

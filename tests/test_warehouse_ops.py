@@ -186,6 +186,62 @@ def test_shingle_novelty_bounds_and_first_doc(spark):
     assert first["novel_shingles"] == first["total_shingles"]
 
 
+def test_ppjoin_exactness_vs_brute_force(spark):
+    """The prefix filter must lose NOTHING: verified output == the
+    all-pairs brute-force result (same toks, no candidate pruning)."""
+    from healthcare_aws_data_engineering_spark.operators.ppjoin import (
+        PPJ_SHINGLE_W,
+        PPJ_T100,
+        _shingles,
+        prefix_jaccard_join,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["shared"], r["union_sz"])
+        for r in prefix_jaccard_join(docs).collect()
+    )
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("__ws"))
+        .filter(F.size("__ws") >= PPJ_SHINGLE_W)
+        .select("doc_id", F.explode(_shingles(PPJ_SHINGLE_W)).alias("tok"))
+    )
+    a = toks.select(F.col("doc_id").alias("a_id"), "tok")
+    b = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    brute = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .withColumn("union_sz", F.col("sa") + F.col("sb") - F.col("shared"))
+        .filter(F.col("shared") * 100 >= F.col("union_sz") * PPJ_T100)
+    )
+    expected = sorted(
+        (r["a_id"], r["b_id"], r["shared"], r["union_sz"])
+        for r in brute.collect()
+    )
+    assert got == expected
+    assert got  # planted near-dups exist at every SF
+
+
+def test_ppjoin_threshold_and_ordering(spark):
+    from healthcare_aws_data_engineering_spark.operators.ppjoin import (
+        prefix_jaccard_join,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = prefix_jaccard_join(docs).collect()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert r["jaccard"] >= 0.5
+        assert r["jaccard"] == r["shared"] / r["union_sz"]
+
+
 def test_importance_sample_replays_md5_coin(spark):
     rows = q_importance_sample(spark, SF_DIR).collect()
     assert rows
