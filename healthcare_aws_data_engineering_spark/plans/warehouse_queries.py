@@ -532,6 +532,143 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# ------------------------------------------------------------ rank_windows --
+# SURVEY §2.5 completion: the full ranking-window family over one
+# partition pass — rank / dense_rank / percent_rank / cume_dist on a
+# COARSE key (balance bands of 1000, so ties are real and the rank
+# variants actually differ) plus ntile / lag / lead on the tie-broken
+# total order. Two window specs, ONE c_nationkey shuffle (same
+# partition key; Spark evaluates both over the sorted run). Edge-row
+# lag/lead coalesce to -1 — no NULL cells reach the driver hash.
+
+
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+    base = cust.select("c_custkey", "c_nationkey", band.alias("bal_band"))
+    wr = Window.partitionBy("c_nationkey").orderBy("bal_band")
+    wt = Window.partitionBy("c_nationkey").orderBy("bal_band", "c_custkey")
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_band",
+        F.rank().over(wr).alias("rnk"),
+        F.dense_rank().over(wr).alias("dense_rnk"),
+        F.percent_rank().over(wr).alias("pct_rnk"),
+        F.cume_dist().over(wr).alias("cume"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.coalesce(F.lag("bal_band").over(wt), F.lit(-1)).alias("prev_band"),
+        F.coalesce(F.lead("bal_band").over(wt), F.lit(-1)).alias("next_band"),
+    )
+
+
+_RANK_WINDOWS_SQL = """
+SELECT c_custkey, c_nationkey, bal_band,
+  RANK() OVER wr AS rnk,
+  DENSE_RANK() OVER wr AS dense_rnk,
+  PERCENT_RANK() OVER wr AS pct_rnk,
+  CUME_DIST() OVER wr AS cume,
+  NTILE(4) OVER wt AS quartile,
+  COALESCE(LAG(bal_band) OVER wt, -1) AS prev_band,
+  COALESCE(LEAD(bal_band) OVER wt, -1) AS next_band
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+)
+WINDOW
+  wr AS (PARTITION BY c_nationkey ORDER BY bal_band),
+  wt AS (PARTITION BY c_nationkey ORDER BY bal_band, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- gap_fill --
+# Calendar-spine gap filling with forward fill (last observation
+# carried forward) — the standard densify step before any time-series
+# model sees event data. The spine is generated IN-PLAN per user
+# (sequence + explode between that user's own min/max day — no
+# driver-side date loop, no cross join against a global calendar), and
+# the fill is one `last(ignorenulls)` running window over the same
+# user-keyed shuffle the daily rollup produced. Day 1 of every user is
+# an observation by construction, so v_filled is never NULL. Restricted
+# to one event type so per-user day gaps genuinely occur at the gate SF.
+GF_START = "2024-01-01"
+GF_END = "2024-02-01"
+GF_TYPE = "purchase"
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(GF_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(GF_END).cast("timestamp"))
+        & (F.col("event_type") == GF_TYPE)
+    )
+    # Persisted: the daily rollup feeds both the spine bounds and the
+    # fill join — without it each subtree re-scans events (the NANOS
+    # timestamp column defeats the vectorized reader, so that scan is
+    # the expensive part of this query).
+    daily = (
+        events.select(
+            "user_id",
+            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(dsum(F.col("value")).alias("v"))
+        .persist()
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(__lo, __hi)")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("v").isNotNull().cast("int").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+def _gap_fill_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+         {_dsum("value")} AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{GF_START}' AND ts < TIMESTAMP '{GF_END}'
+    AND event_type = '{GF_TYPE}'
+  GROUP BY user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS day
+  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id)
+)
+SELECT s.user_id, s.day,
+       CAST(d.v IS NOT NULL AS INTEGER) AS observed,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM spine s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -543,6 +680,8 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "revenue_share": q_revenue_share,
     "cube_summary": q_cube_summary,
+    "rank_windows": q_rank_windows,
+    "gap_fill": q_gap_fill,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -556,4 +695,6 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "set_ops": _SET_OPS_SQL,
     "revenue_share": _REVENUE_SHARE_SQL,
     "cube_summary": _CUBE_SUMMARY_SQL,
+    "rank_windows": _RANK_WINDOWS_SQL,
+    "gap_fill": _gap_fill_sql(),
 }

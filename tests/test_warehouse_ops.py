@@ -152,6 +152,50 @@ def test_cube_summary_lattice_consistent(spark):
     )
 
 
+def test_rank_windows_invariants(spark):
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        q_rank_windows,
+    )
+
+    rows = q_rank_windows(spark, SF_DIR).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        assert 1 <= r["quartile"] <= 4
+        assert 0.0 <= r["pct_rnk"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+        assert r["dense_rnk"] <= r["rnk"]
+        by_group.setdefault((r["c_nationkey"], r["bal_band"]), set()).add(r["rnk"])
+    # ties on the coarse key share the rank
+    assert all(len(v) == 1 for v in by_group.values())
+
+
+def test_gap_fill_spine_and_forward_fill(spark):
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        q_gap_fill,
+    )
+
+    rows = sorted(
+        q_gap_fill(spark, SF_DIR).collect(),
+        key=lambda r: (r["user_id"], r["day"]),
+    )
+    assert rows
+    assert any(r["observed"] == 0 for r in rows)  # gaps exist at this SF
+    last_by_user = {}
+    days_by_user = {}
+    for r in rows:
+        u = r["user_id"]
+        days_by_user.setdefault(u, []).append(r["day"])
+        if r["observed"]:
+            last_by_user[u] = r["v_filled"]
+        else:
+            # forward fill carries the last observed value verbatim
+            assert r["v_filled"] == last_by_user[u]
+    for days in days_by_user.values():
+        assert days == list(range(days[0], days[-1] + 1))  # contiguous spine
+        assert len(days) >= 1
+
+
 # ------------------------------------------------------------- corpus ops
 
 
