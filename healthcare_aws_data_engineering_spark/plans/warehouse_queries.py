@@ -669,6 +669,121 @@ LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+# ------------------------------------------------------------ basket_pairs --
+# Market-basket co-occurrence support counts: baskets are (user, day)
+# event-type sets (≤5 distinct types, so the in-row pair fan-out is
+# bounded at C(5,2)=10 — generated by a nested HOF over the collected
+# set, never a self-join of the event stream). The classic association-
+# mining support table, computed with one basket shuffle + one
+# map-side-combining pair agg.
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    baskets = (
+        events.select(
+            "user_id",
+            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("__items"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) ->"
+                " transform(slice(__items, i + 2, size(__items)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH baskets AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+         list_sort(list(DISTINCT event_type)) AS items
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT unnest(flatten(list_transform(items, (x, i) ->
+           list_transform(items[i + 1:], y -> {'a': x, 'b': y})))) AS p
+  FROM baskets
+)
+SELECT p.a AS item_a, p.b AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM pairs GROUP BY p.a, p.b
+"""
+
+
+# ------------------------------------------------------------- attribution --
+# Last-touch conversion attribution: each purchase is credited to the
+# user's most recent non-purchase event (the running
+# `last(ignorenulls)` window over the one user-keyed shuffle — never an
+# inequality self-join of the stream against itself). Purchases with no
+# preceding touch credit 'none' with gap -1: no NULL cells.
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(ts)").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ms = F.when(F.col("event_type") != "purchase", F.col("ms"))
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ms",
+            F.last(touch, ignorenulls=True).over(w).alias("__t"),
+            F.last(touch_ms, ignorenulls=True).over(w).alias("__tms"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("__t"), F.lit("none")).alias("attributed_to"),
+            F.coalesce(F.col("ms") - F.col("__tms"), F.lit(-1)).alias("gap_ms"),
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+SELECT event_id, user_id,
+       COALESCE(t, 'none') AS attributed_to,
+       COALESCE(ms - tms, -1) AS gap_ms
+FROM (
+  SELECT event_id, user_id, event_type, ms,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS t,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ms END
+               IGNORE NULLS) OVER w AS tms
+  FROM (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS ms
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -682,6 +797,8 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_summary": q_cube_summary,
     "rank_windows": q_rank_windows,
     "gap_fill": q_gap_fill,
+    "basket_pairs": q_basket_pairs,
+    "attribution": q_attribution,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -697,4 +814,6 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "cube_summary": _CUBE_SUMMARY_SQL,
     "rank_windows": _RANK_WINDOWS_SQL,
     "gap_fill": _gap_fill_sql(),
+    "basket_pairs": _BASKET_PAIRS_SQL,
+    "attribution": _ATTRIBUTION_SQL,
 }

@@ -196,6 +196,66 @@ def test_gap_fill_spine_and_forward_fill(spark):
         assert len(days) >= 1
 
 
+def test_basket_pairs_python_twin(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        q_basket_pairs,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day"), "event_type"
+    ).collect()
+    baskets = {}
+    for r in events:
+        baskets.setdefault((r["user_id"], r["day"]), set()).add(r["event_type"])
+    counts = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            counts[(a, b)] += 1
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in q_basket_pairs(spark, SF_DIR).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_attribution_last_touch_semantics(spark):
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        q_attribution,
+    )
+
+    rows = q_attribution(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["attributed_to"] != "purchase" for r in rows)
+    assert all(r["gap_ms"] > 0 or r["attributed_to"] == "none" for r in rows)
+    # python twin for one user
+    uid = rows[0]["user_id"]
+    evs = sorted(
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") == uid)
+        .select("event_id", "event_type", F.expr("unix_millis(ts)").alias("ms"))
+        .collect(),
+        key=lambda r: (r["ms"], r["event_id"]),
+    )
+    expected = {}
+    last = None
+    for r in evs:
+        if r["event_type"] == "purchase":
+            expected[r["event_id"]] = (
+                (last["event_type"], r["ms"] - last["ms"]) if last else ("none", -1)
+            )
+        else:
+            last = r
+    got = {
+        r["event_id"]: (r["attributed_to"], r["gap_ms"])
+        for r in rows
+        if r["user_id"] == uid
+    }
+    assert got == expected
+
+
 # ------------------------------------------------------------- corpus ops
 
 
