@@ -6,7 +6,11 @@ queries exercise the same engine machinery — star joins, semi/anti
 joins with non-equi residuals, HAVING pushups, OR-of-ANDs predicate
 pushdown, scalar-subquery broadcasts — against the driver's TPC-H-ish
 testdata, in the classic TPC-H query shapes (Q4/Q7/Q10/Q14/Q18/Q19/Q22)
-adapted to the columns the testdata actually has.
+adapted to the columns the testdata actually has; plus the adjacent
+warehouse staples: EXCEPT/INTERSECT set algebra (SURVEY §2.7 closure),
+percent-of-total windows, CUBE grouping sets, the full ranking-window
+family, calendar-spine gap filling with forward fill, market-basket
+pair support, and last-touch conversion attribution.
 
 Scale notes apply throughout:
 - ``nation``/``region`` are genuinely tiny → explicit ``F.broadcast``.
