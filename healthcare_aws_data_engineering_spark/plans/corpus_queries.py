@@ -389,6 +389,70 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_join(load_table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------------------ source_terms --
+# Characteristic terms per source (domain fingerprinting): rank terms
+# by relative-frequency LIFT — (tf_s / n_s) / (tf_g / n_g), i.e. how
+# over-represented a term is in one source vs the whole corpus. The
+# TF-IDF idea without logarithms: lift is one division of two exact
+# BIGINT products, so it replays bit-identically cross-engine (a log
+# would drag in libm). Shape: one (source, term) agg, one term agg,
+# broadcast-joined totals, top-k per source via one bounded window.
+ST_TOP_K = 5
+
+
+def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf_s = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_s = tf_s.groupBy("source").agg(F.sum("tf").alias("__ns"))
+    tf_g = tf_s.groupBy("term").agg(F.sum("tf").alias("__tfg"))
+    n_g = tf_s.agg(F.sum("tf").alias("__ng"))
+    lift = (F.col("tf") * F.col("__ng")) / (F.col("__ns") * F.col("__tfg"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        tf_s.join(F.broadcast(n_s), "source")
+        .join(F.broadcast(tf_g), "term")
+        .crossJoin(F.broadcast(n_g))
+        .withColumn("lift", lift)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ST_TOP_K)
+        .select("source", "term", "tf", "lift", "rank")
+    )
+
+
+_SOURCE_TERMS_SQL = f"""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf_s AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY source, term
+),
+n_s AS (SELECT source, SUM(tf) AS ns FROM tf_s GROUP BY source),
+tf_g AS (SELECT term, SUM(tf) AS tfg FROM tf_s GROUP BY term),
+n_g AS (SELECT SUM(tf) AS ng FROM tf_s)
+SELECT source, term, tf, lift, rank FROM (
+  SELECT t.source, t.term, t.tf,
+         (t.tf * g.ng) / (s.ns * tg.tfg) AS lift,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY t.source
+           ORDER BY (t.tf * g.ng) / (s.ns * tg.tfg) DESC, t.term ASC
+         ) AS INTEGER) AS rank
+  FROM tf_s t
+  JOIN n_s s ON t.source = s.source
+  JOIN tf_g tg ON t.term = tg.term
+  CROSS JOIN n_g g
+)
+WHERE rank <= {ST_TOP_K}
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "doc_chunks": q_doc_chunks,
@@ -400,6 +464,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_novelty": q_shingle_novelty,
     "importance_sample": q_importance_sample,
     "ppjoin_pairs": q_ppjoin_pairs,
+    "source_terms": q_source_terms,
 }
 
 CORPUS_ORACLE: dict[str, str] = {
@@ -412,6 +477,7 @@ CORPUS_ORACLE: dict[str, str] = {
     "word_bigrams": _WORD_BIGRAMS_SQL,
     "shingle_novelty": _SHINGLE_NOVELTY_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
+    "source_terms": _SOURCE_TERMS_SQL,
 }
 
 

@@ -346,6 +346,44 @@ def test_ppjoin_threshold_and_ordering(spark):
         assert r["jaccard"] == r["shared"] / r["union_sz"]
 
 
+def test_source_terms_lift_semantics(spark):
+    from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+        ST_TOP_K,
+        q_source_terms,
+    )
+
+    rows = q_source_terms(spark, SF_DIR).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        assert 1 <= r["rank"] <= ST_TOP_K
+        assert r["lift"] > 0
+        by_source.setdefault(r["source"], []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r["rank"])
+        lifts = [r["lift"] for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+    # python twin for one source's top term
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    from collections import Counter
+
+    tf_s, tf_g = {}, Counter()
+    for d in docs:
+        for w in d["text"].split(" "):
+            tf_s.setdefault(d["source"], Counter())[w] += 1
+            tf_g[w] += 1
+    src = rows[0]["source"]
+    ns = sum(tf_s[src].values())
+    ng = sum(tf_g.values())
+    best = max(
+        tf_s[src].items(),
+        key=lambda kv: ((kv[1] * ng) / (ns * tf_g[kv[0]]), ),
+    )
+    expected_lift = (best[1] * ng) / (ns * tf_g[best[0]])
+    top = next(r for r in rows if r["source"] == src and r["rank"] == 1)
+    assert top["lift"] == expected_lift
+
+
 def test_importance_sample_replays_md5_coin(spark):
     rows = q_importance_sample(spark, SF_DIR).collect()
     assert rows
