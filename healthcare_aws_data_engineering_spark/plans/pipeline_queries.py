@@ -837,6 +837,96 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+# ------------------------------------------------------------- event_paths --
+# User-journey path mining: the most common 3-step event-type sequences
+# within a session (same 30-minute gap rule as `sessionize`). The
+# per-session ordered type list is built with sort_array over collected
+# (ms, event_id, type) structs — collect_list alone has NO ordering
+# guarantee across shuffles — and the trigrams fan out in-row via one
+# HOF (bounded by session length), never by self-joining the stream.
+# One user shuffle for sessionization, one session agg, one tiny path
+# count.
+PATH_TOP_K = 10
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ms"),
+    )
+    wseq = W.partitionBy("user_id").orderBy("ms", "event_id")
+    new_session = F.when(
+        F.lag("ms").over(wseq).isNull()
+        | (F.col("ms") - F.lag("ms").over(wseq) > SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    sess = base.withColumn("__new", new_session).withColumn(
+        "session_seq",
+        F.sum("__new")
+        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    ordered = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ms, event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("__types")
+    )
+    paths = ordered.filter(F.size("__types") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__types)-3),"
+                " i -> concat(__types[i], '>', __types[i+1], '>', __types[i+2]))"
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+
+
+_EVENT_PATHS_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_ms(ts) AS BIGINT) AS ms
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ms) OVER w IS NULL
+              OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nw
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sess AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_seq
+  FROM flagged
+),
+ordered AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ms, event_id) AS types
+  FROM sess GROUP BY user_id, session_seq
+),
+paths AS (
+  SELECT unnest(list_transform(range(1, len(types) - 1),
+           i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2])) AS path
+  FROM ordered WHERE len(types) >= 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "dist_summary": q_dist_summary,
@@ -852,6 +942,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_wide": q_unpivot_wide,
     "hist_quantiles": q_hist_quantiles,
     "funnel": q_funnel,
+    "event_paths": q_event_paths,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
@@ -869,4 +960,5 @@ PIPELINE_ORACLE: dict[str, str] = {
     "unpivot_wide": _unpivot_sql(),
     "hist_quantiles": _hist_quantiles_sql(),
     "funnel": _funnel_sql(),
+    "event_paths": _EVENT_PATHS_SQL,
 }

@@ -256,6 +256,41 @@ def test_attribution_last_touch_semantics(spark):
     assert got == expected
 
 
+def test_event_paths_python_twin(spark):
+    from collections import Counter
+
+    from healthcare_aws_data_engineering_spark.plans.pipeline_queries import (
+        PATH_TOP_K,
+        SESSION_GAP_MS,
+        q_event_paths,
+    )
+
+    evs = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms")
+    ).collect()
+    by_user = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ms"], r["event_id"]))
+        session, prev_ms = [], None
+        sessions = []
+        for r in rows:
+            if prev_ms is not None and r["ms"] - prev_ms > SESSION_GAP_MS:
+                sessions.append(session)
+                session = []
+            session.append(r["event_type"])
+            prev_ms = r["ms"]
+        sessions.append(session)
+        for types in sessions:
+            for i in range(len(types) - 2):
+                counts[">".join(types[i : i + 3])] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP_K]
+    got = [(r["path"], r["n"]) for r in q_event_paths(spark, SF_DIR).collect()]
+    assert got == expected
+
+
 # ------------------------------------------------------------- corpus ops
 
 
