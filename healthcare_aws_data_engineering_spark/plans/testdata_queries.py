@@ -1044,7 +1044,7 @@ _CHECK_FIRST = [
     "word_bigrams", "shingle_novelty", "importance_sample",
     "set_ops", "revenue_share", "cube_summary", "ppjoin_pairs",
     "rank_windows", "gap_fill", "basket_pairs", "attribution",
-    "source_terms", "event_paths",
+    "source_terms", "event_paths", "profile_columns",
     # never driver-checked in r2 (were positions 51-63); two full local
     # replica validations each — ordered so the simplest spill past a
     # 50-entry cap, if the driver still has one

@@ -788,6 +788,52 @@ WHERE event_type = 'purchase'
 """
 
 
+# --------------------------------------------------------- profile_columns --
+# Dataset profiling: one scan computes min / max / exact mean / null
+# count for every numeric lineitem measure, then a stack/UNPIVOT turns
+# the 1×(4·k) aggregate row into k tidy rows. The whole profile is ONE
+# job over ONE pass (Spark fuses all aggregates into a single partial+
+# final hash agg) — the anti-pattern this replaces is k separate
+# describe() passes over a 100 TB table. Means divide a decimal-exact
+# sum by the row count, so both engines emit the identical double.
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            dsum(F.col(c)).alias(f"__sum_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    legs = ", ".join(
+        f"'{c}', __min_{c}, __max_{c}, __sum_{c} / __n, __nulls_{c}"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {legs})"
+            " AS (column_name, min_v, max_v, mean_v, n_nulls)"
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+
+
+def _profile_sql() -> str:
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, MIN({c}) AS min_v, MAX({c}) AS max_v,"
+        f" {_dsum(c)} / COUNT(*) AS mean_v,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
+        for c in PROFILE_COLS
+    )
+    return legs
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -803,6 +849,7 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill": q_gap_fill,
     "basket_pairs": q_basket_pairs,
     "attribution": q_attribution,
+    "profile_columns": q_profile_columns,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -820,4 +867,5 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "gap_fill": _gap_fill_sql(),
     "basket_pairs": _BASKET_PAIRS_SQL,
     "attribution": _ATTRIBUTION_SQL,
+    "profile_columns": _profile_sql(),
 }

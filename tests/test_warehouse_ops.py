@@ -291,6 +291,28 @@ def test_event_paths_python_twin(spark):
     assert got == expected
 
 
+def test_profile_columns_single_pass_and_values(spark):
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        PROFILE_COLS,
+        q_profile_columns,
+    )
+    from conftest import n_exchanges, plan_string
+
+    df = q_profile_columns(spark, SF_DIR)
+    # one partial+final agg pair over one scan — no per-column passes
+    assert n_exchanges(plan_string(df)) <= 1
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.count()
+    for c in PROFILE_COLS:
+        r = rows[c]
+        assert r["n_rows"] == n and r["n_nulls"] == 0
+        assert r["min_v"] <= r["mean_v"] <= r["max_v"]
+        mn, mx = li.agg(F.min(c), F.max(c)).collect()[0]
+        assert (r["min_v"], r["max_v"]) == (mn, mx)
+
+
 # ------------------------------------------------------------- corpus ops
 
 
