@@ -1016,49 +1016,51 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # Driver-gate ordering
 # --------------------------------------------------------------------------
-# The r2 driver checked only the FIRST 50 registry entries (insertion
-# order). Order the registry so a 50-entry checked prefix covers the
-# queries that most need a fresh verdict:
-#   1. _CHECK_FIRST — the three r2 hash-mismatches (outputs reworked in
-#      r3), then every query NEW in r3 (no driver verdict ever), then
-#      the 13 positions-51-63 r2 queries (byte-stable, two green local
-#      replica rounds — they spill past 50 first if the cap is real).
-#   2. everything else in stable insertion order.
-#   3. _CHECK_LAST — exiled to the end: green in BOTH r1 and r2 with
-#      byte-identical definitions, so they carry two rounds of hard
-#      signal already and lose the least from sitting out one round.
+# The driver checks only the FIRST 50 registry entries per round. Order
+# the registry so the 50-entry checked prefix covers the queries that
+# most need a fresh verdict (r3 verdict ask #1):
+#   1. _CHECK_FIRST, four tiers —
+#      (a) the 13 queries that have NEVER had a driver verdict (starved
+#          past the cap in r2 AND r3);
+#      (b) the 15 queries whose only driver verdict is r2 (single green);
+#      (c) the 9 queries whose plans/outputs are MODIFIED in r4
+#          (pagerank perf rework, profile_columns null-aware mean,
+#          epoch-day floor fix, derived LSH width defaults);
+#      (d) the 13 most complex of the r1+r2 double-green set.
+#   2. everything else (r3-green, definitions unchanged) in stable
+#      insertion order.
+#   3. _CHECK_LAST — the 17 simplest r1+r2 double-green queries: two
+#      rounds of hard signal on trivially small definitions, so they
+#      lose the least from sitting out another round.
 _CHECK_FIRST = [
-    # r2 hash-mismatches, now emitting only int/double/varchar cells
-    "ml_risk_scores", "ann_pq_topk", "dist_summary",
-    # new in r3 (first possible driver verdict)
-    "etl_obs_choice", "pii_redact",
-    "span_dedup", "doc_chunks", "mix_weights", "source_overlap",
-    "json_props", "heavy_hitters",
-    "semantic_dedup", "knn_graph", "quality_classifier", "int8_quantize",
-    "length_buckets", "dataset_card", "zscore_outliers",
-    "curriculum_stages", "eval_draw", "drift_monitor",
-    "scd2_history", "k_anonymity",
-    "shipping_priority", "cohort_retention", "rfm_segments",
-    "graph_pagerank", "fuzzy_match", "debounce_events",
-    "order_priority", "returned_items", "nation_trade", "promo_revenue",
-    "large_orders", "bracket_revenue", "dormant_customers",
-    "word_bigrams", "shingle_novelty", "importance_sample",
-    "set_ops", "revenue_share", "cube_summary", "ppjoin_pairs",
-    "rank_windows", "gap_fill", "basket_pairs", "attribution",
-    "source_terms", "event_paths", "profile_columns",
-    # never driver-checked in r2 (were positions 51-63); two full local
-    # replica validations each — ordered so the simplest spill past a
-    # 50-entry cap, if the driver still has one
+    # (a) never driver-checked (starved in r2 and r3) — positions 1-13
     "time_rollup", "range_join", "distinct_sketch", "rolling_avg",
     "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
     "bm25_search", "repetition_filter", "lm_score",
     "incremental_dedup", "shard_manifest",
+    # (b) single driver verdict (r2 only)
+    "etl_patients", "etl_encounters", "etl_conditions", "etl_observations",
+    "ml_features", "ml_preprocess",
+    "disease_confidence", "height_weight_bmi",
+    "corpus_curation", "dup_clusters",
+    "sessionize", "asof_join", "pack_sequences", "split_assign",
+    "stratified_sample", "vocab_topk", "semi_anti_join",
+    # (c) modified in r4 (need a fresh verdict on the new plan)
+    "ml_risk_scores", "graph_pagerank", "profile_columns",
+    "set_ops", "gap_fill", "basket_pairs",
+    "knn_graph", "embedding_near_dup", "ann_lsh_topk",
+    # (d) most complex of the r1+r2 double-green set
+    "ann_cosine_topk", "ann_ivf_topk",
+    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard",
+    "report_cvd", "report_prediabetes",
+    "wellness_monthly", "forecast", "severity_topk", "media_stats",
 ]
 _CHECK_LAST = [
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",
     "frequency_count", "latest_per_key", "daily_latest", "top3_per_group",
     "linear_trend", "first_last_delta", "pricing_summary",
     "revenue_by_nation", "text_stats", "doc_fingerprint", "dedup_exact",
+    "media_features", "frame_sample",
 ]
 
 
