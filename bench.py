@@ -63,17 +63,22 @@ def main() -> None:
 
     # suite total = driver-registry queries only (comparable to BASELINE)
     total = round(sum(timings[n] for n in QUERIES), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver captures only a tail of stdout; at 110+ queries the
+    # single JSON line overflows it (BENCH_r03.json parsed:null). Persist
+    # the full per-query map as a repo artifact so every bench run is
+    # readable end-to-end without re-measuring.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

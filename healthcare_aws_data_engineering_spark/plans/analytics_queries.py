@@ -878,7 +878,11 @@ LIMIT {SHIP_TOP_K}
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    wk = F.expr("CAST((unix_millis(ts) DIV 86400000) DIV 7 AS BIGINT)")
+    from .sqlsum import floordiv
+
+    wk = F.expr(
+        f"CAST({floordiv(floordiv('unix_millis(ts)', 86400000), 7)} AS BIGINT)"
+    )
     base = events.select("user_id", "event_type", wk.alias("wk"))
     cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
@@ -1017,9 +1021,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 max_bucket=KNN_MAX_BUCKET,
             )
             .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
-            .persist()
         )
-    return pagerank(embs, _KNN_EDGES_CACHE[sf_dir], n_iter=PR_ITER)
+    # persist() is idempotent: on a fresh entry it registers the cache;
+    # on a hit it re-registers an entry that an external
+    # spark.catalog.clearCache() (bench.py runs one per query) silently
+    # unpersisted — otherwise later calls would recompute the full LSH
+    # knn chain on every PageRank action.
+    return pagerank(embs, _KNN_EDGES_CACHE[sf_dir].persist(), n_iter=PR_ITER)
 
 
 def _pagerank_oracle() -> str:

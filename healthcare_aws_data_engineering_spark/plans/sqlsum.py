@@ -23,3 +23,15 @@ def _dsum(expr: str, scale: int = 6) -> str:
 def dsum(col: F.Column, scale: int = 6) -> F.Column:
     """Spark twin of :func:`_dsum`."""
     return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def floordiv(x: str, y: int) -> str:
+    """Spark SQL fragment: exact BIGINT floor division ``x // y`` (y > 0).
+
+    Spark's ``DIV`` truncates toward zero; DuckDB's ``//`` floors. For a
+    negative dividend that is not an exact multiple (e.g. a pre-1970
+    epoch-millis timestamp bucketed into days) the two diverge by one
+    bucket. The CASE term converts truncation into floor while staying
+    in the exact-integer domain (Spark ``%`` carries the dividend sign).
+    """
+    return f"((({x}) DIV {y}) - (CASE WHEN ({x}) % {y} < 0 THEN 1 ELSE 0 END))"

@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
-from .sqlsum import _dsum, dsum
+from .sqlsum import _dsum, dsum, floordiv
 
 # ---------------------------------------------------------- order_priority --
 # TPC-H Q4 shape: how many orders per priority class shipped late?
@@ -400,7 +400,7 @@ SO_B = "purchase"
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    day = F.expr("unix_millis(ts) DIV 86400000")
+    day = F.expr(floordiv("unix_millis(ts)", 86400000))
     base = events.select(
         "event_type", F.col("user_id"), day.alias("day")
     )
@@ -618,7 +618,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.select(
             "user_id",
-            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            F.expr(floordiv("unix_millis(ts)", 86400000)).alias("day"),
             "value",
         )
         .groupBy("user_id", "day")
@@ -687,7 +687,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         events.select(
             "user_id",
-            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            F.expr(floordiv("unix_millis(ts)", 86400000)).alias("day"),
             "event_type",
         )
         .groupBy("user_id", "day")
@@ -795,7 +795,8 @@ WHERE event_type = 'purchase'
 # job over ONE pass (Spark fuses all aggregates into a single partial+
 # final hash agg) — the anti-pattern this replaces is k separate
 # describe() passes over a 100 TB table. Means divide a decimal-exact
-# sum by the row count, so both engines emit the identical double.
+# sum by the NON-NULL count, so both engines emit the identical double
+# and nullable measures are not biased low.
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -810,8 +811,12 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
         ]
     wide = li.agg(*aggs)
+    # mean = sum / NON-NULL count (nullif guards the all-null column:
+    # mean is NULL, not a division error). Dividing by total rows would
+    # bias the mean low the day a nullable measure is profiled.
     legs = ", ".join(
-        f"'{c}', __min_{c}, __max_{c}, __sum_{c} / __n, __nulls_{c}"
+        f"'{c}', __min_{c}, __max_{c},"
+        f" __sum_{c} / nullif(__n - __nulls_{c}, 0), __nulls_{c}"
         for c in PROFILE_COLS
     )
     return wide.select(
@@ -826,7 +831,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_sql() -> str:
     legs = "\nUNION ALL\n".join(
         f"SELECT '{c}' AS column_name, MIN({c}) AS min_v, MAX({c}) AS max_v,"
-        f" {_dsum(c)} / COUNT(*) AS mean_v,"
+        f" {_dsum(c)} / NULLIF(COUNT({c}), 0) AS mean_v,"
         f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
         f" CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
         for c in PROFILE_COLS

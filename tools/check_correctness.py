@@ -65,6 +65,10 @@ def main() -> int:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         spark_s = time.time() - t0
+        # Same cache hygiene as bench.py: queries that persist
+        # intermediates (ppjoin's token table, gap_fill's daily rollup)
+        # must not accumulate cached generations across a 110-query run.
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:24s} rows={len(srows):7d}  (no oracle: rows-only) "
                   f"[{spark_s:.1f}s]")
