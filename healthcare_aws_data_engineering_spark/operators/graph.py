@@ -144,11 +144,16 @@ def pagerank(
     "influence score" depth for corpus-graph weighting, not a numeric
     fixpoint claim.
 
-    Scale shape per iteration: one edges⋈ranks shuffle join on ``src``
-    (the same partitioning every round — Spark reuses the exchange), one
-    hash agg on ``dst``, one broadcast of the O(1) dangling aggregate.
-    ``localCheckpoint`` would be needed past ~10 iterations (see
-    :func:`connected_components`); at 3 the lineage stays shallow.
+    Scale shape per iteration: one deg_edges⋈ranks shuffle join on
+    ``src`` (deg_edges is degree-annotated, pre-partitioned on ``src``
+    and materialized ONCE — the big side never re-shuffles and never
+    re-joins out_deg), one hash agg on ``dst``, one broadcast of the
+    O(1) dangling aggregate (a flag-filtered scan of ranks, no
+    anti-join). ``ranks`` is ``localCheckpoint``-ed every round: each
+    round's DataFrame is referenced three times (contrib join, dangling
+    agg, update join), so without materialization the round-(i−1)
+    subtree re-executes 3× per reference — 3^iter subtree blowup that
+    dominated the r3 wall time (4.2→6s at 3 iters on 500 nodes).
 
     Output: one row per vertex, ``(id, rank_u12)`` — BIGINT grid units
     summing to ≈ PR_GRID (floor losses are deterministic).
@@ -157,32 +162,56 @@ def pagerank(
     init = PR_GRID // n
     base = ((100 - PR_DAMP_PCT) * PR_GRID // n) // 100
     out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = vertices.select(
-        F.col(id_col).alias("id"), F.lit(init).cast("long").alias("rank")
+    # Degree-annotated edges, staged once for all iterations. localCheckpoint
+    # (not persist) also truncates lineage into the caller's edge-build plan.
+    deg_edges = (
+        edges.join(out_deg, src_col)
+        .select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            "__deg",
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    # Static vertex list with a dangling flag: the per-round dangling mass
+    # is then a filter+sum over ranks instead of a per-round anti-join.
+    verts = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(
+            out_deg.select(
+                F.col(src_col).alias("id"), F.lit(1).alias("__has_out")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("__has_out", F.lit(0)).alias("__has_out"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select(
+        "id", "__has_out", F.lit(init).cast("long").alias("rank")
     )
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks, edges[src_col] == ranks["id"])
-            .join(out_deg, src_col)
+            deg_edges.join(
+                ranks.select(F.col("id").alias("src"), "rank"), "src"
+            )
             .select(
-                F.col(dst_col).alias("id"),
+                F.col("dst").alias("id"),
                 F.expr("CAST(rank DIV __deg AS BIGINT)").alias("__c"),
             )
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )
-        dang = (
-            ranks.join(
-                out_deg, ranks["id"] == out_deg[src_col], "left_anti"
-            )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang"))
+        dang = ranks.filter(F.col("__has_out") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
         )
         ranks = (
-            ranks.select("id")
-            .join(contrib, "id", "left")
+            verts.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
+                "__has_out",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -191,6 +220,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("id").alias(id_col), F.col("rank").alias("rank_u12"))
 

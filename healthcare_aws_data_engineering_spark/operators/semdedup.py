@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
     _centroid_cell,
-    hyperplane_signature_q,
+    band_keys_from_chunks,
+    derive_planes,
     quantize_vec,
+    sig_chunks_q,
 )
 
 
@@ -139,6 +141,7 @@ def knn_graph(
     plane_matrix: list[list[int]] | None = None,
     bands: int = 4,
     max_bucket: int = 200,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: for every corpus vector, its top-``k``
     cosine neighbors among vectors sharing ≥1 LSH signature band.
@@ -151,17 +154,29 @@ def knn_graph(
     Output: ``(vec_id, neighbor_id, cosine, rank)`` with rank 1..k per
     vector (vectors sharing no bucket yield no rows — standard for an
     approximate graph; raise ``bands`` for recall).
+
+    ``plane_matrix=None`` (the default for production callers) sizes the
+    band width to the corpus at index-build time via
+    :func:`similarity.width_for` — expected bucket population stays
+    ≈ ``target_bucket`` under corpus growth, so recall does not collapse
+    when a gate-scale constant meets a 100× corpus (the r3 SCALING probe
+    measured exactly that failure for pinned width 4). Driver queries
+    pin the matrix because their DuckDB oracles bake it into SQL.
     """
     if plane_matrix is None:
-        raise ValueError("knn_graph requires literal plane_matrix")
-    planes = len(plane_matrix)
-    width = planes // bands
+        plane_matrix = derive_planes(
+            corpus,
+            vec_col=vec_col,
+            bands=bands,
+            target_bucket=target_bucket or max_bucket,
+        )
     # Persisted for the same index-build reason as semantic_dedup: the
     # staging (quantize + signature HOFs) is referenced by the banding
     # leg AND twice by the vector join-back below. The squared norm is
     # computed HERE, once per vector — the pair stage then does ONE dot
     # per candidate instead of dot + two norms (3× the HOF work on the
     # fan-out side; r3 measurement: 7.3s → 2.6s at sf0.1).
+    width = len(plane_matrix) // bands
     staged = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -175,7 +190,8 @@ def knn_graph(
                 F.lit(0).cast("long"),
                 lambda s, x: s + x,
             ).alias("__n2"),
-            hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
+            # staged: band_keys_from_chunks reads it `bands` times
+            sig_chunks_q(F.col("__q"), plane_matrix, width).alias("__sigc"),
         )
         .persist()
     )
@@ -188,14 +204,7 @@ def knn_graph(
     banded = staged.select(
         "vec_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
-                        (1 << width) - 1
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_keys_from_chunks(F.col("__sigc"), width, bands)
         ).alias("band", "band_key"),
     )
     from .dedup import _bucket_cap

@@ -224,9 +224,53 @@ def quantize_py(x: float) -> int:
     )
 
 
-def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Column:
-    """Sign-bit signature of a pre-quantized (micro-unit long) vector
-    against LITERAL ±1 planes. With Rademacher components the dot product
+def width_for(n_rows: int, target_bucket: int = 200) -> int:
+    """Signature bits per LSH band so the EXPECTED bucket population under
+    a uniform key distribution is ≈ ``target_bucket``:
+    ``ceil(log2(n / target))``, floored at 1.
+
+    This is the scale knob the r3 probe showed must NOT be a constant: a
+    width pinned for the gate corpus (e.g. 4 bits → 16 buckets/band)
+    overflows every bucket as the corpus grows, the deterministic bucket
+    cap then DROPS the overflow, and recall silently collapses to zero
+    while cost stays flat (SCALING.md: knn_graph width-4 → 0 rows at
+    M≥4). Deriving the width at index-build time keeps expected bucket
+    size — and therefore both recall and per-bucket pair cost — constant
+    under corpus growth: n=60k→9 bits, n=1e10→26 bits."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def derive_planes(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = 4,
+    target_bucket: int = 200,
+    salt: str = "hyperplane",
+) -> list[list[int]]:
+    """Size an LSH plane matrix to the corpus: ``bands ×``
+    :func:`width_for` Rademacher planes of the corpus' dimensionality.
+
+    Runs at INDEX-BUILD time, like any ANN index's training step: one
+    ``count()`` (metadata-only on parquet) and one first-row dim probe —
+    both O(1) driver actions, never in a per-query path. Callers that
+    need engine-pinned constants (driver oracles bake the matrix into
+    SQL) pass an explicit ``plane_matrix`` instead and skip this."""
+    n_rows = corpus.count()
+    head = corpus.select(vec_col).first()
+    dim = len(head[0]) if head and head[0] is not None else 1
+    return rademacher_planes(
+        bands * width_for(n_rows, target_bucket), dim, salt
+    )
+
+
+def _plane_signs(qvec: Column, plane_matrix: list[list[int]]) -> Column:
+    """array<int> of 0/1 sign bits of a pre-quantized vector against
+    LITERAL ±1 planes — the shared core of :func:`hyperplane_signature_q`
+    and :func:`sig_chunks_q`. With Rademacher components the dot product
     is Σ ±q_i — exact long addition, bit-for-bit reproducible in DuckDB
     (double addition chains diverge between engines even in identical
     order; see the decimal-grid note on :func:`quantize_vec`).
@@ -235,7 +279,7 @@ def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Colum
     zip/aggregate machinery ONCE in the expression tree (inlining it per
     plane 16×'d the tree — same lesson as _cell_dists)."""
     planes_arr = _lit_nested_long([[int(c) for c in row] for row in plane_matrix])
-    signs = F.transform(
+    return F.transform(
         planes_arr,
         lambda row: F.when(
             F.aggregate(
@@ -247,6 +291,79 @@ def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Colum
             1,
         ).otherwise(0),
     )
+
+
+def _bands_per_chunk(width: int) -> int:
+    return max(1, 63 // width)
+
+
+def sig_chunks_q(
+    qvec: Column, plane_matrix: list[list[int]], width: int
+) -> Column:
+    """array<long> of band-aligned packed sign signatures: chunk ``j``
+    packs the sign bits of planes ``[j·C, (j+1)·C)`` where ``C =
+    (63 // width) · width`` — i.e. as many whole bands as fit in 63 bits.
+
+    This keeps the proven flat packing shape of
+    :func:`hyperplane_signature_q` (one signs transform + one
+    mask-OR fold per chunk — per-band HOF ``aggregate``s measured 6×
+    slower interpreted, and per-band slicing of an inline signs subtree
+    re-evaluates the planes × dim dots per band) while removing its
+    64-plane ceiling: derived widths at corpus scale need bands·width >
+    64 (e.g. width 26 × 4 bands = 104 planes at n=1e10/target 200).
+    Stage the result as a real column before
+    :func:`band_keys_from_chunks` reads it ``bands`` times."""
+    chunk_planes = _bands_per_chunk(width) * width
+    chunks = [
+        plane_matrix[i : i + chunk_planes]
+        for i in range(0, len(plane_matrix), chunk_planes)
+    ]
+    packed = []
+    for ch in chunks:
+        masks = F.expr(
+            "array(" + ",".join(f"{1 << p}L" for p in range(len(ch))) + ")"
+        )
+        packed.append(
+            F.aggregate(
+                F.zip_with(
+                    _plane_signs(qvec, ch),
+                    masks,
+                    lambda b, m: F.when(b == 1, m).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a.bitwiseOR(x),
+            )
+        )
+    return F.array(*packed)
+
+
+def band_keys_from_chunks(chunks: Column, width: int, bands: int) -> Column:
+    """array<long> of per-band LSH keys from a STAGED
+    :func:`sig_chunks_q` column: band ``b`` is bits
+    ``[(b mod C)·width, (b mod C + 1)·width)`` of chunk ``b div C`` —
+    pure shift/AND extraction (codegen-cheap, safe to reference the
+    chunk column ``bands`` times). Key values are identical to slicing
+    the packed 64-bit signature of :func:`hyperplane_signature_q`
+    whenever all planes fit one chunk."""
+    bpc = _bands_per_chunk(width)
+    return F.array(
+        *[
+            F.shiftrightunsigned(
+                F.element_at(chunks, b // bpc + 1), (b % bpc) * width
+            ).bitwiseAND((1 << width) - 1)
+            for b in range(bands)
+        ]
+    )
+
+
+def hyperplane_signature_q(qvec: Column, plane_matrix: list[list[int]]) -> Column:
+    """Packed 64-bit sign signature against LITERAL ±1 planes (exact
+    integer math — see :func:`_plane_signs`). Requires ≤ 64 planes; the
+    banded operators use :func:`sig_chunks_q` chunk packing instead, which has no such
+    ceiling."""
+    signs = _plane_signs(qvec, plane_matrix)
     masks = F.expr(
         "array(" + ",".join(f"{1 << p}L" for p in range(len(plane_matrix))) + ")"
     )
@@ -271,6 +388,7 @@ def lsh_topk(
     bands: int = 4,
     plane_matrix: list[list[int]] | None = None,
     exact: bool = False,
+    target_bucket: int = 200,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query, then exact cosine rerank within candidates.
@@ -281,45 +399,44 @@ def lsh_topk(
 
     ``plane_matrix``: literal ±1 planes (see :func:`rademacher_planes`) —
     engine-reproducible signatures for the DuckDB oracle; default (None)
-    uses the stateless xxhash64-derived planes. ``exact`` switches the
-    rerank cosine to the decimal-folded form (oracle hash-equality)."""
-    width = planes // bands
+    derives the band width from the CORPUS size at index-build time
+    (:func:`derive_planes`, target bucket ``target_bucket``), so bucket
+    population — and with it probe cost and recall — stays stable under
+    corpus growth. ``exact`` switches the rerank cosine to the
+    decimal-folded form (oracle hash-equality). ``planes`` is ignored
+    when a matrix is given or derived (the matrix defines the count)."""
+    if plane_matrix is None:
+        plane_matrix = derive_planes(
+            corpus,
+            vec_col=vec_col,
+            bands=bands,
+            target_bucket=target_bucket,
+        )
+
+    width = len(plane_matrix) // bands
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        # stage the signature as a real column: the band projections below
-        # reference it `bands` times, and inlining would recompute the
-        # whole planes x dims aggregate per band. (Same reason the
-        # quantized vector is staged as __q before the signature lambda
-        # touches it.)
-        if plane_matrix is not None:
-            staged = df.select(
+        # two staging selects: __q before the sign lambdas touch it (or
+        # the quantize tree re-evaluates per plane), __sigc before the
+        # band extraction reads it `bands` times.
+        return (
+            df.select(
                 F.col(id_col).alias(f"{role}_id"),
                 F.col(vec_col).alias(f"{role}_vec"),
                 quantize_vec(F.col(vec_col)).alias("__q"),
-            ).select(
+            )
+            .select(
                 f"{role}_id",
                 f"{role}_vec",
-                hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
+                sig_chunks_q(F.col("__q"), plane_matrix, width).alias("__sigc"),
             )
-        else:
-            staged = df.select(
-                F.col(id_col).alias(f"{role}_id"),
-                F.col(vec_col).alias(f"{role}_vec"),
-                hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+            .select(
+                f"{role}_id",
+                f"{role}_vec",
+                F.posexplode(
+                    band_keys_from_chunks(F.col("__sigc"), width, bands)
+                ).alias("band", "band_key"),
             )
-        return staged.select(
-            f"{role}_id",
-            f"{role}_vec",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
-                            (1 << width) - 1
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_key"),
         )
     cq = banded(queries, "query")
     cc = banded(corpus, "neighbor")
@@ -513,52 +630,48 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
     plane_matrix: list[list[int]] | None = None,
-    exact: bool = False,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed: pair
     fan-out happens only inside signature buckets (size-capped).
 
-    ``plane_matrix``/``exact``: engine-reproducible literal planes and
-    quantized-integer cosine, for the DuckDB oracle (see :func:`lsh_topk`).
-    In exact mode the scale-6 micro-unit vector ``__q`` is staged ONCE and
-    is the ONLY array carried through banding, capping, and the bucket
-    self-join — signature and final cosine both read it (r2 carried the
-    raw vector and re-derived exactness via a per-pair decimal fold,
-    ~1.5× the cost)."""
-    width = planes // bands
-    if plane_matrix is not None:
-        staged = corpus.select(
-            F.col(id_col).alias("doc"),
-            quantize_vec(F.col(vec_col)).alias("__q"),
-        ).select(
-            "doc",
-            F.col("__q").alias("vec"),
-            hyperplane_signature_q(F.col("__q"), plane_matrix).alias("__sig"),
+    ``plane_matrix``: engine-reproducible literal planes, for the DuckDB
+    oracle (see :func:`lsh_topk`); ``None`` (production default) sizes
+    the band width to the corpus at index-build time via
+    :func:`width_for`/:func:`derive_planes`, so the expected bucket
+    population stays ≈ ``target_bucket`` (default ``max_bucket``) under
+    corpus growth instead of overflowing a gate-scale constant and
+    silently losing recall to the cap. Either way the scale-6 micro-unit
+    vector ``__q`` is staged ONCE and is the ONLY array carried through
+    banding, capping, and the bucket self-join — band keys and the exact
+    integer cosine both read it (r2 carried the raw vector and re-derived
+    exactness via a per-pair decimal fold, ~1.5× the cost)."""
+    if plane_matrix is None:
+        plane_matrix = derive_planes(
+            corpus,
+            vec_col=vec_col,
+            bands=bands,
+            target_bucket=target_bucket or max_bucket,
         )
-        exact = True  # quantized carrier ⇒ integer cosine
-    else:
-        staged = corpus.select(
-            F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("vec"),
-            hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
-        )
-        exact = False
+    width = len(plane_matrix) // bands
+    staged = corpus.select(
+        F.col(id_col).alias("doc"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    ).select(
+        "doc",
+        F.col("__q").alias("vec"),
+        # staged: band_keys_from_chunks reads it `bands` times
+        sig_chunks_q(F.col("__q"), plane_matrix, width).alias("__sigc"),
+    )
+    exact = True  # quantized carrier ⇒ integer cosine
     banded = staged.select(
         "doc",
         "vec",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
-                        (1 << width) - 1
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_keys_from_chunks(F.col("__sigc"), width, bands)
         ).alias("band", "band_key"),
     )
     # Bucket self-equi-join (see dedup.minhash_lsh_pairs for why not nested

@@ -572,8 +572,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived planes + quantized-integer cosine (cosine_q: exact long
     sums, IEEE sqrt/divide — no decimal fold) → full DuckDB oracle."""
     return S.embedding_near_dup(
-        _embs(spark, sf_dir), threshold=0.35, planes=16, bands=8,
-        plane_matrix=_PLANES16, exact=True,
+        _embs(spark, sf_dir), threshold=0.35, bands=8,
+        plane_matrix=_PLANES16,
     )
 
 

@@ -1,0 +1,169 @@
+"""Derived LSH band width (r3 verdict ask #2): width_for sizing math,
+chunk-packed band keys vs the legacy packed-signature slicing, and the
+production default (plane_matrix=None) producing a usable index."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_aws_data_engineering_spark.operators.semdedup import knn_graph
+from healthcare_aws_data_engineering_spark.operators.similarity import (
+    band_keys_from_chunks,
+    derive_planes,
+    embedding_near_dup,
+    hyperplane_signature_q,
+    quantize_vec,
+    rademacher_planes,
+    sig_chunks_q,
+    width_for,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------- width_for math
+
+
+def test_width_for_targets_expected_bucket_size():
+    # expected bucket population n / 2^width must land in (target/2, target]
+    for n in (500, 10_000, 2_000_000, 10**10):
+        w = width_for(n, target_bucket=200)
+        assert n / 2**w <= 200
+        assert n / 2 ** (w - 1) > 200 or w == 1
+    # the verdict's cited endpoints
+    assert width_for(10**10, 200) == 26
+    assert width_for(60_000, 200) == math.ceil(math.log2(300))
+
+
+def test_width_for_small_corpus_floor():
+    assert width_for(10, 200) == 1
+    assert width_for(200, 200) == 1
+    assert width_for(0, 200) == 1
+
+
+# ---------------------------------------------- chunk packing == legacy sig
+
+
+def test_band_keys_match_packed_signature_slicing(spark):
+    """For ≤63 planes the chunked keys must equal slicing the legacy
+    packed 64-bit signature — same buckets, so every driver oracle that
+    bakes the banding into SQL stays valid."""
+    planes = rademacher_planes(16, 64)
+    bands, width = 8, 2
+    embs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(100)
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("__q"))
+    )
+    rows = embs.select(
+        "vec_id",
+        sig_chunks_q(F.col("__q"), planes, width).alias("__sigc"),
+        hyperplane_signature_q(F.col("__q"), planes).alias("__sig"),
+    ).select(
+        "vec_id",
+        band_keys_from_chunks(F.col("__sigc"), width, bands).alias("keys"),
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
+                    (1 << width) - 1
+                )
+                for b in range(bands)
+            ]
+        ).alias("legacy"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["keys"]) == list(r["legacy"])
+
+
+def test_band_keys_wide_matrix_beyond_64_planes(spark):
+    """Derived widths at corpus scale exceed the 64-plane packed-long
+    ceiling (width 26 × 4 bands = 104 planes); the chunked path must
+    produce in-range, band-complete keys there."""
+    bands, width = 4, 26
+    planes = rademacher_planes(bands * width, 64)
+    embs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(50)
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("__q"))
+    )
+    rows = embs.select(
+        "vec_id",
+        sig_chunks_q(F.col("__q"), planes, width).alias("__sigc"),
+    ).select(
+        "vec_id",
+        band_keys_from_chunks(F.col("__sigc"), width, bands).alias("keys"),
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["keys"]) == bands
+        for k in r["keys"]:
+            assert 0 <= k < (1 << width)
+    # identical vectors -> identical keys; the clone of row 0 agrees
+    first = rows[0]
+    again = (
+        embs.filter(F.col("vec_id") == first["vec_id"])
+        .select(
+            band_keys_from_chunks(
+                sig_chunks_q(F.col("__q"), planes, width), width, bands
+            ).alias("keys")
+        )
+        .first()
+    )
+    assert list(again["keys"]) == list(first["keys"])
+
+
+# -------------------------------------------------- derived-width defaults
+
+
+def test_derive_planes_shape(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = embs.count()
+    pm = derive_planes(embs, bands=4, target_bucket=50)
+    w = width_for(n, 50)
+    assert len(pm) == 4 * w
+    assert all(len(row) == 64 for row in pm)
+    assert all(c in (-1, 1) for row in pm for c in row)
+
+
+def test_knn_graph_derived_width_finds_clones(spark):
+    """plane_matrix=None (production default) must still put an exact
+    clone at rank 1 — derived width can shrink buckets but identical
+    vectors share every band key."""
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    clones = base.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    g = knn_graph(corpus, k=3, bands=4).collect()
+    assert g, "derived-width graph must be non-empty"
+    top = {r["vec_id"]: r for r in g if r["rank"] == 1}
+    for r in base.limit(5).collect():
+        vid = r["vec_id"]
+        assert top[vid]["neighbor_id"] == vid + 10_000
+        assert top[vid]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embedding_near_dup_derived_width_finds_clones(spark):
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    clones = base.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup(corpus, threshold=0.99, bands=8).collect()
+    }
+    for vid in range(5):
+        assert (vid, vid + 10_000) in pairs

@@ -97,19 +97,29 @@ def main() -> None:
             "knn_graph_w8",
             lambda: knn_graph(embs, k=3, plane_matrix=planes, bands=2),
         )
+        # derived width (plane_matrix=None → width_for(n, target)): the
+        # production default — expected bucket size stays ≈ target as the
+        # corpus grows, so output must stay non-empty and near-linear in
+        # M where the pinned-width legs above go to 0 rows
+        run(
+            "knn_graph_derived",
+            lambda: knn_graph(embs, k=3, bands=4, target_bucket=200),
+        )
         run(
             "embedding_near_dup_w2",
             lambda: S.embedding_near_dup(
-                embs, threshold=0.35, planes=16, bands=8,
-                plane_matrix=planes, exact=True,
+                embs, threshold=0.35, bands=8, plane_matrix=planes,
             ),
         )
         run(
             "embedding_near_dup_w8",
             lambda: S.embedding_near_dup(
-                embs, threshold=0.35, planes=16, bands=2,
-                plane_matrix=planes, exact=True,
+                embs, threshold=0.35, bands=2, plane_matrix=planes,
             ),
+        )
+        run(
+            "embedding_near_dup_derived",
+            lambda: S.embedding_near_dup(embs, threshold=0.35, bands=8),
         )
         edges = (
             knn_graph(embs, k=3, plane_matrix=planes, bands=2)
