@@ -1,0 +1,80 @@
+"""Registry ↔ docs bookkeeping (r3 verdict ask #5): at 110+ queries,
+manual drift between the driver registry, its oracles, BASELINE.md and
+COVERAGE.md is inevitable without a gate (the README drifted once
+already, fixed in 54c2e17). Pure-python checks — no SparkSession."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _registry():
+    from healthcare_aws_data_engineering_spark.plans.testdata_queries import (
+        ORACLE,
+        QUERIES,
+        _CHECK_FIRST,
+        _CHECK_LAST,
+    )
+
+    return QUERIES, ORACLE, _CHECK_FIRST, _CHECK_LAST
+
+
+def test_every_query_has_an_oracle():
+    """Brief contract: every operator claimed done needs BOTH a queries()
+    entry and an oracle_sql() entry (genuinely non-SQL-expressible ops
+    may be exempt — list them explicitly here if one ever appears)."""
+    queries, oracle, _, _ = _registry()
+    exempt: set[str] = set()
+    missing = [k for k in queries if k not in oracle and k not in exempt]
+    assert not missing, f"queries without oracles: {missing}"
+    orphaned = [k for k in oracle if k not in queries]
+    assert not orphaned, f"oracles without queries: {orphaned}"
+
+
+def test_oracle_iteration_order_matches_queries():
+    """The driver zips the two dicts; identical iteration order keeps
+    every (query, oracle) pair aligned."""
+    queries, oracle, _, _ = _registry()
+    assert list(oracle) == [k for k in queries if k in oracle]
+
+
+def test_every_query_has_a_baseline_row():
+    queries, _, _, _ = _registry()
+    text = (REPO / "BASELINE.md").read_text()
+    missing = [k for k in queries if f"| {k} " not in text]
+    assert not missing, f"queries without a BASELINE.md row: {missing}"
+
+
+def test_every_query_mentioned_in_coverage():
+    queries, _, _, _ = _registry()
+    text = (REPO / "COVERAGE.md").read_text()
+    missing = [k for k in queries if k not in text]
+    assert not missing, f"queries not mentioned in COVERAGE.md: {missing}"
+
+
+def test_gate_ordering_lists_are_valid():
+    """_CHECK_FIRST/_CHECK_LAST must reference real registry keys with no
+    duplicates or overlap — a typo here silently reshuffles which queries
+    the driver's 50-row cap verifies."""
+    queries, _, first, last = _registry()
+    assert len(first) == len(set(first))
+    assert len(last) == len(set(last))
+    assert not set(first) & set(last)
+    unknown = [k for k in [*first, *last] if k not in queries]
+    assert not unknown, f"gate lists name unknown queries: {unknown}"
+    # the checked prefix is exactly the driver's cap when enough queries
+    # need fresh verdicts; keep it at 50 so the intended set is checked
+    assert len(first) == 50
+
+
+def test_entry_module_exposes_full_registry():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as e
+
+    queries, oracle, _, _ = _registry()
+    assert set(e.queries()) == set(queries)
+    assert set(e.oracle_sql()) == set(oracle)
