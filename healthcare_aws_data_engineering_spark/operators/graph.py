@@ -41,16 +41,34 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MIN node id
     reachable from it. Returns ``(node, cluster_id)`` — one row per
     distinct node appearing in ``pairs``.
 
-    ``max_iter`` bounds the rounds (≥ graph diameter needed for an exact
-    answer; 25 covers any realistic dedup graph — a component would need
-    diameter >25 to be cut short, and the convergence check stops early
-    the round after fixpoint).
+    ``algorithm``:
+
+    - ``"label"`` (default) — min-label propagation; rounds = graph
+      DIAMETER. The right choice for verified near-dup pair graphs,
+      which are dense clique-ish clusters (measured: 2 rounds to
+      fixpoint on the sf0.1 MinHash graph, ``tools/cc_rounds_probe.py``).
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14);
+      O(log² n) rounds REGARDLESS of diameter. Use for graphs whose
+      diameter grows with corpus size — e.g. clustering a k-NN graph,
+      whose giant component measured diameter 9 at just 2k vectors
+      (same probe; a path-shaped control needs >40 label rounds but 8
+      star rounds). Identical output labels (component min).
+
+    ``max_iter`` bounds the rounds (label: ≥ diameter needed for an
+    exact answer; star: ≥ ~log² of the largest component — both stop
+    early the round after fixpoint).
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, src_col, dst_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     fwd = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -89,6 +107,97 @@ def connected_components(
             break
         prev = cur
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014).
+
+    Per round, TWO keyed shuffles (a groupBy-min and a join per star) over
+    an edge set that only ever shrinks toward one (node → component-min)
+    star edge per non-root node — no label table rides along, and round
+    count is O(log² n) in the largest component instead of its diameter.
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}). Each undirected edge is processed from its
+      smaller endpoint exactly once.
+    - small-star(u): edges oriented (hi=u, lo=v); every lo-neighbor and u
+      itself re-attach to m = min(Γ⁻(u)).
+
+    Convergence: the deduped edge set is stationary — checked as the
+    O(1) driver pair (count, xxhash64-sum), the same trick as the label
+    variant's (sum, count). Output matches ``algorithm="label"`` exactly:
+    one row per distinct input node, cluster_id = component min.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        # ---- large-star: neighbors above u hook onto u's min
+        nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        edges = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # ---- small-star: orient (hi, lo); lo-neighbors and hi hook onto min
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates(["u", "v"])
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a BIGINT sum of ~2^63-scale
+            # hashes overflows (ANSI error); decimal sums are exact and
+            # order-independent
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # At fixpoint every non-root node carries exactly one (node, min)
+    # edge; the min-agg is a no-op then, but keeps the answer a valid
+    # (coarser) labeling even if max_iter cut the loop early. Roots
+    # appear only on the right side — attach them to themselves.
+    parent = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    return all_nodes.join(parent, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+    )
 
 
 def dup_clusters(

@@ -1023,9 +1023,10 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #      (a) the 13 queries that have NEVER had a driver verdict (starved
 #          past the cap in r2 AND r3);
 #      (b) the 15 queries whose only driver verdict is r2 (single green);
-#      (c) the 9 queries whose plans/outputs are MODIFIED in r4
-#          (pagerank perf rework, profile_columns null-aware mean,
-#          epoch-day floor fix, derived LSH width defaults);
+#      (c) the 8 queries whose plans are MODIFIED in r4 (pagerank perf
+#          rework, profile_columns null-aware mean, epoch-day floor
+#          fix, LSH chunk-packed band keys) plus ml_risk_scores (r4
+#          parity audit; most complex query on the board);
 #      (d) the 13 most complex of the r1+r2 double-green set.
 #   2. everything else (r3-green, definitions unchanged) in stable
 #      insertion order.
