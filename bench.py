@@ -21,6 +21,40 @@ from healthcare_aws_data_engineering_spark.session import get_spark
 RUNS = 3
 
 
+def _last_verified_rounds() -> dict[str, int | None]:
+    """Per registry query, the latest round N whose CORRECTNESS_r{N}.json
+    records a fully green verdict (rows + schema + hash, no err); None if
+    no round has one yet. Bench-only queries (ml_*_fast) are excluded —
+    they are not oracle-gated by design."""
+    import glob
+    import re
+
+    latest: dict[str, int | None] = {name: None for name in QUERIES}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if name not in latest or not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green and (latest[name] is None or rnd > latest[name]):
+                latest[name] = rnd
+    return latest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -69,6 +103,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # oracle-freshness telemetry (r4 verdict ask #6): per query, the
+        # latest round whose driver CORRECTNESS file has a green verdict
+        # for it — makes verdict starvation self-reporting instead of a
+        # judge-side join across CORRECTNESS_r*.json
+        "last_verified_round": _last_verified_rounds(),
     }
     print(json.dumps(payload))
     # The driver captures only a tail of stdout; at 110+ queries the

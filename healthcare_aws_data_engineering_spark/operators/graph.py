@@ -133,16 +133,19 @@ def _connected_components_star(
     variant's (sum, count). Output matches ``algorithm="label"`` exactly:
     one row per distinct input node, cluster_id = component min.
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
+    raw = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # Node coverage comes from the RAW pairs, BEFORE the self-loop filter:
+    # a node appearing only as (x, x) is still a (singleton) node of the
+    # graph and the label variant emits it — so must we.
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
     prev: tuple | None = None

@@ -30,20 +30,23 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
     _centroid_cell,
+    _resolve_index,
     band_keys_from_chunks,
-    derive_planes,
+    cells_for,
     quantize_vec,
+    sample_centroids,
     sig_chunks_q,
 )
 
 
 def semantic_dedup(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | int | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 256,
+    target_cluster: int = 200,
 ) -> DataFrame:
     """SemDeDup: coarse-cluster the embedding space, then drop the
     higher-id member of every within-cluster pair whose cosine ≥
@@ -54,11 +57,46 @@ def semantic_dedup(
     is the smallest lower-id partner that shadows them (−1 when kept; no
     NULL cells, so no engine's null rendering can enter the value hash).
 
+    ``centroids`` — the coarse quantizer, three forms:
+
+    - ``None`` (production default): the centroid COUNT is derived from
+      the corpus at index-build time, :func:`similarity.cells_for`
+      (expected cluster population ≈ ``target_cluster``), and the
+      centroids themselves are a deterministic hash-stratified sample
+      (:func:`similarity.sample_centroids`). This is the cell-count twin
+      of the derived LSH band width: a count pinned for the gate corpus
+      packs every cell past ``max_cluster`` as the corpus grows and the
+      cap then silently drops members from pair generation.
+    - an ``int``: explicit count, sampled centroids.
+    - an explicit ``list[list[float]]`` matrix: engine-pinned literals —
+      what the driver query uses, because its DuckDB oracle bakes the
+      centroid values into SQL.
+
     ``max_cluster`` caps self-join membership per cluster: members are
     ranked by ``(md5(id), id)`` — an unbiased deterministic sample — and
     only the first ``max_cluster`` participate in pair generation, so a
-    degenerate cluster costs O(cap²), never O(n²).
+    degenerate cluster costs O(cap²), never O(n²). ``target_cluster``
+    deliberately sits BELOW ``max_cluster`` (200 < 256) so that with
+    derived cells the cap is a skew backstop, not a systematic
+    truncation — the r5 recall probe measured the opposite arrangement
+    (target 1000, cap 256) silently excluding ~75% of every cell's
+    members from pair generation.
+
+    Scale note (100 TB): the literal-centroid projection assignment holds
+    to ~10⁴ cells (plan-size bound). Past that, ``cells_for`` yields
+    counts where centroids belong in a TABLE (broadcast join on argmin
+    distance) rather than plan literals — same math, different transport;
+    the bounded-literal form is what the probe and oracle exercise.
     """
+    if centroids is None or isinstance(centroids, int):
+        n_cells = (
+            cells_for(corpus.count(), target_cluster)
+            if centroids is None
+            else centroids
+        )
+        centroids = sample_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col
+        )
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
@@ -139,9 +177,11 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     plane_matrix: list[list[int]] | None = None,
-    bands: int = 4,
+    bands: int | None = None,
     max_bucket: int = 200,
     target_bucket: int | None = None,
+    design_cos: float = 0.9,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Approximate k-NN graph: for every corpus vector, its top-``k``
     cosine neighbors among vectors sharing ≥1 LSH signature band.
@@ -160,23 +200,24 @@ def knn_graph(
     :func:`similarity.width_for` — expected bucket population stays
     ≈ ``target_bucket`` under corpus growth, so recall does not collapse
     when a gate-scale constant meets a 100× corpus (the r3 SCALING probe
-    measured exactly that failure for pinned width 4). Driver queries
-    pin the matrix because their DuckDB oracles bake it into SQL.
+    measured exactly that failure for pinned width 4). When ``bands`` is
+    also None, the band count scales with that width via
+    :func:`similarity.bands_for` (``design_cos``/``target_recall``) —
+    holding the per-pair recall floor the width growth would otherwise
+    erode (``tools/recall_probe.py`` measures both effects). Driver
+    queries pin the matrix + bands because their DuckDB oracles bake
+    them into SQL.
     """
-    if plane_matrix is None:
-        plane_matrix = derive_planes(
-            corpus,
-            vec_col=vec_col,
-            bands=bands,
-            target_bucket=target_bucket or max_bucket,
-        )
+    plane_matrix, width, bands = _resolve_index(
+        corpus, vec_col, plane_matrix, bands,
+        target_bucket or max_bucket, design_cos, target_recall,
+    )
     # Persisted for the same index-build reason as semantic_dedup: the
     # staging (quantize + signature HOFs) is referenced by the banding
     # leg AND twice by the vector join-back below. The squared norm is
     # computed HERE, once per vector — the pair stage then does ONE dot
     # per candidate instead of dot + two norms (3× the HOF work on the
     # fan-out side; r3 measurement: 7.3s → 2.6s at sf0.1).
-    width = len(plane_matrix) // bands
     staged = (
         corpus.select(
             F.col(id_col).alias("vec_id"),

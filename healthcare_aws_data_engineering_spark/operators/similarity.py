@@ -235,13 +235,127 @@ def width_for(n_rows: int, target_bucket: int = 200) -> int:
     cap then DROPS the overflow, and recall silently collapses to zero
     while cost stays flat (SCALING.md: knn_graph width-4 → 0 rows at
     M≥4). Deriving the width at index-build time keeps expected bucket
-    size — and therefore both recall and per-bucket pair cost — constant
-    under corpus growth: n=60k→9 bits, n=1e10→26 bits."""
+    size — and therefore per-bucket pair cost — constant under corpus
+    growth (n=60k→9 bits, n=1e10→26 bits), which prevents that
+    bucket-cap recall collapse. It does NOT hold per-pair recall
+    constant: a fixed-similarity pair collides in a band with
+    probability p^width, so recall still declines slowly as width grows
+    with n — scale ``bands`` up alongside width when a recall floor must
+    hold (measured recall@k per width in SCALING.md)."""
     import math
 
     if n_rows <= target_bucket:
         return 1
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def bands_for(
+    width: int, design_cos: float = 0.9, target_recall: float = 0.8
+) -> int:
+    """Band count so hyperplane-LSH recall of pairs at similarity
+    ``design_cos`` is ≥ ``target_recall`` at the given band width:
+    the smallest L with ``1 − (1 − p^width)^L ≥ target_recall``,
+    ``p = 1 − arccos(design_cos)/π`` (per-plane agreement probability).
+
+    The second half of the LSH scale contract: :func:`width_for` sizes
+    the band WIDTH from corpus size (bucket population ⇒ per-bucket pair
+    cost), but per-band collision probability for a fixed-similarity
+    pair is ``p^width`` — decaying as width grows with n — so holding a
+    recall floor requires the band COUNT to grow alongside. For real
+    near-dup work (design_cos 0.9 ⇒ p ≈ 0.90) the growth is mild:
+    width 9 (n=60k) → 3 bands, width 26 (n=1e10) → 26 bands. For weakly
+    similar targets it is steep (p^width collapses) — which is the
+    honest cost of using LSH far below its design similarity, measured
+    in ``tools/recall_probe.py`` / SCALING.md."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, design_cos))) / math.pi
+    per_band = p ** width
+    if per_band >= 1.0 or target_recall <= 0.0:
+        return 1
+    if per_band <= 0.0:
+        raise ValueError("degenerate design_cos: per-band probability 0")
+    return max(
+        1,
+        math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - per_band)
+        ),
+    )
+
+
+def derive_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    target_bucket: int = 200,
+    design_cos: float = 0.9,
+    target_recall: float = 0.8,
+    salt: str = "hyperplane",
+) -> tuple[list[list[int]], int, int]:
+    """Fully-derived LSH index geometry ``(plane_matrix, width, bands)``:
+    width from corpus size (:func:`width_for` — bounds per-bucket pair
+    cost), bands from the design similarity (:func:`bands_for` — holds
+    the recall floor as that width grows). Same index-build-time cost
+    shape as :func:`derive_planes` (one count, one first-row dim probe);
+    this is what ``bands=None`` resolves to in :func:`lsh_topk`,
+    ``knn_graph`` and :func:`embedding_near_dup`."""
+    n_rows = corpus.count()
+    head = corpus.select(vec_col).first()
+    dim = len(head[0]) if head and head[0] is not None else 1
+    width = width_for(n_rows, target_bucket)
+    bands = bands_for(width, design_cos, target_recall)
+    return rademacher_planes(bands * width, dim, salt), width, bands
+
+
+def _resolve_index(
+    corpus: DataFrame,
+    vec_col: str,
+    plane_matrix: list[list[int]] | None,
+    bands: int | None,
+    target_bucket: int,
+    design_cos: float,
+    target_recall: float,
+) -> tuple[list[list[int]], int, int]:
+    """Shared ``(plane_matrix, width, bands)`` resolution for the banded
+    operators: explicit matrix (needs explicit bands — oracle-pinned
+    path) → as given; explicit bands only → width derived from corpus
+    size; neither → fully derived (:func:`derive_index`)."""
+    if plane_matrix is not None:
+        if bands is None:
+            raise ValueError(
+                "an explicit plane_matrix needs an explicit bands count"
+            )
+        return plane_matrix, len(plane_matrix) // bands, bands
+    if bands is None:
+        return derive_index(
+            corpus,
+            vec_col=vec_col,
+            target_bucket=target_bucket,
+            design_cos=design_cos,
+            target_recall=target_recall,
+        )
+    matrix = derive_planes(
+        corpus, vec_col=vec_col, bands=bands, target_bucket=target_bucket
+    )
+    return matrix, len(matrix) // bands, bands
+
+
+def cells_for(n_rows: int, target_cluster: int = 200) -> int:
+    """Coarse-cluster count for SemDeDup-style cell dedup so the EXPECTED
+    cluster population is ≈ ``target_cluster``: ``ceil(n / target)``,
+    floored at 1.
+
+    The cell-count twin of :func:`width_for`: a centroid count pinned for
+    the gate corpus packs every cell past ``max_cluster`` as the corpus
+    grows, and the deterministic membership cap then silently excludes
+    the overflow from pair generation — same failure mode, same fix
+    (derive the knob from the corpus at index-build time). The default
+    target sits below ``semantic_dedup``'s pair cap (200 < 256) so the
+    cap stays a skew backstop. n=60k → 300 cells; n=1e10 → 50M cells
+    (centroid ROWS at that count, not plan literals — see
+    :func:`semdedup.semantic_dedup`'s scale note)."""
+    import math
+
+    return max(1, math.ceil(n_rows / target_cluster))
 
 
 def derive_planes(
@@ -384,11 +498,13 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 16,
-    bands: int = 4,
+    planes: int | None = None,
+    bands: int | None = None,
     plane_matrix: list[list[int]] | None = None,
     exact: bool = False,
     target_bucket: int = 200,
+    design_cos: float = 0.9,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query, then exact cosine rerank within candidates.
@@ -398,22 +514,30 @@ def lsh_topk(
     by bucket and each query probes only its buckets.
 
     ``plane_matrix``: literal ±1 planes (see :func:`rademacher_planes`) —
-    engine-reproducible signatures for the DuckDB oracle; default (None)
-    derives the band width from the CORPUS size at index-build time
-    (:func:`derive_planes`, target bucket ``target_bucket``), so bucket
-    population — and with it probe cost and recall — stays stable under
-    corpus growth. ``exact`` switches the rerank cosine to the
-    decimal-folded form (oracle hash-equality). ``planes`` is ignored
-    when a matrix is given or derived (the matrix defines the count)."""
-    if plane_matrix is None:
-        plane_matrix = derive_planes(
-            corpus,
-            vec_col=vec_col,
-            bands=bands,
-            target_bucket=target_bucket,
-        )
+    engine-reproducible signatures for the DuckDB oracle (requires an
+    explicit ``bands``); default (None) derives the index geometry from
+    the CORPUS at index-build time — band width from corpus size
+    (bucket population ⇒ probe cost, :func:`width_for`) and, when
+    ``bands`` is also None, band count from ``design_cos`` /
+    ``target_recall`` (:func:`bands_for` — holds the recall floor as
+    width grows; see :func:`derive_index`). ``exact`` switches the
+    rerank cosine to the decimal-folded form (oracle hash-equality).
+    ``planes`` is DEPRECATED and has no effect — the plane count always
+    comes from ``plane_matrix`` (given or derived); passing it warns."""
+    if planes is not None:
+        import warnings
 
-    width = len(plane_matrix) // bands
+        warnings.warn(
+            "lsh_topk(planes=...) is deprecated and ignored: the plane "
+            "count comes from plane_matrix (explicit or derived from the "
+            "corpus). Pass plane_matrix, or bands/target_bucket.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    plane_matrix, width, bands = _resolve_index(
+        corpus, vec_col, plane_matrix, bands,
+        target_bucket, design_cos, target_recall,
+    )
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         # two staging selects: __q before the sign lambdas touch it (or
@@ -630,33 +754,33 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 4,
+    bands: int | None = None,
     max_bucket: int = 200,
     plane_matrix: list[list[int]] | None = None,
     target_bucket: int | None = None,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed: pair
     fan-out happens only inside signature buckets (size-capped).
 
     ``plane_matrix``: engine-reproducible literal planes, for the DuckDB
-    oracle (see :func:`lsh_topk`); ``None`` (production default) sizes
-    the band width to the corpus at index-build time via
-    :func:`width_for`/:func:`derive_planes`, so the expected bucket
-    population stays ≈ ``target_bucket`` (default ``max_bucket``) under
-    corpus growth instead of overflowing a gate-scale constant and
-    silently losing recall to the cap. Either way the scale-6 micro-unit
+    oracle (see :func:`lsh_topk`, needs explicit ``bands``); ``None``
+    (production default) derives the index geometry from the corpus at
+    build time — band width from corpus size (:func:`width_for`, bucket
+    population ≈ ``target_bucket``, default ``max_bucket``) and, when
+    ``bands`` is also None, band count from the dedup threshold itself
+    (:func:`bands_for` with ``design_cos=threshold`` — the operator's
+    own contract similarity is the recall design point), so BOTH the
+    bucket-cap collapse and the p^width recall decay are held off as the
+    corpus grows. Either way the scale-6 micro-unit
     vector ``__q`` is staged ONCE and is the ONLY array carried through
     banding, capping, and the bucket self-join — band keys and the exact
     integer cosine both read it (r2 carried the raw vector and re-derived
     exactness via a per-pair decimal fold, ~1.5× the cost)."""
-    if plane_matrix is None:
-        plane_matrix = derive_planes(
-            corpus,
-            vec_col=vec_col,
-            bands=bands,
-            target_bucket=target_bucket or max_bucket,
-        )
-    width = len(plane_matrix) // bands
+    plane_matrix, width, bands = _resolve_index(
+        corpus, vec_col, plane_matrix, bands,
+        target_bucket or max_bucket, threshold, target_recall,
+    )
     staged = corpus.select(
         F.col(id_col).alias("doc"),
         quantize_vec(F.col(vec_col)).alias("__q"),

@@ -1018,57 +1018,53 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict (r3 verdict ask #1):
-#   1. _CHECK_FIRST, four tiers —
-#      (a) the 13 queries that have NEVER had a driver verdict (starved
-#          past the cap in r2 AND r3);
-#      (b) the 15 queries whose only driver verdict is r2 (single green);
-#      (c) the 8 queries whose plans are MODIFIED in r4 (pagerank perf
-#          rework, profile_columns null-aware mean, epoch-day floor
-#          fix, LSH chunk-packed band keys) plus ml_risk_scores (r4
-#          parity audit; most complex query on the board);
-#      (d) the 13 most complex of the r1+r2 double-green set.
-#   2. everything else (r3-green, definitions unchanged) in stable
-#      insertion order.
-#   3. _CHECK_LAST — the 17 simplest r1+r2 double-green queries: two
-#      rounds of hard signal on trivially small definitions, so they
-#      lose the least from sitting out another round.
+# most need a fresh verdict. r5 rotation (r4 verdict ask #1): after r4,
+# verdict freshness is r4×50 / r3×43 / r1-r2×17 — so the checked prefix
+# is now
+#   1. the 17 queries whose latest driver verdict is r1/r2 (the former
+#      _CHECK_LAST set — 3+ rounds stale after this round otherwise;
+#      includes text_stats, the bench watch item);
+#   2. the 33 most complex of the 43 r3-green queries (complex first:
+#      multi-operator pipelines, LSH/ANN, windows over CUBE, fuzzy
+#      blocking — a simple filter regressing silently is less likely
+#      and cheaper to diagnose than ppjoin or semantic_dedup).
+# _CHECK_LAST holds the 10 simplest r3-green queries (plain filters /
+# single aggs, definitions unchanged since r3) ahead of the 50 r4-fresh
+# ones in the middle — so they are first in line for the r6 prefix.
 _CHECK_FIRST = [
-    # (a) never driver-checked (starved in r2 and r3) — positions 1-13
-    "time_rollup", "range_join", "distinct_sketch", "rolling_avg",
-    "unpivot_wide", "hist_quantiles", "funnel", "decontaminate",
-    "bm25_search", "repetition_filter", "lm_score",
-    "incremental_dedup", "shard_manifest",
-    # (b) single driver verdict (r2 only)
-    "etl_patients", "etl_encounters", "etl_conditions", "etl_observations",
-    "ml_features", "ml_preprocess",
-    "disease_confidence", "height_weight_bmi",
-    "corpus_curation", "dup_clusters",
-    "sessionize", "asof_join", "pack_sequences", "split_assign",
-    "stratified_sample", "vocab_topk", "semi_anti_join",
-    # (c) modified in r4 (need a fresh verdict on the new plan)
-    "ml_risk_scores", "graph_pagerank", "profile_columns",
-    "set_ops", "gap_fill", "basket_pairs",
-    "knn_graph", "embedding_near_dup", "ann_lsh_topk",
-    # (d) most complex of the r1+r2 double-green set
-    "ann_cosine_topk", "ann_ivf_topk",
-    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard",
-    "report_cvd", "report_prediabetes",
-    "wellness_monthly", "forecast", "severity_topk", "media_stats",
-]
-_CHECK_LAST = [
+    # (1) latest verdict r1/r2 — positions 1-17
     "filtered_count", "between_filter", "isin_filter", "keyed_dedup",
     "frequency_count", "latest_per_key", "daily_latest", "top3_per_group",
     "linear_trend", "first_last_delta", "pricing_summary",
     "revenue_by_nation", "text_stats", "doc_fingerprint", "dedup_exact",
     "media_features", "frame_sample",
+    # (2) most complex of the r3-green set — positions 18-50
+    "ppjoin_pairs", "semantic_dedup", "etl_obs_choice", "ann_pq_topk",
+    "source_terms", "event_paths", "fuzzy_match", "span_dedup",
+    "scd2_history", "cube_summary", "attribution", "rank_windows",
+    "heavy_hitters", "quality_classifier", "int8_quantize",
+    "curriculum_stages", "eval_draw", "drift_monitor", "k_anonymity",
+    "cohort_retention", "rfm_segments", "debounce_events", "mix_weights",
+    "source_overlap", "word_bigrams", "shingle_novelty",
+    "importance_sample", "revenue_share", "zscore_outliers",
+    "dataset_card", "nation_trade", "promo_revenue", "bracket_revenue",
 ]
+# The 10 simplest r3-green queries: next in line for the r6 prefix, so
+# keep them right behind the checked 50 (ahead of the r4-fresh middle).
+_CHECK_NEXT = [
+    "dist_summary", "pii_redact", "doc_chunks", "json_props",
+    "length_buckets", "shipping_priority", "order_priority",
+    "returned_items", "large_orders", "dormant_customers",
+]
+_CHECK_LAST: list[str] = []
 
 
 def _reorder(d: dict) -> dict:
-    middle = [k for k in d if k not in _CHECK_FIRST and k not in _CHECK_LAST]
+    pinned = set(_CHECK_FIRST) | set(_CHECK_NEXT) | set(_CHECK_LAST)
+    middle = [k for k in d if k not in pinned]
     order = (
         [k for k in _CHECK_FIRST if k in d]
+        + [k for k in _CHECK_NEXT if k in d]
         + middle
         + [k for k in _CHECK_LAST if k in d]
     )

@@ -485,7 +485,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually prunes (width-2 keys put ~whole corpus in every query's
     # candidate set, defeating the point of the bucket join).
     return S.lsh_topk(
-        embs, queries, k=10, planes=16, bands=4,
+        embs, queries, k=10, bands=4,
         plane_matrix=_PLANES16, exact=True,
     )
 

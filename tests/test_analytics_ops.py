@@ -172,7 +172,9 @@ def test_knn_graph_pair_stage_carries_no_vectors(spark):
     (joined back after candidate dedup)."""
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     planes = rademacher_planes(16, 64)
-    plan = plan_string(knn_graph(embs, k=3, plane_matrix=planes), "formatted")
+    plan = plan_string(
+        knn_graph(embs, k=3, plane_matrix=planes, bands=4), "formatted"
+    )
     tree = plan.split("\n\n(1)")[0]
     import re
 

@@ -78,6 +78,56 @@ def test_cc_matches_union_find(spark, edges):
     assert got == _union_find_labels(edges)
 
 
+def test_star_equals_label_fixture_graphs(spark):
+    # Clusters + a 500-node path (the adversarial diameter the star
+    # variant exists for) + a hub star + self-pair singletons, one graph.
+    edges = (
+        [(1, 2), (2, 3), (3, 1)]                    # triangle cluster
+        + [(1000 + i, 1000 + i + 1) for i in range(499)]  # 500-node path
+        + [(5000, 5000 + i) for i in range(1, 20)]  # star, hub = min
+        + [(7000 + i, 6000) for i in range(1, 20)]  # star, hub = max
+        + [(9001, 9001), (9002, 9002)]              # self-pair singletons
+    )
+    df = _pairs(spark, edges)
+    label = {
+        r.node: r.cluster_id
+        for r in connected_components(df, algorithm="label", max_iter=600).collect()
+    }
+    star = {
+        r.node: r.cluster_id
+        for r in connected_components(df, algorithm="star", max_iter=64).collect()
+    }
+    assert star == label
+    assert star[9001] == 9001 and star[9002] == 9002  # self-pairs kept
+    assert star[1499] == 1000  # far end of the path reached
+
+
+edge_loops = st.tuples(
+    st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+)
+
+
+@given(edges=st.lists(edge_loops, min_size=1, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_matches_label_property(spark, edges):
+    # Self-loops allowed here on purpose: degenerate (x, x) pairs must
+    # yield identical node coverage in both variants (r4 advice fix).
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    label = {
+        r.node: r.cluster_id
+        for r in connected_components(df, algorithm="label").collect()
+    }
+    star = {
+        r.node: r.cluster_id
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert star == label
+
+
 def test_dup_clusters_keeper_and_size(spark):
     out = dup_clusters(_pairs(spark, [(10, 11), (11, 12), (30, 31)]))
     rows = {r.doc_id: r for r in out.collect()}

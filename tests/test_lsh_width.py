@@ -167,3 +167,85 @@ def test_embedding_near_dup_derived_width_finds_clones(spark):
     }
     for vid in range(5):
         assert (vid, vid + 10_000) in pairs
+
+
+# ------------------------------------------- derived bands / cells (r5)
+
+
+def test_bands_for_monotone_and_endpoints():
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        bands_for,
+    )
+
+    # near-dup design point stays cheap as width grows with corpus size
+    assert bands_for(4, design_cos=0.9, target_recall=0.8) == 3
+    assert bands_for(26, design_cos=0.9, target_recall=0.8) <= 100
+    # band count is non-decreasing in width and in target recall
+    prev = 0
+    for w in range(1, 27):
+        b = bands_for(w, design_cos=0.9, target_recall=0.8)
+        assert b >= prev
+        prev = b
+    assert bands_for(7, 0.9, 0.95) >= bands_for(7, 0.9, 0.8)
+    # weaker design similarity needs more bands at equal width
+    assert bands_for(7, 0.5, 0.8) > bands_for(7, 0.9, 0.8)
+    # the resulting geometry actually delivers the designed recall
+    for w in (4, 9, 26):
+        for cos_d in (0.5, 0.9):
+            b = bands_for(w, cos_d, 0.8)
+            p = 1 - math.acos(cos_d) / math.pi
+            assert 1 - (1 - p**w) ** b >= 0.8
+
+
+def test_derive_index_geometry(spark):
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        bands_for,
+        derive_index,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = embs.count()
+    pm, w, b = derive_index(embs, target_bucket=50, design_cos=0.9)
+    assert w == width_for(n, 50)
+    assert b == bands_for(w, 0.9, 0.8)
+    assert len(pm) == w * b
+    assert all(len(row) == 64 for row in pm)
+
+
+def test_explicit_matrix_requires_bands(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    pm = rademacher_planes(16, 64)
+    with pytest.raises(ValueError, match="explicit bands"):
+        embedding_near_dup(embs, plane_matrix=pm).collect()
+
+
+def test_cells_for_and_semantic_dedup_derived(spark):
+    from healthcare_aws_data_engineering_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        cells_for,
+    )
+
+    assert cells_for(100) == 1
+    assert cells_for(2000) == 10
+    assert cells_for(10**10) == 50_000_000
+    # derived-cells path: clones must still be caught (same cell — the
+    # assignment is deterministic in the vector), output covers corpus
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    clones = base.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    out = semantic_dedup(corpus, None, threshold=0.99).collect()
+    assert len(out) == 45
+    dropped = {r["vec_id"]: r["kept_by"] for r in out if r["keep"] == 0}
+    for vid in range(5):
+        assert dropped.get(vid + 10_000) == vid
+    # int form pins the cell count explicitly
+    out2 = semantic_dedup(corpus, 3, threshold=0.99).collect()
+    assert len({r["cluster"] for r in out2}) <= 3

@@ -16,9 +16,10 @@ def _registry():
         QUERIES,
         _CHECK_FIRST,
         _CHECK_LAST,
+        _CHECK_NEXT,
     )
 
-    return QUERIES, ORACLE, _CHECK_FIRST, _CHECK_LAST
+    return QUERIES, ORACLE, _CHECK_FIRST, _CHECK_NEXT + _CHECK_LAST
 
 
 def test_every_query_has_an_oracle():

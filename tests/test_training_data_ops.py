@@ -213,7 +213,7 @@ def test_lsh_topk_recall(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in S.lsh_topk(embs, q, k=5, planes=16, bands=8).collect()
+        for r in S.lsh_topk(embs, q, k=5, bands=8).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
