@@ -74,6 +74,47 @@ def load_tables(
     return out
 
 
+#: Required columns of a user-supplied observation parquet (the library's
+#: public data contract, used by examples/quickstart.py's parquet-path
+#: mode): one row per measurement.
+OBSERVATION_CONTRACT = {
+    "patient_id": "any id type — grouping key",
+    "code_display": "string — analyte/measurement name (pivot key)",
+    "value_quantity": "numeric or numeric-string — the measured value",
+    "effective_datetime": "timestamp/date/ISO string — measurement time",
+}
+
+
+def load_observations(spark: SparkSession, path: str) -> DataFrame:
+    """Read a user-supplied directory (or single file) of
+    observation-shaped parquet — the quickstart's bring-your-own-data
+    entry point.
+
+    Contract (:data:`OBSERVATION_CONTRACT`): ``patient_id,
+    code_display, value_quantity, effective_datetime``; extra columns
+    pass through. Two optional columns are synthesized when absent —
+    ``observation_id`` (deterministic xxhash64 of the contract columns;
+    latest-per-key tiebreaks then stay reproducible across runs) and
+    ``value_string`` (NULL). Raises ``ValueError`` naming any missing
+    contract column rather than failing deep inside a report plan.
+    """
+    df = spark.read.parquet(path)
+    missing = [c for c in OBSERVATION_CONTRACT if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"observation parquet at {path!r} is missing required "
+            f"column(s) {missing}; contract: {dict(OBSERVATION_CONTRACT)}"
+        )
+    if "observation_id" not in df.columns:
+        df = df.withColumn(
+            "observation_id",
+            F.xxhash64(*[F.col(c).cast("string") for c in OBSERVATION_CONTRACT]),
+        )
+    if "value_string" not in df.columns:
+        df = df.withColumn("value_string", F.lit(None).cast("string"))
+    return df
+
+
 def observation_view_from_events(events: DataFrame) -> DataFrame:
     """Map the driver's ``events`` table onto the curated ``observation``
     schema (FIXTURES.md §5): user_id→patient_id, event_type→code_display,
