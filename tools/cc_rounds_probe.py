@@ -77,21 +77,76 @@ def rounds_to_fixpoint(pairs, src="doc_a", dst="doc_b", max_iter=64) -> dict:
     return {"rounds_to_fixpoint": f">{max_iter}", "nodes": prev[1]}
 
 
+def star_rounds_to_fixpoint(pairs, src="doc_a", dst="doc_b", max_iter=64) -> dict:
+    """Round count of the large-star/small-star variant (replicates
+    _connected_components_star's loop with the identical convergence
+    test — stationary deduped edge set as a (count, hash-sum) pair)."""
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for i in range(1, max_iter + 1):
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        edges = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates(["u", "v"])
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            return {"star_rounds_to_fixpoint": i - 1}
+        prev = cur
+    return {"star_rounds_to_fixpoint": f">{max_iter}"}
+
+
 def main() -> None:
     spark = get_spark("cc-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents")
     embs = load_table(spark, SF_DIR, "embeddings")
 
-    mh = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    mh = minhash_lsh_pairs(docs).select("doc_a", "doc_b").persist()
     print(json.dumps({"graph": "minhash_lsh_pairs(sf0.1)"}
-                     | rounds_to_fixpoint(mh)), flush=True)
+                     | rounds_to_fixpoint(mh) | star_rounds_to_fixpoint(mh)),
+          flush=True)
 
     knn = knn_graph(embs, k=3, bands=4).select(
         F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
-    )
+    ).persist()
     print(json.dumps({"graph": "knn_graph(sf0.1, derived width)"}
-                     | rounds_to_fixpoint(knn)), flush=True)
+                     | rounds_to_fixpoint(knn) | star_rounds_to_fixpoint(knn)),
+          flush=True)
 
     # adversarial control: a 1000-node path — diameter 999, the shape
     # min-label propagation is WRONG for (and dedup graphs never are)
@@ -99,7 +154,8 @@ def main() -> None:
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     print(json.dumps({"graph": "path_1000 (adversarial control)"}
-                     | rounds_to_fixpoint(chain, max_iter=40)), flush=True)
+                     | rounds_to_fixpoint(chain, max_iter=40)
+                     | star_rounds_to_fixpoint(chain)), flush=True)
 
     # sanity: the operator's capped run agrees with the probe on clusters
     cc = connected_components(mh)

@@ -257,6 +257,7 @@ def main() -> None:
         sec = round(time.perf_counter() - t0, 2)
         cell_of = {r[0]: r[1] for r in sd.select("vec_id", "cluster").collect()}
         co = sum(1 for a, b in true_pairs if cell_of.get(a) == cell_of.get(b))
+        co_pairs = {p for p in true_pairs if cell_of.get(p[0]) == cell_of.get(p[1])}
         sd.unpersist()
         print(json.dumps({
             "op": "semantic_dedup_derived_cells", "m": m, "n": n,
@@ -265,6 +266,9 @@ def main() -> None:
             "true_pairs": len(true_pairs),
             "co_cluster_recall": round(co / len(true_pairs), 3)
             if true_pairs else None,
+            # co-location is similarity-dependent (SemDeDup is a
+            # cluster-LOCAL dedup): report it per similarity band too
+            "co_cluster_recall_by_sim": bucketed_recall(true_pairs, co_pairs),
         }), flush=True)
         embs.unpersist()
 
