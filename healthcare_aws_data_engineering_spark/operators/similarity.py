@@ -250,7 +250,10 @@ def width_for(n_rows: int, target_bucket: int = 200) -> int:
 
 
 def bands_for(
-    width: int, design_cos: float = 0.9, target_recall: float = 0.8
+    width: int,
+    design_cos: float = 0.9,
+    target_recall: float = 0.8,
+    hamming1: bool = False,
 ) -> int:
     """Band count so hyperplane-LSH recall of pairs at similarity
     ``design_cos`` is ≥ ``target_recall`` at the given band width:
@@ -266,11 +269,18 @@ def bands_for(
     width 9 (n=60k) → 3 bands, width 26 (n=1e10) → 26 bands. For weakly
     similar targets it is steep (p^width collapses) — which is the
     honest cost of using LSH far below its design similarity, measured
-    in ``tools/recall_probe.py`` / SCALING.md."""
+    in ``tools/recall_probe.py`` / SCALING.md.
+
+    ``hamming1=True`` models a Hamming-1 multi-probe reader
+    (:func:`lsh_topk` ``multiprobe``): per-band hit probability becomes
+    ``p^w + w·p^{w−1}(1−p)`` (exact key OR any single flipped bit), so
+    far fewer bands reach the same recall — probes replace index."""
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, design_cos))) / math.pi
     per_band = p ** width
+    if hamming1:
+        per_band += width * p ** (width - 1) * (1.0 - p)
     if per_band >= 1.0 or target_recall <= 0.0:
         return 1
     if per_band <= 0.0:
@@ -290,6 +300,7 @@ def derive_index(
     design_cos: float = 0.9,
     target_recall: float = 0.8,
     salt: str = "hyperplane",
+    hamming1: bool = False,
 ) -> tuple[list[list[int]], int, int]:
     """Fully-derived LSH index geometry ``(plane_matrix, width, bands)``:
     width from corpus size (:func:`width_for` — bounds per-bucket pair
@@ -302,7 +313,7 @@ def derive_index(
     head = corpus.select(vec_col).first()
     dim = len(head[0]) if head and head[0] is not None else 1
     width = width_for(n_rows, target_bucket)
-    bands = bands_for(width, design_cos, target_recall)
+    bands = bands_for(width, design_cos, target_recall, hamming1=hamming1)
     return rademacher_planes(bands * width, dim, salt), width, bands
 
 
@@ -314,6 +325,7 @@ def _resolve_index(
     target_bucket: int,
     design_cos: float,
     target_recall: float,
+    hamming1: bool = False,
 ) -> tuple[list[list[int]], int, int]:
     """Shared ``(plane_matrix, width, bands)`` resolution for the banded
     operators: explicit matrix (needs explicit bands — oracle-pinned
@@ -332,6 +344,7 @@ def _resolve_index(
             target_bucket=target_bucket,
             design_cos=design_cos,
             target_recall=target_recall,
+            hamming1=hamming1,
         )
     matrix = derive_planes(
         corpus, vec_col=vec_col, bands=bands, target_bucket=target_bucket
@@ -505,6 +518,7 @@ def lsh_topk(
     target_bucket: int = 200,
     design_cos: float = 0.9,
     target_recall: float = 0.8,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query, then exact cosine rerank within candidates.
@@ -512,6 +526,17 @@ def lsh_topk(
     The cross join of :func:`cosine_topk` becomes an equi-join on
     (band, band_key): at 1000-executor scale the corpus is hash-partitioned
     by bucket and each query probes only its buckets.
+
+    ``multiprobe=True`` additionally probes, per band, every bucket at
+    Hamming distance 1 from the query's key (flip each of the ``width``
+    sign bits — one XOR per probe; multi-probe LSH, Lv et al., VLDB'07).
+    Query-side fan-out only: the CORPUS index is untouched, so recall
+    rises (per-band hit rate p^w → p^w + w·p^{w−1}(1−p)) at the cost of
+    ``width`` extra probe keys per query band instead of more bands —
+    the right trade when the corpus index dominates memory/build cost
+    and the query set is small. Pass ``bands=None`` with it and the
+    derived band count shrinks accordingly (:func:`bands_for`
+    ``hamming1=True``).
 
     ``plane_matrix``: literal ±1 planes (see :func:`rademacher_planes`) —
     engine-reproducible signatures for the DuckDB oracle (requires an
@@ -537,13 +562,14 @@ def lsh_topk(
     plane_matrix, width, bands = _resolve_index(
         corpus, vec_col, plane_matrix, bands,
         target_bucket, design_cos, target_recall,
+        hamming1=multiprobe,
     )
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
+    def banded(df: DataFrame, role: str, probe: bool = False) -> DataFrame:
         # two staging selects: __q before the sign lambdas touch it (or
         # the quantize tree re-evaluates per plane), __sigc before the
         # band extraction reads it `bands` times.
-        return (
+        staged = (
             df.select(
                 F.col(id_col).alias(f"{role}_id"),
                 F.col(vec_col).alias(f"{role}_vec"),
@@ -554,15 +580,34 @@ def lsh_topk(
                 f"{role}_vec",
                 sig_chunks_q(F.col("__q"), plane_matrix, width).alias("__sigc"),
             )
-            .select(
+        )
+        keys = band_keys_from_chunks(F.col("__sigc"), width, bands)
+        if not probe:
+            return staged.select(
                 f"{role}_id",
                 f"{role}_vec",
-                F.posexplode(
-                    band_keys_from_chunks(F.col("__sigc"), width, bands)
-                ).alias("band", "band_key"),
+                F.posexplode(keys).alias("band", "band_key"),
             )
+        # Hamming-1 probe set per band: the key itself + every 1-bit
+        # flip — XORs over the staged key, corpus side untouched.
+        probed = F.transform(
+            keys,
+            lambda key: F.array(
+                key, *[key.bitwiseXOR(F.lit(1 << j)) for j in range(width)]
+            ),
         )
-    cq = banded(queries, "query")
+        return staged.select(
+            f"{role}_id",
+            f"{role}_vec",
+            F.posexplode(probed).alias("band", "__probes"),
+        ).select(
+            f"{role}_id",
+            f"{role}_vec",
+            "band",
+            F.explode(F.col("__probes")).alias("band_key"),
+        )
+
+    cq = banded(queries, "query", probe=multiprobe)
     cc = banded(corpus, "neighbor")
     cands = (
         cq.join(cc, ["band", "band_key"])

@@ -503,6 +503,41 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multi-probe LSH top-10 (Lv et al., VLDB'07): TWO wide
+    8-bit bands (256 buckets each — too selective for plain LSH to
+    recall well) + 8 single-bit-flip probe keys per query band. The
+    probe expansion is query-side XOR fan-out only — the corpus index
+    is identical to the 2-band plain index, which is the point: probes
+    buy recall where more bands would buy index size. Same literal
+    planes + exact rerank as `ann_lsh_topk`, fully oracle-checked."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(
+        embs, queries, k=10, bands=2,
+        plane_matrix=_PLANES16, exact=True, multiprobe=True,
+    )
+
+
+_PROBE_MASKS = ", ".join(str(m) for m in [0] + [1 << j for j in range(8)])
+
+_ANN_MULTIPROBE_SQL = f"""
+WITH {_sig_bands_sql(_PLANES16, bands=2)},
+  probes AS (
+    SELECT vec_id, band, xor(bkey, pm.m) AS bkey
+    FROM banded, (SELECT unnest([{_PROBE_MASKS}]) AS m) pm
+    WHERE vec_id < 5
+  ),
+  cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM probes q JOIN banded c
+      ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id
+  ),
+{_RERANK_SQL}
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
 # IVF coarse quantizer per sf_dir: an IVF index is BUILT ONCE and queried
 # many times — the centroid derivation (bounded 16-row collect) is the
 # index-build step, so it is cached across query invocations. Derivation
@@ -901,6 +936,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -921,6 +957,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_multiprobe_topk": _ANN_MULTIPROBE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

@@ -249,3 +249,58 @@ def test_cells_for_and_semantic_dedup_derived(spark):
     # int form pins the cell count explicitly
     out2 = semantic_dedup(corpus, 3, threshold=0.99).collect()
     assert len({r["cluster"] for r in out2}) <= 3
+
+
+# ------------------------------------------------- multi-probe (r5)
+
+
+def test_bands_for_hamming1_needs_fewer_bands():
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        bands_for,
+    )
+
+    for w in (4, 7, 9, 26):
+        for cos_d in (0.5, 0.9):
+            plain = bands_for(w, cos_d, 0.8)
+            probed = bands_for(w, cos_d, 0.8, hamming1=True)
+            assert probed <= plain
+            # the probed geometry still delivers the designed recall
+            p = 1 - math.acos(cos_d) / math.pi
+            q = p**w + w * p ** (w - 1) * (1 - p)
+            assert 1 - (1 - q) ** probed >= 0.8
+
+
+def test_lsh_topk_multiprobe_superset_and_recall(spark):
+    """Hamming-1 probing must (a) return a candidate superset of the
+    plain run on the SAME index, hence per-query recall >= plain, and
+    (b) keep exact clones at rank 1."""
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = embs.filter(F.col("vec_id") < 3)
+    pm = rademacher_planes(16, 64)  # 2 bands x 8 bits: selective index
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, q, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(embs, q, k=5, bands=2, plane_matrix=pm).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(
+            embs, q, k=5, bands=2, plane_matrix=pm, multiprobe=True
+        ).collect()
+    }
+    assert len(probed & exact) >= len(plain & exact)
+    # deterministic (literal md5 planes, fixed corpus): theory predicts
+    # ~0.27 probed vs ~0.05 plain recall at this corpus' weak top-5
+    # similarities (p ~= 0.63, w=8, 2 bands); measured 4/15 vs <=1/15
+    assert len(probed & exact) >= 3
+    assert len(probed) >= len(plain)
