@@ -78,6 +78,17 @@ def main() -> None:
             ),
         }
 
+    # Suite-level JVM warm-up: the FIRST timed query otherwise pays
+    # one-time costs (executor pool spin-up, shuffle infra, codegen
+    # framework JIT) that its single per-query warm-up run does not
+    # amortize. The r5 gate rotation made this visible: moving a 0.2 s
+    # query into position 1 benched it at a stable ~2.2x its r4
+    # last-position value across three otherwise-quiet runs.
+    first_fn = next(iter(QUERIES.values()))
+    for _ in range(3):
+        first_fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in {**QUERIES, **extra_ml_fast()}.items():
         fn(spark, sf_dir).collect()  # warm-up: JVM, file listing, codegen
