@@ -33,6 +33,7 @@ from .similarity import (
     _resolve_index,
     band_keys_from_chunks,
     cells_for,
+    kmeans_centroids,
     quantize_vec,
     sample_centroids,
     sig_chunks_q,
@@ -47,6 +48,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int = 256,
     target_cluster: int = 200,
+    centroid_method: str = "sample",
 ) -> DataFrame:
     """SemDeDup: coarse-cluster the embedding space, then drop the
     higher-id member of every within-cluster pair whose cosine ≥
@@ -94,9 +96,19 @@ def semantic_dedup(
             if centroids is None
             else centroids
         )
-        centroids = sample_centroids(
-            corpus, n_cells, id_col=id_col, vec_col=vec_col
-        )
+        # "sample": md5-stratified corpus sample — deterministic on any
+        # engine, zero training cost; "kmeans": seed-fixed trained
+        # coarse quantizer — costs one training pass but co-locates
+        # similar pairs better when the corpus is actually clustered
+        # (same trade as ivf_topk's centroid choice).
+        if centroid_method == "sample":
+            centroids = sample_centroids(
+                corpus, n_cells, id_col=id_col, vec_col=vec_col
+            )
+        elif centroid_method == "kmeans":
+            centroids = kmeans_centroids(corpus, n_cells, vec_col=vec_col)
+        else:
+            raise ValueError(f"unknown centroid_method {centroid_method!r}")
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),

@@ -304,3 +304,28 @@ def test_lsh_topk_multiprobe_superset_and_recall(spark):
     # similarities (p ~= 0.63, w=8, 2 bands); measured 4/15 vs <=1/15
     assert len(probed & exact) >= 3
     assert len(probed) >= len(plain)
+
+
+def test_semantic_dedup_kmeans_centroids(spark):
+    from healthcare_aws_data_engineering_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    clones = base.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    out = semantic_dedup(
+        corpus, 3, threshold=0.99, centroid_method="kmeans"
+    ).collect()
+    assert len(out) == 45
+    dropped = {r["vec_id"]: r["kept_by"] for r in out if r["keep"] == 0}
+    for vid in range(5):
+        assert dropped.get(vid + 10_000) == vid
+    with pytest.raises(ValueError, match="centroid_method"):
+        semantic_dedup(corpus, 3, centroid_method="nope")
