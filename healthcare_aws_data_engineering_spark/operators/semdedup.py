@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
     _centroid_cell,
+    _non_null,
     _resolve_index,
     band_keys_from_chunks,
     cells_for,
@@ -90,6 +91,7 @@ def semantic_dedup(
     distance) rather than plan literals — same math, different transport;
     the bounded-literal form is what the probe and oracle exercise.
     """
+    corpus = _non_null(corpus, vec_col)
     if centroids is None or isinstance(centroids, int):
         n_cells = (
             cells_for(corpus.count(), target_cluster)
@@ -220,6 +222,7 @@ def knn_graph(
     queries pin the matrix + bands because their DuckDB oracles bake
     them into SQL.
     """
+    corpus = _non_null(corpus, vec_col)
     plane_matrix, width, bands = _resolve_index(
         corpus, vec_col, plane_matrix, bands,
         target_bucket or max_bucket, design_cos, target_recall,

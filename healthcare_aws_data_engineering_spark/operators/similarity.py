@@ -78,6 +78,16 @@ def cosine_q(qa: Column, qb: Column) -> Column:
     )
 
 
+def _non_null(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows with NULL vectors before staging — applied at the entry
+    of every vector operator. A NULL embedding otherwise signs to the
+    all-zero LSH signature (NULL plane dot → CASE else-0 bit), lands in
+    a REAL bucket, and emits candidate rows with NULL cosine; at corpus
+    scale (failed encoders are routine) that silently pollutes both
+    buckets and results. NULL-vector rows are simply not index members."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,6 +101,8 @@ def cosine_topk(
     queries is expected to be small → broadcast; corpus streams through one
     pass computing Q cosines per row; per-query top-k via window over the
     (rank-filtered) candidates. Deterministic tiebreak on neighbor id."""
+    corpus = _non_null(corpus, vec_col)
+    queries = _non_null(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -309,6 +321,7 @@ def derive_index(
     shape as :func:`derive_planes` (one count, one first-row dim probe);
     this is what ``bands=None`` resolves to in :func:`lsh_topk`,
     ``knn_graph`` and :func:`embedding_near_dup`."""
+    corpus = _non_null(corpus, vec_col)
     n_rows = corpus.count()
     head = corpus.select(vec_col).first()
     dim = len(head[0]) if head and head[0] is not None else 1
@@ -386,6 +399,7 @@ def derive_planes(
     both O(1) driver actions, never in a per-query path. Callers that
     need engine-pinned constants (driver oracles bake the matrix into
     SQL) pass an explicit ``plane_matrix`` instead and skip this."""
+    corpus = _non_null(corpus, vec_col)
     n_rows = corpus.count()
     head = corpus.select(vec_col).first()
     dim = len(head[0]) if head and head[0] is not None else 1
@@ -559,6 +573,8 @@ def lsh_topk(
             DeprecationWarning,
             stacklevel=2,
         )
+    corpus = _non_null(corpus, vec_col)
+    queries = _non_null(queries, vec_col)
     plane_matrix, width, bands = _resolve_index(
         corpus, vec_col, plane_matrix, bands,
         target_bucket, design_cos, target_recall,
@@ -685,7 +701,7 @@ def sample_centroids(
     (unlike first-n-by-id), reproducible on any engine with md5(), and the
     collect is bounded at ``n`` rows."""
     rows = (
-        corpus.select(id_col, vec_col)
+        _non_null(corpus, vec_col).select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
         .limit(n)
         .collect()
@@ -708,7 +724,7 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    feats = _non_null(corpus, vec_col).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n, seed=seed, maxIter=max_iter).fit(feats)
@@ -741,6 +757,8 @@ def ivf_topk(
     centroids (no shuffle); the probe join is an equi-join on cell id, so
     a query touches ~n_probe/n_centroids of the corpus instead of all of
     it; rerank cost is |candidates| dot products."""
+    corpus = _non_null(corpus, vec_col)
+    queries = _non_null(queries, vec_col)
     if centroids == "sample":
         cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
     elif centroids == "kmeans":
@@ -822,6 +840,7 @@ def embedding_near_dup(
     banding, capping, and the bucket self-join — band keys and the exact
     integer cosine both read it (r2 carried the raw vector and re-derived
     exactness via a per-pair decimal fold, ~1.5× the cost)."""
+    corpus = _non_null(corpus, vec_col)
     plane_matrix, width, bands = _resolve_index(
         corpus, vec_col, plane_matrix, bands,
         target_bucket or max_bucket, threshold, target_recall,
@@ -944,7 +963,7 @@ def pq_encode(
     literal codebooks: no shuffle, no vector retained."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    staged = corpus.select(
+    staged = _non_null(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
     )
@@ -975,7 +994,7 @@ def pq_topk(
     m = len(codebooks)
     d = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
-    qstaged = queries.select(
+    qstaged = _non_null(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
     )

@@ -329,3 +329,43 @@ def test_semantic_dedup_kmeans_centroids(spark):
         assert dropped.get(vid + 10_000) == vid
     with pytest.raises(ValueError, match="centroid_method"):
         semantic_dedup(corpus, 3, centroid_method="nope")
+
+
+def test_null_embeddings_are_not_index_members(spark):
+    """A NULL embedding must vanish from every vector operator's output
+    — before r5 it signed to the all-zero signature (NULL plane dot →
+    CASE else-0 bit), landed in a REAL bucket, and emitted candidate
+    rows with NULL cosine."""
+    from healthcare_aws_data_engineering_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(20)
+    )
+    nulled = base.unionByName(
+        spark.createDataFrame(
+            [(99_999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    g = knn_graph(nulled, k=2, bands=4)
+    assert g.filter(
+        (F.col("vec_id") == 99_999) | (F.col("neighbor_id") == 99_999)
+    ).count() == 0
+    assert g.filter(F.col("cosine").isNull()).count() == 0
+    nd = embedding_near_dup(nulled, threshold=0.5, bands=8)
+    assert nd.filter(
+        (F.col("doc_a") == 99_999) | (F.col("doc_b") == 99_999)
+    ).count() == 0
+    sd = semantic_dedup(nulled, 2, threshold=0.99)
+    assert sd.count() == 20  # null row not a member, not silently kept
+    topk = lsh_topk(nulled, nulled.filter(F.col("vec_id") < 2), k=3, bands=4)
+    assert topk.filter(F.col("neighbor_id") == 99_999).count() == 0
+    ct = cosine_topk(nulled, nulled.filter(F.col("vec_id") < 2), k=3)
+    assert ct.filter(F.col("sim").isNull()).count() == 0

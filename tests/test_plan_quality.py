@@ -230,3 +230,18 @@ def test_knn_graph_no_cartesian_and_id_only_pair_shuffles(spark):
     tree = plan.split("\n\n(1)")[0]
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", tree):
         assert "__q" not in m.group(1), m.group(0)
+
+
+def test_ann_multiprobe_query_side_fanout_only(spark):
+    """The Hamming-1 probe expansion must live on the QUERY leg only:
+    the corpus leg stays the plain banded index (same as ann_lsh_topk),
+    and no cartesian/nested-loop sneaks in."""
+    plan = _plan(spark, "ann_multiprobe_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    tree = plan.split("\n\n(1)")[0]
+    # exactly one leg carries the probe explosion: Generate explode(...)
+    # appears once for the probe array (query side) on top of the
+    # posexplode both legs share
+    n_generate = len(re.findall(r"[+:]- Generate ", tree))
+    assert n_generate == 3, tree  # corpus posexplode + query posexplode + query probe explode
