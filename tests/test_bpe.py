@@ -1,0 +1,80 @@
+"""BPE trainer/encoder (operators/bpe.py): golden merges on a tiny
+corpus, encode/learn round-trip invariants, Spark-vs-python parity of
+the pandas-UDF encoder, and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_aws_data_engineering_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+    learn_merges,
+    vocab_from_merges,
+    word_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_learn_merges_golden():
+    # "low lower lowest", weighted: 'lo' dominates, then 'low'
+    freqs = {"low": 5, "lower": 2, "lowest": 2}
+    merges = learn_merges(freqs, 3)
+    # ('l','o') and ('o','w') tie at count 9; the deterministic
+    # tiebreak (lexicographic max) picks ('o','w') first
+    assert merges[0] == ("o", "w")
+    assert merges[1] == ("l", "ow")
+    # third merge: 'low</w>' (count 5) beats 'low'+'e' (count 4)
+    assert merges[2] == ("low", END)
+
+
+def test_learn_merges_stops_at_singletons():
+    # nothing repeats twice -> no merges memorized
+    assert learn_merges({"ab": 1, "cd": 1}, 10) == []
+
+
+def test_encode_word_applies_merge_order():
+    freqs = {"low": 5, "lower": 2, "lowest": 2}
+    ranks = {p: i for i, p in enumerate(learn_merges(freqs, 3))}
+    assert encode_word("low", ranks) == ["low" + END]
+    assert encode_word("lower", ranks) == ["low", "e", "r", END]
+    # unseen word with no applicable merge stays at the char level
+    assert encode_word("lox", ranks) == ["l", "o", "x", END]
+
+
+def test_word_counts_bounded_agg(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "B a  "), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    assert got == {"a": 2, "b": 3}
+
+
+def test_bpe_train_and_encode_spark_parity(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    merges = bpe_train(docs, n_merges=40)
+    assert 1 <= len(merges) <= 40
+    # determinism: same corpus -> identical merge table
+    assert merges == bpe_train(docs, n_merges=40)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = bpe_encode(docs, merges).select("doc_id", "text", "bpe_tokens")
+    rows = out.collect()
+    assert len(rows) == 60
+    for r in rows[:10]:
+        # parity with the python reference encoder
+        expect = []
+        for w in (r["text"] or "").lower().split():
+            expect.extend(encode_word(w, ranks))
+        assert list(r["bpe_tokens"]) == expect
+        # lossless: concatenating tokens restores the normalized words
+        joined = "".join(r["bpe_tokens"]).replace(END, " ").split()
+        assert joined == (r["text"] or "").lower().split()
+
+
+def test_vocab_from_merges():
+    merges = [("l", "o"), ("lo", "w")]
+    assert vocab_from_merges(merges) == ["lo", "low"]
