@@ -503,6 +503,61 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's first-iteration pair statistics: weighted adjacent
+    symbol-pair counts over the corpus vocabulary (chars + the </w>
+    terminator), top-20 with deterministic tiebreak — the table whose
+    argmax IS the first learned merge (`operators/bpe.py::learn_merges`;
+    later iterations depend on prior merges and are covered by the
+    python-parity pytest instead of SQL). Scale shape: ONE bounded-key
+    word-count agg (the only corpus-scale pass), then per-WORD char
+    pairs — work ∝ vocabulary, not corpus."""
+    from ..operators.bpe import END, word_counts
+
+    wc = word_counts(_docs(spark, sf_dir))
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    staged = wc.select("n", syms.alias("s"))
+    pair = F.filter(
+        F.zip_with(
+            F.col("s"),
+            F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.struct(a.alias("a"), b.alias("b")),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return (
+        staged.select("n", F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+        .limit(20)
+    )
+
+
+_BPE_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY 1
+),
+syms AS (
+  SELECT word, n, list_append(string_split(word, ''), '</w>') AS s FROM words
+),
+pairs AS (
+  SELECT s[i] AS a, s[i+1] AS b, n
+  FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+)
+SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 20
+"""
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-1 multi-probe LSH top-10 (Lv et al., VLDB'07): TWO wide
     8-bit bands (256 buckets each — too selective for plain LSH to
@@ -937,6 +992,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -958,6 +1014,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_cosine_topk": _ANN_COSINE_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_multiprobe_topk": _ANN_MULTIPROBE_SQL,
+    "bpe_pair_counts": _BPE_PAIRS_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
