@@ -321,3 +321,55 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     assert got, "stream join emitted nothing"
     assert got <= expected
     assert len(got) >= len(expected) * 0.8
+
+
+def test_near_dup_stream_equals_batch_and_finds_clones(spark, tmp_path):
+    """Stream-static LSH near-dup: an availableNow stream of incoming
+    vectors probed against a batch-built index must (a) equal the batch
+    run of the same function and (b) flag exact clones of index docs at
+    cosine 1.0."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.streaming.neardup import (
+        near_dup_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    index = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    ts0 = datetime.datetime(2025, 6, 1)
+    incoming = (
+        index.limit(6)
+        .select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+        .withColumn("ts", F.lit(ts0).cast("timestamp"))
+    )
+    src_dir = str(tmp_path / "incoming")
+    incoming.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    out = near_dup_stream(stream, index, threshold=0.99)
+    run_available_now_to_memory(out, "near_dup_hits", str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.index_id): r.cosine
+        for r in spark.sql("SELECT * FROM near_dup_hits").collect()
+    }
+
+    expected = {
+        (r.doc_id, r.index_id): r.cosine
+        for r in near_dup_stream(
+            spark.read.parquet(src_dir), index, threshold=0.99
+        ).collect()
+    }
+    assert got == expected
+    # every clone is flagged against its source doc at cosine ~1.0
+    for vid in [r.vec_id for r in index.limit(6).collect()]:
+        assert (vid + 50_000, vid) in got
+        assert got[(vid + 50_000, vid)] == pytest.approx(1.0, abs=1e-9)
