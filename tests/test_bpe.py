@@ -78,3 +78,30 @@ def test_bpe_train_and_encode_spark_parity(spark):
 def test_vocab_from_merges():
     merges = [("l", "o"), ("lo", "w")]
     assert vocab_from_merges(merges) == ["lo", "low"]
+
+
+def test_bpe_lossless_property():
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+    @given(words=st.lists(word, min_size=1, max_size=30), n_merges=st.integers(0, 30))
+    @settings(max_examples=50, deadline=None)
+    def check(words, n_merges):
+        freqs: dict[str, int] = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        merges = learn_merges(dict(freqs), n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in set(words):
+            toks = encode_word(w, ranks)
+            # lossless: tokens concatenate back to word + terminator
+            assert "".join(toks) == w + END
+            # every non-trivial token is either a char, the terminator,
+            # or a product of the learned merges
+            vocab = set("abcdef") | {END} | set(vocab_from_merges(merges))
+            # tokens may be char+END fusions only via a learned merge
+            for t in toks:
+                assert t in vocab, (t, merges)
+
+    check()
