@@ -167,11 +167,48 @@ def candidate_pairs(embs: DataFrame, plane_matrix, bands: int,
     )
 
 
+def multiprobe_leg(spark, embs0) -> None:
+    """lsh_topk query-side comparison at the base corpus: same 2-band
+    8-bit index probed plain vs Hamming-1 (multiprobe), plus the
+    4-band plain index of equal total planes — quantifies 'probes buy
+    recall where bands buy index size'."""
+    embs = embs0.select("vec_id", "embedding").persist()
+    embs.count()
+    rows = embs.collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float32)
+    true_topk, _ = ground_truth(ids, X, 10, 2.0)  # top-10 only
+    q = embs.filter(F.col("vec_id") < 100)
+    pm16 = S.rademacher_planes(16, DIM)
+    legs = [
+        ("plain_2x8", dict(bands=2, plane_matrix=pm16)),
+        ("multiprobe_2x8", dict(bands=2, plane_matrix=pm16, multiprobe=True)),
+        ("plain_4x4", dict(bands=4, plane_matrix=pm16)),
+    ]
+    for name, kw in legs:
+        t0 = time.perf_counter()
+        got = S.lsh_topk(embs, q, k=10, **kw).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        approx: dict[int, set[int]] = {}
+        for r in got:
+            approx.setdefault(r[0], set()).add(r[1])
+        qids = [int(i) for i in ids if i < 100]
+        hits = sum(len(approx.get(i, set()) & true_topk[i]) for i in qids)
+        print(json.dumps({
+            "op": f"lsh_topk_{name}", "n": len(ids), "queries": len(qids),
+            "sec": sec,
+            "recall_at_10": round(hits / (10 * len(qids)), 3),
+        }), flush=True)
+    embs.unpersist()
+
+
 def main() -> None:
     ms = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
     spark = get_spark("recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
     embs0 = load_table(spark, SF_DIR, "embeddings")
+    if 1 in ms:
+        multiprobe_leg(spark, embs0)
     for m in ms:
         embs = replicate_shifted(embs0, m).persist()
         n = embs.count()
