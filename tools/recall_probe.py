@@ -284,29 +284,39 @@ def main() -> None:
                 "recall_by_sim": bucketed_recall(true_pairs, got_pairs),
             }), flush=True)
 
-        # ---- semantic_dedup, derived cells ----
-        t0 = time.perf_counter()
-        sd = semantic_dedup(embs, None, threshold=NEAR_DUP_T).persist()
-        removed = sd.filter(F.col("keep") == 0).count()
-        cell_sizes = sd.groupBy("cluster").count()
-        max_cell = cell_sizes.agg(F.max("count")).collect()[0][0]
-        n_cells_used = cell_sizes.count()
-        sec = round(time.perf_counter() - t0, 2)
-        cell_of = {r[0]: r[1] for r in sd.select("vec_id", "cluster").collect()}
-        co = sum(1 for a, b in true_pairs if cell_of.get(a) == cell_of.get(b))
-        co_pairs = {p for p in true_pairs if cell_of.get(p[0]) == cell_of.get(p[1])}
-        sd.unpersist()
-        print(json.dumps({
-            "op": "semantic_dedup_derived_cells", "m": m, "n": n,
-            "cells_derived": S.cells_for(n), "cells_nonempty": n_cells_used,
-            "max_cell": max_cell, "removed": removed, "sec": sec,
-            "true_pairs": len(true_pairs),
-            "co_cluster_recall": round(co / len(true_pairs), 3)
-            if true_pairs else None,
-            # co-location is similarity-dependent (SemDeDup is a
-            # cluster-LOCAL dedup): report it per similarity band too
-            "co_cluster_recall_by_sim": bucketed_recall(true_pairs, co_pairs),
-        }), flush=True)
+        # ---- semantic_dedup, derived cells: sampled vs trained ----
+        for method in ("sample", "kmeans"):
+            t0 = time.perf_counter()
+            sd = semantic_dedup(
+                embs, None, threshold=NEAR_DUP_T, centroid_method=method
+            ).persist()
+            removed = sd.filter(F.col("keep") == 0).count()
+            cell_sizes = sd.groupBy("cluster").count()
+            max_cell = cell_sizes.agg(F.max("count")).collect()[0][0]
+            n_cells_used = cell_sizes.count()
+            sec = round(time.perf_counter() - t0, 2)
+            cell_of = {
+                r[0]: r[1] for r in sd.select("vec_id", "cluster").collect()
+            }
+            co = sum(
+                1 for a, b in true_pairs if cell_of.get(a) == cell_of.get(b)
+            )
+            co_pairs = {
+                p for p in true_pairs if cell_of.get(p[0]) == cell_of.get(p[1])
+            }
+            sd.unpersist()
+            print(json.dumps({
+                "op": f"semantic_dedup_derived_cells_{method}", "m": m, "n": n,
+                "cells_derived": S.cells_for(n), "cells_nonempty": n_cells_used,
+                "max_cell": max_cell, "removed": removed, "sec": sec,
+                "true_pairs": len(true_pairs),
+                "co_cluster_recall": round(co / len(true_pairs), 3)
+                if true_pairs else None,
+                # co-location is similarity-dependent (SemDeDup is a
+                # cluster-LOCAL dedup): report it per similarity band too
+                "co_cluster_recall_by_sim":
+                    bucketed_recall(true_pairs, co_pairs),
+            }), flush=True)
         embs.unpersist()
 
 
