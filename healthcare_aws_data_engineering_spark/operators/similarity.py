@@ -737,14 +737,26 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     centroids: str | list[list[float]] = "sample",
     exact: bool = False,
+    target_cell: int = 200,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are assigned to coarse
     cells (argmin distance to centroids), each query probes only its
     ``n_probe`` nearest cells, and candidates are exactly reranked.
+
+    ``n_centroids=None`` (production default) derives the cell count
+    from the corpus at index-build time — :func:`cells_for`, expected
+    cell population ≈ ``target_cell`` — the same derived-knob contract
+    as the LSH width/bands and the SemDeDup cells: a count pinned for
+    the gate corpus makes every query scan ``n_probe/n_centroids`` of
+    the ENTIRE corpus forever (16 cells at n=10¹⁰ ⇒ ~4×10⁹ candidate
+    rows per query), where derived cells keep the per-probe candidate
+    set ≈ ``n_probe · target_cell`` rows regardless of n. Standard IVF
+    practice sizes cells ∝ √n or n/target; n/target is used for
+    consistency with the rest of the family.
 
     ``centroids``: ``"sample"`` (md5-stratified deterministic sample —
     engine-reproducible, so a SQL oracle can re-derive the same cells),
@@ -754,11 +766,14 @@ def ivf_topk(
     cosine (oracle hash-equality).
 
     Scale shape: assignment is a projection against broadcast-literal
-    centroids (no shuffle); the probe join is an equi-join on cell id, so
-    a query touches ~n_probe/n_centroids of the corpus instead of all of
-    it; rerank cost is |candidates| dot products."""
+    centroids (no shuffle; centroid counts past ~10⁴ belong in a
+    broadcast TABLE instead of plan literals — same note as
+    ``semantic_dedup``); the probe join is an equi-join on cell id;
+    rerank cost is |candidates| dot products."""
     corpus = _non_null(corpus, vec_col)
     queries = _non_null(queries, vec_col)
+    if n_centroids is None:
+        n_centroids = cells_for(corpus.count(), target_cell)
     if centroids == "sample":
         cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
     elif centroids == "kmeans":

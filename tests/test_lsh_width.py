@@ -369,3 +369,34 @@ def test_null_embeddings_are_not_index_members(spark):
     assert topk.filter(F.col("neighbor_id") == 99_999).count() == 0
     ct = cosine_topk(nulled, nulled.filter(F.col("vec_id") < 2), k=3)
     assert ct.filter(F.col("sim").isNull()).count() == 0
+
+
+def test_ivf_topk_derived_cells(spark):
+    """n_centroids=None derives the cell count from the corpus
+    (cells_for) — and full-corpus probing of the derived index still
+    puts an exact clone at rank 1."""
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        cells_for,
+        ivf_topk,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    clones = base.limit(5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    q = base.limit(5)
+    n_cells = cells_for(45, 200)
+    assert n_cells == 1  # tiny corpus -> single cell, still correct
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(corpus, q, k=1, n_probe=1).collect()
+    }
+    for r in q.collect():
+        assert got[r["vec_id"]] == r["vec_id"] + 10_000
+    # target_cell drives the derived count
+    assert cells_for(45, 10) == 5

@@ -202,6 +202,42 @@ def multiprobe_leg(spark, embs0) -> None:
     embs.unpersist()
 
 
+def ivf_leg(spark, embs0, m: int) -> None:
+    """IVF derived-cells recall: with cells ∝ n (bounded per-probe cost),
+    a FIXED n_probe covers a shrinking corpus fraction — the IVF
+    analogue of the fixed-bands recall decay — and n_probe is the
+    recall dial. Trained cells concentrate neighbors, softening the
+    trade. 100 queries, recall@10 vs exact ground truth."""
+    embs = replicate_shifted(embs0, m).persist()
+    n = embs.count()
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float32)
+    true_topk, _ = ground_truth(ids, X, 10, 2.0)
+    q = embs.filter(F.col("vec_id") < 100)
+    qids = [int(i) for i in ids if i < 100]
+    n_cells = S.cells_for(n, 200)
+    for method in ("sample", "kmeans"):
+        for n_probe in (1, 4, min(16, n_cells)):
+            t0 = time.perf_counter()
+            got = S.ivf_topk(
+                embs, q, k=10, n_probe=n_probe, centroids=method
+            ).collect()
+            sec = round(time.perf_counter() - t0, 2)
+            approx: dict[int, set[int]] = {}
+            for r in got:
+                approx.setdefault(r[0], set()).add(r[1])
+            hits = sum(
+                len(approx.get(i, set()) & true_topk[i]) for i in qids
+            )
+            print(json.dumps({
+                "op": f"ivf_topk_derived_{method}", "m": m, "n": n,
+                "cells": n_cells, "n_probe": n_probe, "sec": sec,
+                "recall_at_10": round(hits / (10 * len(qids)), 3),
+            }), flush=True)
+    embs.unpersist()
+
+
 def main() -> None:
     ms = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
     spark = get_spark("recall-probe")
@@ -209,6 +245,8 @@ def main() -> None:
     embs0 = load_table(spark, SF_DIR, "embeddings")
     if 1 in ms:
         multiprobe_leg(spark, embs0)
+    for m in (x for x in (1, 2, 4) if x in ms):
+        ivf_leg(spark, embs0, m)
     for m in ms:
         embs = replicate_shifted(embs0, m).persist()
         n = embs.count()
