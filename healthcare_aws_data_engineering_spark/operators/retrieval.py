@@ -144,3 +144,63 @@ SELECT doc_id, n_terms_hit, score FROM (
   FROM scored GROUP BY doc_id
 ) WHERE rk <= {k}
 """
+
+
+def rrf_fuse(
+    keyword: DataFrame,
+    semantic: DataFrame,
+    k: int = 25,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of a keyword leg
+    and a semantic leg — the standard hybrid-retrieval combiner behind
+    Elasticsearch/OpenSearch "hybrid search" and most RAG stacks:
+
+        rrf(d) = Σ_legs 1 / (c + rank_leg(d))      (absent leg → 0)
+
+    Inputs are the two legs' rankings (``doc_id, rank`` with rank 1-based
+    and already truncated to the leg's retrieval depth). Output:
+    ``doc_id, kw_rank, sem_rank, rrf_score, rank`` — top-``k`` under the
+    unique total order (score DESC, doc_id).
+
+    Scale shape: both legs arrive pre-truncated to their depth (bounded
+    row counts — for per-query depth d, ≤ d rows per leg), so the fusion
+    join and the global rank window run on a trivially small relation no
+    matter the corpus size; all the heavy lifting stays inside the legs,
+    which keep their own scale stories (BM25: term-filtered agg +
+    broadcast stats; ANN: banded/bucketed probe joins).
+
+    Cross-engine determinism: ranks are exact integers, each RRF term is
+    one IEEE-double division, and the two-term sum has a fixed operand
+    order (keyword + semantic) — then snapped to the DECIMAL(18,6) grid
+    before the final order/limit so near-ties cannot reorder.
+    """
+    kw = keyword.select(F.col("doc_id"), F.col("rank").alias("kw_rank"))
+    sem = semantic.select(F.col("doc_id"), F.col("rank").alias("sem_rank"))
+    fused = kw.join(sem, "doc_id", "full_outer")
+    term = lambda col: F.coalesce(  # noqa: E731
+        F.lit(1.0).cast("double") / (F.lit(float(c)) + F.col(col)),
+        F.lit(0.0),
+    )
+    scored = fused.select(
+        "doc_id",
+        "kw_rank",
+        "sem_rank",
+        F.round(term("kw_rank") + term("sem_rank"), 6)
+        .cast("decimal(18,6)")
+        .alias("__s"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("__s").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "kw_rank",
+            "sem_rank",
+            F.col("__s").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )

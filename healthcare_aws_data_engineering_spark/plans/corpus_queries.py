@@ -242,6 +242,94 @@ def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- dup_ngrams --
+# Corpus-wide repeated-n-gram mining — the C4/Gopher-style diagnostic
+# behind "what boilerplate is duplicated across my corpus?": every word
+# 8-gram that appears in ≥2 distinct documents, ranked by spread. The
+# usual precursor to span-level dedup (operators/spans.py) — this query
+# names the spans worth scrubbing, spans.py removes them.
+#
+# Scale shape: two map-side-combining hash aggs. Stage 1 groups by
+# (doc_id, gram) — all grams of a doc are born co-located, so the
+# within-doc count collapses before the shuffle; stage 2 groups by gram
+# over the pre-collapsed (one row per doc per gram) stream, so even a
+# universal boilerplate gram arrives as n_docs fixed-width rows with
+# partial-agg combining, never the raw token stream. Top-k via
+# TakeOrdered under a unique total order. No distinct-count expand:
+# n_docs == COUNT(*) of stage-1 rows by construction.
+DUPN_N = 8
+DUPN_MIN_DOCS = 2
+DUPN_TOP_K = 50
+
+
+def duplicated_ngrams(
+    docs: DataFrame,
+    n: int = DUPN_N,
+    min_docs: int = DUPN_MIN_DOCS,
+    k: int = DUPN_TOP_K,
+) -> DataFrame:
+    """Word ``n``-grams appearing in ≥ ``min_docs`` distinct documents:
+    ``gram, n_docs, occurrences``, top-``k`` under the unique total order
+    (n_docs DESC, occurrences DESC, gram)."""
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .filter(F.size("__ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                # __ws staged once; slice+array_join index it per window
+                # (0-based sequence → 1-based slice start).
+                F.expr(
+                    f"transform(sequence(0, size(__ws)-{n}),"
+                    f" i -> array_join(slice(__ws, i+1, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("occurrences").desc(),
+            F.col("gram").asc(),
+        )
+        .limit(k)
+    )
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+_DUP_NGRAMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(ws) - {DUPN_N - 2}),
+           i -> array_to_string(ws[i:i + {DUPN_N - 1}], ' '))) AS gram
+  FROM t WHERE len(ws) >= {DUPN_N}
+),
+per_doc AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS occurrences
+FROM per_doc GROUP BY gram
+HAVING COUNT(*) >= {DUPN_MIN_DOCS}
+ORDER BY n_docs DESC, occurrences DESC, gram ASC
+LIMIT {DUPN_TOP_K}
+"""
+
+
 _WORD_BIGRAMS_SQL = f"""
 WITH ws AS (
   SELECT string_split(text, ' ') AS w FROM documents
@@ -461,6 +549,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props": q_json_props,
     "heavy_hitters": q_heavy_hitters,
     "word_bigrams": q_word_bigrams,
+    "dup_ngrams": q_dup_ngrams,
     "shingle_novelty": q_shingle_novelty,
     "importance_sample": q_importance_sample,
     "ppjoin_pairs": q_ppjoin_pairs,
@@ -475,6 +564,7 @@ CORPUS_ORACLE: dict[str, str] = {
     "json_props": _JSON_PROPS_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "word_bigrams": _WORD_BIGRAMS_SQL,
+    "dup_ngrams": _DUP_NGRAMS_SQL,
     "shingle_novelty": _SHINGLE_NOVELTY_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
     "source_terms": _SOURCE_TERMS_SQL,

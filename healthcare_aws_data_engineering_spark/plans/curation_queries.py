@@ -133,6 +133,101 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(load_table(spark, sf_dir, "documents"))
 
 
+# -------------------------------------------------------------- rrf_fusion --
+# Hybrid retrieval: fuse the BM25 keyword leg with the exact-cosine
+# semantic leg via reciprocal-rank fusion (retrieval.rrf_fuse). The
+# semantic query is embedding vec_id = 0 (doc ids and vec ids share the
+# same key space in the testdata); both legs retrieve to depth
+# RRF_DEPTH, fusion keeps the top RRF_K.
+RRF_DEPTH = 50
+RRF_K = 25
+RRF_C = 60
+RRF_QUERY_VEC = 0
+_EMB_DIM = 64
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F2
+
+    from ..operators import similarity as S
+    from ..operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    kw = bm25_topk(docs, BM25_TERMS, k=RRF_DEPTH).select(
+        "doc_id",
+        F2.row_number()
+        .over(_W.orderBy(F2.desc("score"), F2.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = S.cosine_topk(
+        embs,
+        embs.filter(F2.col("vec_id") == RRF_QUERY_VEC),
+        k=RRF_DEPTH,
+        exact=True,
+    ).select(F2.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(kw, sem, k=RRF_K, c=RRF_C)
+
+
+def _rrf_fusion_sql() -> str:
+    """Oracle twin of :func:`q_rrf_fusion`: the proven bm25_sql text as
+    the keyword leg, the proven decimal-accumulated cosine CTE shape
+    (training_data_queries._ANN_COSINE_SQL) as the semantic leg, RRF on
+    the integer ranks with the same fixed-order double sum and
+    DECIMAL(18,6) snap."""
+    kw_leg = bm25_sql("documents", BM25_TERMS, k=RRF_DEPTH)
+    one = "CAST(1 AS DOUBLE)"
+    return f"""
+WITH
+  kw AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM ({kw_leg})
+  ),
+  q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+  c AS (SELECT vec_id AS doc_id, embedding AS ce
+        FROM embeddings WHERE vec_id <> {RRF_QUERY_VEC}),
+  terms AS (
+    SELECT doc_id,
+      CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS qc,
+      CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS qq,
+      CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS cc
+    FROM c, q, unnest(generate_series(1, {_EMB_DIM})) AS t(i)
+  ),
+  sums AS (
+    SELECT doc_id,
+      CAST(SUM(CAST(qc AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+      CAST(SUM(CAST(qq AS DECIMAL(28,12))) AS DOUBLE) AS nq,
+      CAST(SUM(CAST(cc AS DECIMAL(28,12))) AS DOUBLE) AS nc
+    FROM terms GROUP BY doc_id
+  ),
+  sem AS (
+    SELECT doc_id, r FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, doc_id ASC
+             ) AS r
+      FROM sums
+    ) WHERE r <= {RRF_DEPTH}
+  ),
+  fused AS (
+    SELECT COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
+           kw.r AS kw_rank, sem.r AS sem_rank,
+           CAST(round(
+             COALESCE({one} / ({RRF_C} + kw.r), CAST(0 AS DOUBLE))
+             + COALESCE({one} / ({RRF_C} + sem.r), CAST(0 AS DOUBLE)), 6)
+           AS DECIMAL(18,6)) AS s
+    FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
+  )
+SELECT doc_id, kw_rank, sem_rank, CAST(s AS DOUBLE) AS rrf_score, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_K}
+"""
+
+
 # -------------------------------------------------------------- pii_redact --
 # Driver leg for the PII scrubber (operators/text.py::redact_pii). The
 # r2 waiver ("Java regex vs DuckDB RE2 parity not provable on arbitrary
@@ -287,6 +382,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "lm_score": q_lm_score,
     "pii_redact": q_pii_redact,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 CURATION_ORACLE: dict[str, str] = {
@@ -297,4 +393,5 @@ CURATION_ORACLE: dict[str, str] = {
     "shard_manifest": shard_manifest_sql("documents"),
     "lm_score": _LM_SCORE_SQL,
     "pii_redact": _pii_redact_sql(),
+    "rrf_fusion": _rrf_fusion_sql(),
 }

@@ -222,3 +222,59 @@ def test_json_props_totals(spark):
     for r in rows:
         assert r["n_with_k"] <= r["n_events"]
         assert r["min_k"] <= r["max_k"]
+
+
+# -------------------------------------------------------------- dup_ngrams --
+def test_duplicated_ngrams_matches_python_model(spark):
+    from collections import Counter
+
+    from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+        duplicated_ngrams,
+    )
+
+    texts = [
+        "a b c d a b c d",   # internal repeat of 'a b c' (n=3)
+        "a b c d x y z w",   # shares leading 4-gram with doc 0
+        "x y z w q r s t",
+        "short doc",          # below n tokens → contributes nothing
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["gram"]: (r["n_docs"], r["occurrences"])
+        for r in duplicated_ngrams(docs, n=3, min_docs=2, k=100).collect()
+    }
+
+    per_doc: list[Counter] = []
+    for t in texts:
+        ws = t.split()
+        per_doc.append(
+            Counter(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+            if len(ws) >= 3
+            else Counter()
+        )
+    expected = {}
+    grams = set().union(*per_doc)
+    for g in grams:
+        n_docs = sum(1 for c in per_doc if g in c)
+        if n_docs >= 2:
+            expected[g] = (n_docs, sum(c[g] for c in per_doc))
+    assert got == expected
+    # doc 0's internal repeat counts once toward n_docs, twice toward occ
+    assert got["a b c"] == (2, 3)
+
+
+def test_duplicated_ngrams_top_k_order(spark):
+    from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+        duplicated_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s") for i in range(3)] + [(9, "u v w x"), (10, "u v w x")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_ngrams(docs, n=4, min_docs=2, k=1).collect()
+    assert len(rows) == 1 and rows[0]["gram"] == "p q r s"

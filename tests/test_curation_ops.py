@@ -386,3 +386,55 @@ def test_lm_score_flags_rare_doc(spark):
     out = {r.doc_id: r for r in lm_score(_docs(spark, rows), threshold=-2.0).collect()}
     assert out[9].lm_flag and not out[0].lm_flag
     assert float(out[9].mean_logprob) < float(out[0].mean_logprob)
+
+
+# --------------------------------------------------------------- rrf_fuse --
+def test_rrf_fuse_matches_python_model(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from healthcare_aws_data_engineering_spark.operators.retrieval import rrf_fuse
+
+    kw = spark.createDataFrame(
+        [(d, r) for r, d in enumerate([10, 11, 12, 13, 14], start=1)],
+        "doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(13, 1), (14, 2), (20, 3), (21, 4)], "doc_id long, rank int"
+    )
+    got = {
+        row["doc_id"]: row
+        for row in rrf_fuse(kw, sem, k=10, c=60).collect()
+    }
+
+    def snap(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    kw_ranks = {10: 1, 11: 2, 12: 3, 13: 4, 14: 5}
+    sem_ranks = {13: 1, 14: 2, 20: 3, 21: 4}
+    expected = {}
+    for d in set(kw_ranks) | set(sem_ranks):
+        s = (1.0 / (60 + kw_ranks[d]) if d in kw_ranks else 0.0) + (
+            1.0 / (60 + sem_ranks[d]) if d in sem_ranks else 0.0
+        )
+        expected[d] = snap(s)
+    assert set(got) == set(expected)
+    for d, row in got.items():
+        assert row["rrf_score"] == expected[d], d
+        assert row["kw_rank"] == kw_ranks.get(d)
+        assert row["sem_rank"] == sem_ranks.get(d)
+    # both-leg docs outrank single-leg docs of similar depth; rank is the
+    # unique (score DESC, doc_id) order
+    order = sorted(got.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order[:2]] == [13, 14]
+
+
+def test_rrf_fuse_k_truncates_on_unique_order(spark):
+    from healthcare_aws_data_engineering_spark.operators.retrieval import rrf_fuse
+
+    # ties on score (disjoint legs, same ranks) break by doc_id ASC
+    kw = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(4, 1), (2, 2)], "doc_id long, rank int")
+    rows = rrf_fuse(kw, sem, k=3, c=60).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [4, 5, 2]
