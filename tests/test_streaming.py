@@ -373,3 +373,69 @@ def test_near_dup_stream_equals_batch_and_finds_clones(spark, tmp_path):
     for vid in [r.vec_id for r in index.limit(6).collect()]:
         assert (vid + 50_000, vid) in got
         assert got[(vid + 50_000, vid)] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_windowed_counts_drops_late_rows(spark, tmp_path):
+    """The bounded-state trade the windows.py docstring claims, pinned:
+    once a window is finalized (watermark passed its end), a late row for
+    it is discarded and the window is never re-emitted.
+
+    One subtlety this test encodes deliberately: Spark filters late rows
+    with the PREVIOUS micro-batch's watermark while evicting state with
+    the current one (SPARK-40925, needed for chained stateful operators).
+    A late row arriving in the very next batch after its window crosses
+    the watermark can therefore still merge before eviction; the drop
+    guarantee holds for rows arriving >=2 batches later. Hence three
+    single-file micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+
+    - batch 0 fills the 10:00 window and advances max event time to
+      13:00 (watermark '1 hour' -> 12:00);
+    - batch 1 is a filler row at 14:00 whose end-of-batch eviction
+      finalizes and emits the 10:00 window as (2, 2.0);
+    - batch 2 carries the late 10:30 row (value 100, behind the 12:00
+      filter watermark -> dropped, no duplicate 10:00 window) plus a
+      16:00 row that pushes the watermark past 13:00 and 14:00.
+    """
+    import datetime as dt
+    import os
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batches = [
+        [(1, ts(10, 0), 1, "x", 1.0), (2, ts(10, 5), 1, "x", 1.0), (3, ts(13, 0), 1, "x", 1.0)],
+        [(4, ts(14, 0), 1, "x", 1.0)],
+        [(5, ts(10, 30), 1, "x", 100.0), (6, ts(16, 0), 1, "x", 1.0)],
+    ]
+    # file-source batch order follows modification time; force b0 < b1 < b2
+    now = 1_700_000_000
+    for i, rows in enumerate(batches):
+        d = str(src_dir / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (now + 60 * i, now + 60 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    run_available_now_to_memory(
+        agg, "late_win", str(tmp_path / "late_ckpt"), output_mode="append"
+    )
+    out = spark.sql("SELECT * FROM late_win").collect()
+    rows = {r.window_start.hour: (r.n_events, r.sum_value) for r in out}
+    # the 10:00 window finalized with ONLY batch-0 rows: the late 10:30
+    # row (value 100) was dropped, not merged and not re-emitted
+    assert rows[10] == (2, 2.0)
+    assert not any(r.sum_value >= 100.0 for r in out)
+    assert sum(1 for r in out if r.window_start.hour == 10) == 1
+    # the 13:00 and 14:00 windows finalized once batch 2 advanced the
+    # watermark to 15:00; the 16:00 window stays in state, never emitted
+    assert rows[13] == (1, 1.0)
+    assert rows[14] == (1, 1.0)
+    assert 16 not in rows
