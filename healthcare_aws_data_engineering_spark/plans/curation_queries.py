@@ -20,6 +20,7 @@ from ..operators.ingest import (
     shard_manifest_sql,
 )
 from ..operators.retrieval import bm25_sql, bm25_topk
+from ..operators.selection import dsir_select, dsir_sql
 from ..operators.text import repetition_stats
 from ..sources.tables import load_table
 
@@ -374,6 +375,13 @@ def _repetition_sql() -> str:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/selection.py): the 50 non-English
+    documents whose hashed uni+bigram profile is most English-like,
+    drawn without replacement via deterministic Gumbel top-k."""
+    return dsir_select(load_table(spark, sf_dir, "documents"))
+
+
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
@@ -383,6 +391,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "pii_redact": q_pii_redact,
     "rrf_fusion": q_rrf_fusion,
+    "dsir_select": q_dsir_select,
 }
 
 CURATION_ORACLE: dict[str, str] = {
@@ -394,4 +403,5 @@ CURATION_ORACLE: dict[str, str] = {
     "lm_score": _LM_SCORE_SQL,
     "pii_redact": _pii_redact_sql(),
     "rrf_fusion": _rrf_fusion_sql(),
+    "dsir_select": dsir_sql("documents"),
 }

@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 from conftest import n_exchanges as _n_exchanges, plan_string as _plan
 from healthcare_aws_data_engineering_spark.operators.decontam import (
     DECON_SALT,
@@ -438,3 +440,98 @@ def test_rrf_fuse_k_truncates_on_unique_order(spark):
     sem = spark.createDataFrame([(4, 1), (2, 2)], "doc_id long, rank int")
     rows = rrf_fuse(kw, sem, k=3, c=60).orderBy("rank").collect()
     assert [r["doc_id"] for r in rows] == [4, 5, 2]
+
+
+# ------------------------------------------------------------- dsir_select --
+def _dsir_model(rows, target="en", buckets=256, k=2):
+    """Pure-Python DSIR model (unsnapped floats — engine snaps each ln
+    to the DECIMAL(18,6) grid, so scores agree to ~1e-3 over ~100
+    features)."""
+    from collections import Counter
+
+    def feats(text):
+        ws = text.strip().split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % buckets
+
+    rc: Counter = Counter()
+    tc: Counter = Counter()
+    for _did, lang, text in rows:
+        for f in feats(text):
+            b = bucket(f)
+            rc[b] += 1
+            if lang == target:
+                tc[b] += 1
+    rn, tn = sum(rc.values()), sum(tc.values())
+    lr = {
+        b: math.log((tc.get(b, 0) + 1) / (tn + buckets))
+        - math.log((rc[b] + 1) / (rn + buckets))
+        for b in rc
+    }
+    scored = []
+    for did, lang, text in rows:
+        if lang == target:
+            continue
+        fs = feats(text)
+        s = sum(lr[bucket(f)] for f in fs)
+        u = (
+            int(hashlib.md5(f"gumbel#{did}".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+        scored.append((did, len(fs), s, s + (-math.log(-math.log(u)))))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return scored[:k]
+
+
+_DSIR_ROWS = [
+    (1, "en", "alpha beta gamma delta epsilon zeta"),
+    (2, "en", "alpha gamma epsilon beta delta alpha"),
+    (3, "en", "beta delta zeta alpha gamma epsilon"),
+    # en-like candidate: drawn from the target vocabulary
+    (10, "fr", "alpha beta gamma delta alpha beta gamma delta alpha beta "
+               "gamma delta alpha beta gamma delta alpha beta gamma delta"),
+    # unlike candidates: vocabulary never seen in the target slice
+    (11, "fr", "zebre quux blorp frim zap nolk zebre quux blorp frim zap "
+               "nolk zebre quux blorp frim zap nolk zebre quux"),
+    (12, "de", "wolke berg fluss tal stein moos wolke berg fluss tal stein "
+               "moos wolke berg fluss tal stein moos wolke berg"),
+]
+
+
+def test_dsir_matches_python_model(spark):
+    from healthcare_aws_data_engineering_spark.operators.selection import dsir_select
+
+    df = spark.createDataFrame(_DSIR_ROWS, "doc_id long, lang string, text string")
+    got = dsir_select(df, k=3).collect()
+    want = _dsir_model(_DSIR_ROWS, k=3)
+    assert [r.doc_id for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert r.n_feats == w[1]
+        assert r.log_weight == pytest.approx(w[2], abs=1e-3)
+        assert r.dsir_score == pytest.approx(w[3], abs=1e-3)
+
+
+def test_dsir_prefers_target_like_docs_and_excludes_target(spark):
+    """The en-vocabulary candidate out-weighs the never-seen-vocabulary
+    ones by ~tens of nats — far beyond Gumbel noise — so it ranks first;
+    target-slice docs never appear in the output."""
+    from healthcare_aws_data_engineering_spark.operators.selection import dsir_select
+
+    df = spark.createDataFrame(_DSIR_ROWS, "doc_id long, lang string, text string")
+    out = dsir_select(df, k=3).collect()
+    assert out[0].doc_id == 10
+    assert out[0].log_weight > out[1].log_weight + 10
+    assert {r.doc_id for r in out} == {10, 11, 12}
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark):
+    """The bounded log-ratio table must reach the per-doc scorer as a
+    broadcast, never a shuffled join, and nothing may cartesian."""
+    from healthcare_aws_data_engineering_spark.operators.selection import dsir_select
+
+    df = spark.createDataFrame(_DSIR_ROWS, "doc_id long, lang string, text string")
+    plan = _plan(dsir_select(df))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
