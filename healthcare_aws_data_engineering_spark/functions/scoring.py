@@ -111,6 +111,34 @@ def disease_subscore(disease: str, cols: dict[str, Column] | None = None) -> Col
     return F.when(total_w > 0, clamped)
 
 
+def subscore_from_penalties(disease: str, pens: dict[str, Column]) -> Column:
+    """Identical math to :func:`disease_subscore`, but derived from the
+    staged NULL-when-absent penalty columns of
+    :func:`disease_penalty_columns` — so a plan that needs penalties,
+    subscore AND label evaluates each penalty CASE ladder exactly once
+    (Catalyst CSE does not reach into when/otherwise branches; see the
+    r5 text_stats note in BASELINE.md). ``pens[a] IS NULL ⟺ value
+    absent``, so coalesce/isNotNull reproduce the presence gating."""
+    weights = DISEASE_WEIGHTS[disease]
+    weighted = sum(
+        (
+            F.coalesce(pens[a].cast("double") * F.lit(w), F.lit(0.0))
+            for a, w in weights.items()
+        ),
+        F.lit(0.0),
+    )
+    total_w = sum(
+        (
+            F.when(pens[a].isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+            for a, w in weights.items()
+        ),
+        F.lit(0.0),
+    )
+    sub = F.lit(100.0) - weighted * F.lit(100.0 / MAX_PENALTY)
+    clamped = F.greatest(F.lit(0.0), F.least(F.lit(100.0), sub))
+    return F.when(total_w > 0, clamped)
+
+
 def disease_penalty_columns(disease: str, cols: dict[str, Column] | None = None) -> dict[str, Column]:
     """Per-analyte penalty columns for a disease; NULL (not 0) when the
     analyte value is absent — mirrors the ``pens`` dict only containing

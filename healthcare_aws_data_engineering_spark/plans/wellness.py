@@ -21,7 +21,7 @@ from ..functions.scoring import (
     chip_for_label,
     detect_patterns,
     disease_penalty_columns,
-    disease_subscore,
+    subscore_from_penalties,
     overall_label,
     wellness,
 )
@@ -39,21 +39,41 @@ def _colmap(df: DataFrame) -> dict[str, Column]:
 def score_rows(labs: DataFrame) -> DataFrame:
     """Score every (patient, date) row: per-disease subscores + penalties,
     wellness, confidence (weight mass), matched evidence patterns, SQL-style
-    overall labels and chips. One projection — no shuffle at all."""
+    overall labels and chips. Projection-only — no shuffle at all.
+
+    Built as three STAGED projections (penalties → subscores/labels →
+    chips/wellness), each layer referencing the previous layer's real
+    columns: a single flat projection would re-inline every penalty CASE
+    ladder into the subscore, label, chip and wellness trees (~4× the
+    expression work — Catalyst CSE does not reach into when/otherwise
+    branches, and CollapseProject refuses to merge the layers precisely
+    because the aliases are non-cheap and multiply referenced). Same
+    values, same single codegen stage."""
     cols = _colmap(labs)
     out = labs
-    subs: dict[str, Column] = {}
+    # layer 1: every penalty ladder evaluated exactly once
     for disease in DISEASE_WEIGHTS:
-        subs[disease] = disease_subscore(disease, cols)
-        pens = disease_penalty_columns(disease, cols)
-        label = overall_label(disease, pens)
         key = disease.lower()
-        out = out.withColumn(f"subscore_{key}", subs[disease])
-        out = out.withColumn(f"label_{key}", label)
-        out = out.withColumn(f"chip_{key}", chip_for_label(disease, label))
-        for analyte, pcol in pens.items():
+        for analyte, pcol in disease_penalty_columns(disease, cols).items():
             out = out.withColumn(f"penalty_{key}_{analyte.lower()}", pcol)
+    # layer 2: subscores + labels from the staged penalty columns
+    for disease in DISEASE_WEIGHTS:
+        key = disease.lower()
+        staged_pens = {
+            a: F.col(f"penalty_{key}_{a.lower()}") for a in DISEASE_WEIGHTS[disease]
+        }
+        out = out.withColumn(
+            f"subscore_{key}", subscore_from_penalties(disease, staged_pens)
+        )
+        out = out.withColumn(f"label_{key}", overall_label(disease, staged_pens))
+    # layer 3: chips from staged labels, wellness from staged subscores
+    subs = {d: F.col(f"subscore_{d.lower()}") for d in DISEASE_WEIGHTS}
     w, conf, used = wellness(subs)
+    for disease in DISEASE_WEIGHTS:
+        key = disease.lower()
+        out = out.withColumn(
+            f"chip_{key}", chip_for_label(disease, F.col(f"label_{key}"))
+        )
     return (
         out.withColumn("wellness", w)
         .withColumn("wellness_confidence", conf)
