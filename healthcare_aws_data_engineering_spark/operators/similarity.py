@@ -123,6 +123,60 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    exact: bool = False,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the ``k`` most cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the anchor's — the near-miss negatives
+    that make embedding models learn (in-batch negatives are mostly
+    easy; mining the hardest cross-label neighbors is the standard
+    curriculum, e.g. dense-retrieval trainers like DPR/ANCE).
+
+    Same execution shape as :func:`cosine_topk`: the bounded anchor
+    batch broadcasts (with its labels), the corpus streams through one
+    pass, the label-mismatch predicate drops same-class candidates
+    (and self) BEFORE the per-anchor top-k window. The different-label
+    filter is applied pre-window, so k survivors are guaranteed to be
+    genuine negatives rather than a post-filtered shorter list. For
+    corpus-scale anchor sets, compose the bucketed candidate path
+    instead: ``lsh_topk``/``ivf_topk`` with over-fetch, then the same
+    label-mismatch filter + re-rank — never this cross join.
+    """
+    corpus = _non_null(corpus, vec_col)
+    queries = _non_null(queries, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neg_label") != F.col("anchor_label")
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"), exact)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "anchor_label", "neighbor_id", "neg_label", sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
     """Sign-bit signature against ``planes`` pseudo-random hyperplanes.
     Plane p's component for dimension i is derived from xxhash64(p, i) —

@@ -387,6 +387,50 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-8 most-similar DIFFERENT-label
+    vectors per anchor (vec_id < 5), exact cosine for oracle bit-equality."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.hard_negatives(embs, queries, k=8, exact=True)
+
+
+_HARD_NEG_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label AS anchor_label, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, label AS neg_label, embedding AS ce
+      FROM embeddings),
+pairs AS (
+  SELECT query_id, anchor_label, neighbor_id, neg_label, qe, ce
+  FROM q, c WHERE neg_label <> anchor_label
+),
+terms AS (
+  SELECT query_id, anchor_label, neighbor_id, neg_label,
+    CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS qc,
+    CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS qq,
+    CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS cc
+  FROM pairs, unnest(generate_series(1, 64)) AS t(i)
+),
+sums AS (
+  SELECT query_id, anchor_label, neighbor_id, neg_label,
+    CAST(SUM(CAST(qc AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(qq AS DECIMAL(28,12))) AS DOUBLE) AS nq,
+    CAST(SUM(CAST(cc AS DECIMAL(28,12))) AS DOUBLE) AS nc
+  FROM terms GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT query_id, anchor_label, neighbor_id, neg_label,
+         dot / (sqrt(nq) * sqrt(nc)) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM sums
+)
+SELECT query_id, anchor_label, neighbor_id, neg_label, sim, rank
+FROM ranked WHERE rank <= 8
+"""
+
+
 # Literal ±1 hyperplanes (md5-derived, Python-side) shared by the Spark
 # queries AND the SQL oracles below — the whole LSH pipeline is then
 # engine-reproducible (signature sign decided on a DECIMAL(28,6) fold).
@@ -990,6 +1034,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hard_negatives": q_hard_negatives,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -1012,6 +1057,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "corpus_curation": _CORPUS_CURATION_SQL,
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,
+    "hard_negatives": _HARD_NEG_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_multiprobe_topk": _ANN_MULTIPROBE_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,

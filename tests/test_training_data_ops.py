@@ -489,3 +489,36 @@ def test_pq_identical_vectors_adist_zero(spark):
     q = embs.filter(F.col("vec_id") == 41)
     out = {r.neighbor_id: r for r in S.pq_topk(embs, q, k=2).collect()}
     assert out[0].adist == 0 and out[0].rank == 1
+
+
+def test_hard_negatives_matches_python_and_excludes_same_label(spark):
+    """Model parity vs brute force AND the contrastive contract: every
+    mined negative has a different label than its anchor, self never
+    appears, ranks are dense 1..k."""
+    rows = _vec_rows()
+    labeled = [
+        Row(vec_id=r.vec_id, embedding=r.embedding, label=r.vec_id % 3)
+        for r in rows
+    ]
+    embs = spark.createDataFrame(labeled)
+    out = S.hard_negatives(embs, embs.filter(F.col("vec_id") < 2), k=5).collect()
+    by_anchor = {}
+    for r in out:
+        assert r.neg_label != r.anchor_label
+        assert r.neighbor_id != r.query_id
+        by_anchor.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 6))
+        anchor = labeled[qid]
+        ref = sorted(
+            (
+                (c.vec_id, _py_cosine(anchor.embedding, c.embedding))
+                for c in labeled
+                if c.label != anchor.label
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [r.neighbor_id for r in rs] == [t[0] for t in ref]
+        for r, t in zip(rs, ref):
+            assert r.sim == pytest.approx(t[1])
