@@ -131,6 +131,9 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     exact: bool = False,
+    method: str = "exact",
+    overfetch: int = 3,
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor
     (query) vector, the ``k`` most cosine-similar corpus vectors whose
@@ -139,18 +142,54 @@ def hard_negatives(
     easy; mining the hardest cross-label neighbors is the standard
     curriculum, e.g. dense-retrieval trainers like DPR/ANCE).
 
-    Same execution shape as :func:`cosine_topk`: the bounded anchor
-    batch broadcasts (with its labels), the corpus streams through one
-    pass, the label-mismatch predicate drops same-class candidates
-    (and self) BEFORE the per-anchor top-k window. The different-label
-    filter is applied pre-window, so k survivors are guaranteed to be
-    genuine negatives rather than a post-filtered shorter list. For
-    corpus-scale anchor sets, compose the bucketed candidate path
-    instead: ``lsh_topk``/``ivf_topk`` with over-fetch, then the same
-    label-mismatch filter + re-rank — never this cross join.
+    ``method='exact'`` (default, oracle-checked): same execution shape
+    as :func:`cosine_topk` — the bounded anchor batch broadcasts (with
+    its labels), the corpus streams through one pass, the
+    label-mismatch predicate drops same-class candidates (and self)
+    BEFORE the per-anchor top-k window, so the k survivors are
+    guaranteed genuine negatives rather than a post-filtered shorter
+    list.
+
+    ``method='lsh'`` (the corpus-scale anchor path): candidates come
+    from :func:`lsh_topk` with ``k × overfetch`` over-fetch (bucketed
+    probe join, derived index geometry — never a cross join), labels
+    join back (anchor side broadcast-bounded, candidate rows ≤
+    anchors × k × overfetch so the candidate relation broadcasts into
+    the corpus label lookup), then the same label-mismatch filter +
+    per-anchor re-rank. Over-fetch absorbs same-label candidates that
+    the filter removes; recall vs the exact path is pinned in pytest.
     """
     corpus = _non_null(corpus, vec_col)
     queries = _non_null(queries, vec_col)
+    if method == "lsh":
+        cands = lsh_topk(
+            corpus,
+            queries,
+            k=k * overfetch,
+            id_col=id_col,
+            vec_col=vec_col,
+            exact=exact,
+            **(lsh_kwargs or {}),
+        ).drop("rank")
+        labels_q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("anchor_label")
+        )
+        labels_c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neg_label")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            F.broadcast(cands.join(F.broadcast(labels_q), "query_id"))
+            .join(labels_c, "neighbor_id")
+            .filter(F.col("neg_label") != F.col("anchor_label"))
+            .select("query_id", "anchor_label", "neighbor_id", "neg_label", "sim")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r} (use 'exact' or 'lsh')")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -522,3 +522,28 @@ def test_hard_negatives_matches_python_and_excludes_same_label(spark):
         assert [r.neighbor_id for r in rs] == [t[0] for t in ref]
         for r, t in zip(rs, ref):
             assert r.sim == pytest.approx(t[1])
+
+
+def test_hard_negatives_lsh_recall_vs_exact(spark):
+    """The corpus-scale candidate path: LSH over-fetch + label filter +
+    re-rank must recover most of the exact cross-label top-k, and obey
+    the same negative-only contract."""
+    rows = _vec_rows()
+    labeled = [
+        Row(vec_id=r.vec_id, embedding=r.embedding, label=r.vec_id % 3)
+        for r in rows
+    ]
+    embs = spark.createDataFrame(labeled)
+    q = embs.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negatives(embs, q, k=5).collect()
+    }
+    approx = S.hard_negatives(
+        embs, q, k=5, method="lsh", lsh_kwargs={"bands": 8}
+    ).collect()
+    for r in approx:
+        assert r.neg_label != r.anchor_label
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, recall
