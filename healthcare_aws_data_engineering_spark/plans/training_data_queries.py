@@ -154,8 +154,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle: same verified pairs, then transitive closure as a recursive CTE
-# (min reachable label == the operator's min-label fixpoint).
-_DUP_CLUSTERS_SQL = f"""
+# (min reachable label == the operator's min-label fixpoint). Shared CTE
+# chain — _DUP_CLUSTERS_SQL and _CLUSTER_SPLIT_SQL both end in `cc`.
+_DUP_CC_CTES = f"""
 WITH RECURSIVE {_SHINGLES_SQL}, {_SIG_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -184,10 +185,59 @@ reach(node, lbl) AS (
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
 cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+"""
+
+_DUP_CLUSTERS_SQL = f"""
+{_DUP_CC_CTES}
 SELECT node AS doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        node = cluster_id AS is_keeper
 FROM cc
+"""
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split UNIT is the near-dup
+    cluster, not the document — a near-duplicate of a training document
+    can never land in val/test (the contamination mode a per-document
+    or per-source split cannot rule out). Singletons (no verified dup)
+    are their own unit. Same md5 'split#' bucketing as split_assign, so
+    the 80/10/10 shares and determinism carry over."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
+    )
+    verified = (
+        D.ngram_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    clusters = G.dup_clusters(verified).select("doc_id", "cluster_id")
+    unit = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("split_unit")
+    )
+    return with_split(unit, group_col="split_unit").select(
+        "doc_id", "split_unit", "bucket", "split"
+    )
+
+
+_CLUSTER_SPLIT_SQL = f"""
+{_DUP_CC_CTES},
+unit AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_unit
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+),
+bkt AS (
+  SELECT doc_id, split_unit,
+    CAST(('0x' || substr(md5('split#' || CAST(split_unit AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM unit
+)
+SELECT doc_id, split_unit, bucket,
+  CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM bkt
 """
 
 
@@ -1031,6 +1081,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
+    "cluster_split": q_cluster_split,
     "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1054,6 +1105,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dup_clusters": _DUP_CLUSTERS_SQL,
+    "cluster_split": _CLUSTER_SPLIT_SQL,
     "corpus_curation": _CORPUS_CURATION_SQL,
     "dedup_simhash": _simhash_sql(),
     "ann_cosine_topk": _ANN_COSINE_SQL,

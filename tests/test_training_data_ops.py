@@ -547,3 +547,32 @@ def test_hard_negatives_lsh_recall_vs_exact(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_cluster_split_no_leakage_and_shares(spark):
+    """The leakage contract: every near-dup cluster lands entirely in ONE
+    split (by construction — the bucket is a function of the cluster id),
+    singletons keep split_unit == doc_id, and the md5 shares land near
+    80/10/10 on the sf0.001 corpus."""
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        q_cluster_split,
+    )
+
+    out = q_cluster_split(spark, "/root/testdata/sf0.001").collect()
+    by_unit = {}
+    for r in out:
+        by_unit.setdefault(r.split_unit, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_unit.values())
+    n = len(out)
+    shares = {}
+    for r in out:
+        shares[r.split] = shares.get(r.split, 0) + 1
+    assert shares["train"] / n > 0.6
+    assert 0 < shares.get("val", 0) < 0.3 * n
+    assert 0 < shares.get("test", 0) < 0.3 * n
+    # clustered docs really do share their cluster's split with the keeper
+    clustered = [r for r in out if r.split_unit != r.doc_id]
+    assert clustered, "fixture corpus should contain at least one dup cluster"
+    splits = {r.split_unit: r.split for r in out if r.doc_id == r.split_unit}
+    for r in clustered:
+        assert r.split == splits[r.split_unit]
