@@ -32,7 +32,7 @@ uniform, not a PRNG.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 DSIR_BUCKETS = 256
 DSIR_K = 50
@@ -96,18 +96,24 @@ def dsir_select(
         F.count(F.lit(1)).alias("rc"),
         F.count(F.when(is_target, 1)).alias("tc"),
     )
-    tots = stats.agg(F.sum("rc").alias("rn"), F.sum("tc").alias("tn"))
+    # totals via an unpartitioned window over the ≤buckets-row stats —
+    # NOT a separate .agg() (whose lineage would re-run the corpus scan
+    # and feature explode a second time); one partition of ≤buckets rows
+    # is bounded at any corpus size
+    everything = W.partitionBy()
+    rn = F.sum("rc").over(everything)
+    tn = F.sum("tc").over(everything)
 
     def _snap_ln(expr: Column) -> Column:
         return F.log(expr).cast("decimal(18,6)")
 
     # bounded (≤ buckets rows): add-1-smoothed log p_target(b) − log p_raw(b),
     # each ln snapped to the decimal grid so downstream sums are exact
-    lr = stats.crossJoin(F.broadcast(tots)).select(
+    lr = stats.select(
         "b",
         (
-            _snap_ln((F.col("tc") + 1) / (F.col("tn") + buckets).cast("double"))
-            - _snap_ln((F.col("rc") + 1) / (F.col("rn") + buckets).cast("double"))
+            _snap_ln((F.col("tc") + 1) / (tn + buckets).cast("double"))
+            - _snap_ln((F.col("rc") + 1) / (rn + buckets).cast("double"))
         ).alias("lrd"),
     )
 

@@ -213,7 +213,9 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     clusters = G.dup_clusters(verified).select("doc_id", "cluster_id")
-    unit = docs.join(clusters, "doc_id", "left").select(
+    # pair-bounded cluster table vs corpus-sized docs: broadcast the
+    # small side of the left join at any scale
+    unit = docs.join(F.broadcast(clusters), "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("split_unit")
     )
     return with_split(unit, group_col="split_unit").select(
