@@ -541,6 +541,99 @@ WHERE rank <= {ST_TOP_K}
 """
 
 
+ZIPF_TOP = 200  # head terms per source entering the fit
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: degree-1 regression of ln(freq) on ln(rank)
+    over the top-``ZIPF_TOP`` terms. Natural text sits near slope −1;
+    a flat slope flags boilerplate/templated sources, a cliff flags
+    synthetic or truncated-vocabulary text — the corpus-health
+    diagnostic next to `dataset_card`/`drift_monitor`.
+
+    Cross-engine determinism: each ln is snapped to the DECIMAL(18,6)
+    grid, products and sums stay exact decimals (order-free), and the
+    closed-form slope/intercept are scalar double math on identical
+    operands (the `linear_trend` recipe).
+
+    Scale shape: one map-side-combining (source, word) count, a rank
+    window over the vocabulary-bounded frequency table (language-sized,
+    not corpus-sized), a 200-row-per-source agg. Nothing corpus-sized
+    shuffles twice."""
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    win = _W.partitionBy("source").orderBy(F.col("c").desc(), F.col("w").asc())
+    staged = (
+        freq.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).cast("decimal(18,6)").alias("x"),
+            F.log(F.col("c").cast("double")).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    denom = agg.n * agg.sxx - agg.sx * agg.sx
+    slope = F.when(denom != 0, (agg.n * agg.sxy - agg.sx * agg.sy) / denom)
+    intercept = (agg.sy - slope * agg.sx) / agg.n
+    return agg.select(
+        "source",
+        agg.n.cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
+    )
+
+
+_ZIPF_SLOPE_SQL = f"""
+WITH w AS (SELECT source, string_split(trim(text), ' ') AS ws FROM documents),
+toks AS (
+  SELECT source, ws[i] AS w
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+),
+freq AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, w ASC) AS r
+  FROM freq
+),
+staged AS (
+  SELECT source,
+         CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+         CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS y
+  FROM ranked WHERE r <= {ZIPF_TOP}
+),
+sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM staged GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS zipf_slope,
+       (sy - (CASE WHEN n * sxx - sx * sx <> 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n
+         AS zipf_intercept
+FROM sums
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "doc_chunks": q_doc_chunks,
@@ -554,6 +647,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_sample": q_importance_sample,
     "ppjoin_pairs": q_ppjoin_pairs,
     "source_terms": q_source_terms,
+    "zipf_slope": q_zipf_slope,
 }
 
 CORPUS_ORACLE: dict[str, str] = {
@@ -577,4 +671,5 @@ def _ppjoin_oracle() -> str:
     return brute_force_sql()
 
 
+CORPUS_ORACLE["zipf_slope"] = _ZIPF_SLOPE_SQL
 CORPUS_ORACLE["ppjoin_pairs"] = _ppjoin_oracle()

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import collections
 
+import pytest
+
 from conftest import n_exchanges as _n_exchanges, plan_string as _plan
 from healthcare_aws_data_engineering_spark.operators.chunking import chunk_documents
 from healthcare_aws_data_engineering_spark.operators.sketch import cms_heavy_hitters
@@ -278,3 +280,46 @@ def test_duplicated_ngrams_top_k_order(spark):
     )
     rows = duplicated_ngrams(docs, n=4, min_docs=2, k=1).collect()
     assert len(rows) == 1 and rows[0]["gram"] == "p q r s"
+
+
+def test_zipf_slope_recovers_power_law_and_flat(spark):
+    """A synthetic corpus with freq(rank r) = 1000//r must fit slope ≈ -1;
+    a uniform-frequency corpus must fit slope ≈ 0. Closed-form fit on the
+    decimal-snapped ln grid, so tolerances are loose only for the floor()
+    quantization of the synthetic counts."""
+    from pyspark.sql import Row
+
+    from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+        ZIPF_TOP,
+        q_zipf_slope,
+    )
+
+    rows = []
+    doc_id = 0
+    # zipfy: word w{r} appears floor(1000/r) times, r = 1..60
+    for r in range(1, 61):
+        for _ in range(1000 // r):
+            rows.append(Row(doc_id=doc_id, text=f"w{r}", lang="en", source="zipfy"))
+            doc_id += 1
+    # flat: 30 words, 40 occurrences each
+    for r in range(30):
+        for _ in range(40):
+            rows.append(Row(doc_id=doc_id, text=f"u{r}", lang="en", source="flat"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows)
+
+    import healthcare_aws_data_engineering_spark.plans.corpus_queries as cq
+    import healthcare_aws_data_engineering_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: docs
+        cq.load_table = tables.load_table
+        out = {r.source: r for r in q_zipf_slope(spark, "unused").collect()}
+    finally:
+        tables.load_table = orig
+        cq.load_table = orig
+    assert out["zipfy"].n_terms == 60 <= ZIPF_TOP
+    assert out["zipfy"].zipf_slope == pytest.approx(-1.0, abs=0.05)
+    assert out["flat"].n_terms == 30
+    assert out["flat"].zipf_slope == pytest.approx(0.0, abs=1e-6)
