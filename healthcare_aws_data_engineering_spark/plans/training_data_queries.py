@@ -813,8 +813,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_stats(_docs(spark, sf_dir)).drop("text")
 
 
-_TEXT_STATS_SQL = r"""
-WITH base AS (
+# base/d CTE chain + quality expression shared by _TEXT_STATS_SQL and
+# _QUALITY_CALIBRATED_SQL so the heuristic can never drift between them
+_TEXT_STATS_CTES = r"""
+base AS (
   SELECT doc_id, lang, source, n_chars, text,
     length(text) AS n_chars_actual,
     CASE WHEN length(trim(text)) = 0 THEN 0
@@ -840,6 +842,15 @@ d AS (
     hits_es / greatest(n_tokens, 1) AS s_es
   FROM base
 )
+"""
+
+_QUALITY_EXPR_SQL = """least(length(text) / 200.0, 1.0) * 0.3
+    + least(hits_en / greatest(n_tokens, 1) * 4.0, 1.0) * 0.3
+    + greatest(0.0, 1.0 - (n_punct / greatest(length(text), 1)) * 4.0) * 0.2
+    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"""
+
+_TEXT_STATS_SQL = rf"""
+WITH {_TEXT_STATS_CTES}
 SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
   CAST(n_tokens_bpe_ish AS INT) AS n_tokens_bpe_ish,
   punct_ratio, mean_word_len,
@@ -848,14 +859,62 @@ SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
        WHEN s_en > 0 AND s_en >= s_de THEN 'en'
        WHEN s_de > 0 THEN 'de'
        ELSE 'und' END AS lang_guess,
-  least(length(text) / 200.0, 1.0) * 0.3
-    + least(hits_en / greatest(n_tokens, 1) * 4.0, 1.0) * 0.3
-    + greatest(0.0, 1.0 - (n_punct / greatest(length(text), 1)) * 4.0) * 0.2
-    + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+  {_QUALITY_EXPR_SQL}
     AS quality,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                           '\s+', ' ', 'g'))) AS fingerprint
 FROM d
+"""
+
+
+# --------------------------------------------------------- quality_calibrated --
+QUALITY_KEEP_PCT = 0.2  # drop the bottom 20% of each source
+
+
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality calibration (the FineWeb-style trick): rank each
+    document's quality within its own source and drop the bottom
+    ``QUALITY_KEEP_PCT`` of every source, instead of one global threshold
+    that would gut low-register sources wholesale and let boilerplate
+    from high-register sources through.
+
+    Determinism: percent_rank over a unique (quality, doc_id) order is
+    (row_number−1)/(n−1) — an exact integer ratio, identical in DuckDB;
+    the keep decision compares that raw double. Scale shape: ONE shuffle
+    by source + a per-source sort (the honest price of exact
+    calibration; at extreme skew swap in approx-quantile thresholds
+    broadcast per source — same keep semantics, no full sort)."""
+    from pyspark.sql import Window as _W
+
+    stats = T.text_stats(_docs(spark, sf_dir)).select("doc_id", "source", "quality")
+    win = _W.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    pct = F.percent_rank().over(win)
+    return stats.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 6).cast("decimal(18,6)").cast("double").alias("pct_in_source"),
+        (pct >= QUALITY_KEEP_PCT).alias("keep"),
+    )
+
+
+_QUALITY_CALIBRATED_SQL = rf"""
+WITH {_TEXT_STATS_CTES},
+q AS (
+  SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality FROM d
+),
+r AS (
+  SELECT doc_id, source, quality,
+    PERCENT_RANK() OVER (PARTITION BY source
+                         ORDER BY quality ASC, doc_id ASC) AS pct
+  FROM q
+)
+SELECT doc_id, source, quality,
+  CAST(CAST(round(pct, 6) AS DECIMAL(18,6)) AS DOUBLE) AS pct_in_source,
+  pct >= {QUALITY_KEEP_PCT} AS keep
+FROM r
 """
 
 
@@ -1095,6 +1154,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
+    "quality_calibrated": q_quality_calibrated,
     "doc_fingerprint": q_doc_fingerprint,
     "severity_topk": q_severity_topk,
     "media_stats": q_media_stats,
@@ -1119,6 +1179,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
+    "quality_calibrated": _QUALITY_CALIBRATED_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "severity_topk": _severity_sql(),
     "media_stats": _MEDIA_STATS_SQL,

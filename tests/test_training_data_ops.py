@@ -576,3 +576,30 @@ def test_cluster_split_no_leakage_and_shares(spark):
     splits = {r.split_unit: r.split for r in out if r.doc_id == r.split_unit}
     for r in clustered:
         assert r.split == splits[r.split_unit]
+
+
+def test_quality_calibrated_per_source_floor(spark):
+    """Source-balanced pruning contract: every source keeps ~(1 − keep_pct)
+    of its own docs (never gutted wholesale), the dropped docs are exactly
+    that source's lowest-quality ones, and percent_rank spans [0, 1]."""
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        QUALITY_KEEP_PCT,
+        q_quality_calibrated,
+    )
+
+    rows = q_quality_calibrated(spark, "/root/testdata/sf0.001").collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for source, rs in by_source.items():
+        n = len(rs)
+        kept = [r for r in rs if r.keep]
+        # percent_rank >= pct keeps ceil((1-pct)(n-1))+... ~ (1-pct) share
+        assert len(kept) >= (1 - QUALITY_KEEP_PCT) * n - 1, source
+        worst_kept = min(r.quality for r in kept)
+        for r in rs:
+            if not r.keep:
+                assert r.quality <= worst_kept, source
+        pcts = sorted(r.pct_in_source for r in rs)
+        assert pcts[0] == 0.0 and pcts[-1] == 1.0
