@@ -82,3 +82,61 @@ def salted_broadcast_join(
     ).withColumn(_SALT, F.col(_SALT).cast("bigint"))
     out = big_s.join(F.broadcast(small_r), [key, _SALT], how)
     return out.drop(_SALT)
+
+
+def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Pre-shuffle key-distribution audit: the check you run BEFORE
+    pointing a groupBy/join at a 100 TB table. Reports the ``top_k``
+    hottest key values with their row counts, corpus share, skew factor
+    (count ÷ mean-per-key — 1.0 means uniform) and the salt fan-out
+    :func:`salted_agg` would need to level that key.
+
+    Shape: one map-side-combining count by key (the same shuffle the
+    audited operation would pay, on slim rows), a global TakeOrdered
+    top-k on it, and a 1-row totals aggregate crossed back in-plan. The
+    totals leg re-executes the count lineage — in production persist
+    ``df.groupBy(key).count()`` once and audit the parquet; here the
+    audit IS the one-shot. Never collects the key space to the driver.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    sk = F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            "n_rows",
+            "n_keys",
+            F.round(F.lit(1e6) * F.col("cnt") / F.col("n_rows").cast("double"))
+            .cast("long")
+            .alias("share_e6"),
+            F.round(sk, 6).cast("decimal(18,6)").cast("double").alias("skew_x"),
+            F.ceil(sk).cast("int").alias("salt_rec"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+
+
+def skew_audit_sql(table: str, key_col: str, top_k: int = 5) -> str:
+    """DuckDB oracle twin of :func:`skew_audit` (same constants)."""
+    return f"""
+WITH counts AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM counts)
+SELECT key, cnt, t.n_rows, t.n_keys,
+  CAST(round(1000000.0 * cnt / CAST(t.n_rows AS DOUBLE)) AS BIGINT) AS share_e6,
+  CAST(CAST(round(cnt * t.n_keys / CAST(t.n_rows AS DOUBLE), 6)
+       AS DECIMAL(18,6)) AS DOUBLE) AS skew_x,
+  CAST(ceil(cnt * t.n_keys / CAST(t.n_rows AS DOUBLE)) AS INT) AS salt_rec
+FROM counts, tot t
+ORDER BY cnt DESC, key ASC
+LIMIT {top_k}
+"""

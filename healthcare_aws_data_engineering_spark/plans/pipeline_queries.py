@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators.dedup import word_shingles
+from ..operators.skew import skew_audit_sql
 from ..sources.tables import load_table
 
 SESSION_GAP_MS = 30 * 60 * 1000  # classic 30-minute inactivity gap
@@ -927,8 +928,18 @@ LIMIT {PATH_TOP_K}
 """
 
 
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key audit of the events table's user_id — the pre-shuffle
+    check for the sessionize/funnel/rollup family that all key on it
+    (operators/skew.py::skew_audit)."""
+    from ..operators.skew import skew_audit
+
+    return skew_audit(load_table(spark, sf_dir, "events"), "user_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
+    "skew_audit": q_skew_audit,
     "dist_summary": q_dist_summary,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -952,6 +963,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "time_rollup": _TIME_ROLLUP_SQL,
     "range_join": _RANGE_JOIN_SQL,
     "sessionize": _SESSIONIZE_SQL,
+    "skew_audit": skew_audit_sql("events", "user_id"),
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "split_assign": _SPLIT_ASSIGN_SQL,

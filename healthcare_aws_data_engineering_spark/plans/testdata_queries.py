@@ -1038,18 +1038,17 @@ _CHECK_FIRST = [
     "linear_trend", "first_last_delta", "pricing_summary",
     "revenue_by_nation", "text_stats", "doc_fingerprint", "dedup_exact",
     "media_features", "frame_sample",
-    # (2) NEW in r5 (never had a driver verdict) — positions 18-26
+    # (2) NEW in r5 (never had a driver verdict) — positions 18-27
     "ann_multiprobe_topk", "bpe_pair_counts", "rrf_fusion", "dup_ngrams",
     "dsir_select", "hard_negatives", "cluster_split", "zipf_slope",
-    "quality_calibrated",
-    # (3) most complex of the r3-green set — positions 27-50
+    "quality_calibrated", "skew_audit",
+    # (3) most complex of the r3-green set — positions 28-50
     "ppjoin_pairs", "semantic_dedup", "etl_obs_choice", "ann_pq_topk",
     "source_terms", "event_paths", "fuzzy_match", "span_dedup",
     "scd2_history", "cube_summary", "attribution", "rank_windows",
     "heavy_hitters", "quality_classifier", "int8_quantize",
     "curriculum_stages", "eval_draw", "drift_monitor", "k_anonymity",
     "cohort_retention", "rfm_segments", "debounce_events", "mix_weights",
-    "source_overlap",
 ]
 # r3-green queries displaced by the new-in-r5 additions above, then
 # the simplest r3-green set: next in line for the r6 prefix, so keep
@@ -1057,6 +1056,7 @@ _CHECK_FIRST = [
 _CHECK_NEXT = [
     "dataset_card", "nation_trade", "zscore_outliers", "revenue_share",
     "importance_sample", "shingle_novelty", "word_bigrams",
+    "source_overlap",
     "promo_revenue", "bracket_revenue",
     "dist_summary", "pii_redact", "doc_chunks", "json_props",
     "length_buckets", "shipping_priority", "order_priority",
