@@ -104,7 +104,14 @@ def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     tot = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    sk = F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double")
+    # cnt cast to double BEFORE the multiply: cnt * n_keys as long*long
+    # overflows int64 at ~1e10 rows x ~1e9 keys — exactly the scale the
+    # audit targets.
+    sk = (
+        F.col("cnt").cast("double")
+        * F.col("n_keys")
+        / F.col("n_rows").cast("double")
+    )
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -115,7 +122,9 @@ def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             F.round(F.lit(1e6) * F.col("cnt") / F.col("n_rows").cast("double"))
             .cast("long")
             .alias("share_e6"),
-            F.round(sk, 6).cast("decimal(18,6)").cast("double").alias("skew_x"),
+            # BIGINT micro-unit grid (not round(double, 6)): doubles never
+            # cross the oracle boundary, per the repo-wide grid recipe.
+            F.round(F.lit(1e6) * sk).cast("long").alias("skew_e6"),
             F.ceil(sk).cast("int").alias("salt_rec"),
         )
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
@@ -130,12 +139,12 @@ WITH counts AS (
   SELECT CAST({key_col} AS VARCHAR) AS key, COUNT(*) AS cnt
   FROM {table} GROUP BY 1
 ),
-tot AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM counts)
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts)
 SELECT key, cnt, t.n_rows, t.n_keys,
   CAST(round(1000000.0 * cnt / CAST(t.n_rows AS DOUBLE)) AS BIGINT) AS share_e6,
-  CAST(CAST(round(cnt * t.n_keys / CAST(t.n_rows AS DOUBLE), 6)
-       AS DECIMAL(18,6)) AS DOUBLE) AS skew_x,
-  CAST(ceil(cnt * t.n_keys / CAST(t.n_rows AS DOUBLE)) AS INT) AS salt_rec
+  CAST(round(1000000.0 * (CAST(cnt AS DOUBLE) * t.n_keys / CAST(t.n_rows AS DOUBLE)))
+       AS BIGINT) AS skew_e6,
+  CAST(ceil(CAST(cnt AS DOUBLE) * t.n_keys / CAST(t.n_rows AS DOUBLE)) AS INT) AS salt_rec
 FROM counts, tot t
 ORDER BY cnt DESC, key ASC
 LIMIT {top_k}

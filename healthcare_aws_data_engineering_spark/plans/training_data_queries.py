@@ -213,9 +213,12 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     clusters = G.dup_clusters(verified).select("doc_id", "cluster_id")
-    # pair-bounded cluster table vs corpus-sized docs: broadcast the
-    # small side of the left join at any scale
-    unit = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+    # No broadcast hint: the cluster table holds one row per document in
+    # any verified near-dup pair — at web-crawl dup rates (30%+ of docs)
+    # that is corpus-fraction-sized, and a forced broadcast OOMs every
+    # executor. AQE broadcasts it when it measures small and falls back
+    # to a shuffle join when it isn't.
+    unit = docs.join(clusters, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("split_unit")
     )
     return with_split(unit, group_col="split_unit").select(

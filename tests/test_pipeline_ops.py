@@ -543,7 +543,7 @@ def test_skew_audit_finds_hot_key(spark):
     """A fixture where one key holds half the rows: the audit must rank
     it first with ~500000 share_e6, a skew factor ≈ n_keys/2, and a salt
     recommendation that would actually level it; a uniform table must
-    report skew_x == 1.0 for every key."""
+    report skew_e6 == 1_000_000 (1.0x) for every key."""
     from pyspark.sql import functions as F
 
     from healthcare_aws_data_engineering_spark.operators.skew import skew_audit
@@ -557,7 +557,7 @@ def test_skew_audit_finds_hot_key(spark):
     assert top.key == "0" and top.cnt == 100
     assert top.n_rows == 200 and top.n_keys == 11
     assert top.share_e6 == 500000
-    assert top.skew_x == 5.5  # 100 / (200/11)
+    assert top.skew_e6 == 5_500_000  # 100 / (200/11) = 5.5x
     assert top.salt_rec == 6
     assert [r.cnt for r in out] == [100, 10, 10]
 
@@ -565,4 +565,4 @@ def test_skew_audit_finds_hot_key(spark):
         [(k, i) for k in range(8) for i in range(25)], "user_id long, x long"
     )
     for r in skew_audit(uni, "user_id", top_k=8).collect():
-        assert r.skew_x == 1.0 and r.salt_rec == 1
+        assert r.skew_e6 == 1_000_000 and r.salt_rec == 1

@@ -245,3 +245,17 @@ def test_ann_multiprobe_query_side_fanout_only(spark):
     # posexplode both legs share
     n_generate = len(re.findall(r"[+:]- Generate ", tree))
     assert n_generate == 3, tree  # corpus posexplode + query posexplode + query probe explode
+
+
+def test_cluster_split_unpinned_cluster_join(spark):
+    """The docs <- dup-cluster left join must NOT pin a broadcast side:
+    the cluster-membership table is one row per document in any verified
+    near-dup pair — corpus-fraction-sized at web-crawl dup rates (30%+),
+    so a forced hint OOMs where AQE would demote to a shuffle join. The
+    compiled logical plan must carry no hint; whatever join strategy the
+    optimizer then picks at gate scale is fine."""
+    ext = _plan(spark, "cluster_split", mode="extended")
+    logical = ext.split("== Physical Plan ==")[0]
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
+        logical
+    )
