@@ -169,7 +169,8 @@ def dsir_sql(
     constants so the two engines can never drift."""
     return f"""
 WITH
-  w AS (SELECT doc_id, {target_col}, string_split(trim(text), ' ') AS ws
+  w AS (SELECT doc_id, {target_col},
+               string_split_regex(trim(text), '\\s+') AS ws
         FROM {table}),
   uni AS (
     SELECT doc_id, {target_col}, ws[i] AS f

@@ -597,7 +597,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZIPF_SLOPE_SQL = f"""
-WITH w AS (SELECT source, string_split(trim(text), ' ') AS ws FROM documents),
+WITH w AS (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
 toks AS (
   SELECT source, ws[i] AS w
   FROM w, unnest(generate_series(1, len(ws))) AS t(i)

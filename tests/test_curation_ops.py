@@ -535,3 +535,89 @@ def test_dsir_plan_broadcasts_ratio_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+_WS_ROWS = [
+    # consecutive spaces, tabs, newlines: the two engines must tokenize
+    # identically (both split on \s+), or features silently diverge
+    (1, "en", "alpha  beta\tgamma\ndelta  epsilon zeta", "web"),
+    (2, "en", "alpha gamma  epsilon\t\tbeta delta alpha", "web"),
+    (3, "en", "beta\n\ndelta zeta  alpha gamma epsilon", "web"),
+    (10, "fr", "alpha  beta\tgamma delta alpha beta\ngamma  delta alpha beta",
+     "web"),
+    (11, "fr", "zebre\tquux  blorp frim zap nolk zebre  quux\tblorp frim",
+     "books"),
+    (12, "de", "wolke berg\t fluss  tal stein moos wolke\nberg fluss tal",
+     "books"),
+]
+
+
+def test_dsir_oracle_agrees_on_messy_whitespace(spark):
+    """Regression pin for the r5 latent tokenizer gap: dsir_sql used to
+    split on a literal single space while dsir_select splits on \\s+ —
+    green on the single-spaced gate corpus, divergent on any document
+    with a double space / tab / newline. Both engines must now produce
+    identical features (and thus identical scores) on messy whitespace."""
+    import duckdb
+    import pandas as pd
+
+    from healthcare_aws_data_engineering_spark.operators.selection import (
+        dsir_select,
+        dsir_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(d, l, t) for d, l, t, _s in _WS_ROWS],
+        "doc_id long, lang string, text string",
+    )
+    got = dsir_select(df, k=3).collect()
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(d, l, t) for d, l, t, _s in _WS_ROWS],
+            columns=["doc_id", "lang", "text"],
+        ),
+    )
+    want = con.sql(dsir_sql("documents", k=3)).fetchall()
+    assert [r.doc_id for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert r.n_feats == w[1]
+        assert r.log_weight == pytest.approx(w[2], abs=1e-9)
+        assert r.dsir_score == pytest.approx(w[3], abs=1e-9)
+
+
+def test_zipf_oracle_agrees_on_messy_whitespace(spark, tmp_path):
+    """Same pin for the zipf_slope oracle (plans/corpus_queries.py): the
+    full driver query and its DuckDB oracle run on a messy-whitespace
+    documents table written to parquet, and must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
+        _ZIPF_SLOPE_SQL,
+        q_zipf_slope,
+    )
+
+    pdf = pd.DataFrame(
+        [(d, t, l, s, len(t)) for d, l, t, s in _WS_ROWS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.source: r for r in q_zipf_slope(spark, str(tmp_path)).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(_ZIPF_SLOPE_SQL).fetchall()
+    assert len(got) == len(want)
+    for src, n_terms, slope, intercept in want:
+        r = got[src]
+        assert r.n_terms == n_terms
+        assert r.zipf_slope == pytest.approx(slope, abs=1e-12)
+        assert r.zipf_intercept == pytest.approx(intercept, abs=1e-12)
