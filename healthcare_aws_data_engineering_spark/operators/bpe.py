@@ -108,11 +108,30 @@ def bpe_train(
     n_merges: int = 50,
     text_col: str = "text",
     min_count: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus: distributed word
     count → collected bounded frequency table → deterministic merge
-    learning (:func:`learn_merges`)."""
-    rows = word_counts(docs, text_col, min_count).collect()
+    learning (:func:`learn_merges`).
+
+    ``max_vocab`` bounds the driver collect: only the ``max_vocab`` most
+    frequent distinct words (ties broken lexicographically — a total
+    order, so the truncation is deterministic) reach the driver, as a
+    TakeOrdered top-k rather than a full sort. On web-scale text the
+    distinct-word table above ``min_count`` is hundreds of millions of
+    rows (typos, URLs, code); production trainers (SentencePiece, HF
+    tokenizers) train on a bounded/sampled vocabulary for the same
+    reason, and the frequency mass BPE merges actually draw on is
+    concentrated in the head, so a 1e6-word head is the standard
+    contract — not an approximation footnote. Pass ``max_vocab=None``
+    to collect the full ``>= min_count`` vocabulary (gate-scale only).
+    """
+    wc = word_counts(docs, text_col, min_count)
+    if max_vocab is not None:
+        # TakeOrderedAndProject: top-V by (count desc, word asc), never
+        # a full vocabulary sort or an unbounded collect
+        wc = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_vocab)
+    rows = wc.collect()
     return learn_merges({r["word"]: r["n"] for r in rows}, n_merges)
 
 

@@ -105,3 +105,20 @@ def test_bpe_lossless_property():
                 assert t in vocab, (t, merges)
 
     check()
+
+
+def test_bpe_train_vocab_cap(spark):
+    """The max_vocab driver-collect cap (100 TB contract): at gate scale
+    the default 1e6 cap is a no-op — merges identical to the uncapped
+    collect — and a small cap trains on exactly the deterministic top-V
+    head (count desc, word asc), matching the python model."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    uncapped = bpe_train(docs, n_merges=25, max_vocab=None)
+    assert bpe_train(docs, n_merges=25) == uncapped  # default cap no-op
+
+    head = sorted(
+        ((r["word"], r["n"]) for r in word_counts(docs, min_count=2).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:30]
+    want = learn_merges(dict(head), 25)
+    assert bpe_train(docs, n_merges=25, max_vocab=30) == want
