@@ -113,14 +113,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _bucket_cap(banded: DataFrame, key_col: str, max_bucket: int) -> DataFrame:
-    """Keep rows whose (band, key) bucket has 2..max_bucket members, via a
-    window count over the bucket shuffle (single subtree — see callers)."""
+def _bucket_cap(
+    banded: DataFrame, key_col: str, max_bucket: int, min_bucket: int = 2
+) -> DataFrame:
+    """Keep rows whose (band, key) bucket has min_bucket..max_bucket
+    members, via a window count over the bucket shuffle (single subtree —
+    see callers). The default ``min_bucket=2`` is a SELF-join
+    optimization (a singleton bucket cannot produce a within-corpus
+    pair); probe-against-index callers (``streaming.near_dup_stream``)
+    must pass ``min_bucket=1`` — there a stream doc legitimately matches
+    an index doc that is alone in its bucket."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("band", key_col)
     return banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
-        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+        (F.col("__n") >= min_bucket) & (F.col("__n") <= max_bucket)
     )
 
 

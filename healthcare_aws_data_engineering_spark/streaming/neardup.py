@@ -94,8 +94,14 @@ def near_dup_stream(
             )
         )
 
+    # min_bucket=1: the >=2 lower bound is a SELF-join optimization and
+    # would silently drop index docs that are bucket-singletons in every
+    # band — an exact clone of a unique corpus doc arriving on the
+    # stream must still be flagged. Only the upper cap (mega-bucket
+    # guard) applies to a probe-against-index join.
     idx = _bucket_cap(
-        staged(index_corpus, "index", []), "band_key", max_bucket
+        staged(index_corpus, "index", []), "band_key", max_bucket,
+        min_bucket=1,
     ).select("band", "band_key", "index_id", "index_q", "index_n2")
     probe = staged(stream, "doc", [ts_col])
 

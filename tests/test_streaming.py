@@ -375,6 +375,82 @@ def test_near_dup_stream_equals_batch_and_finds_clones(spark, tmp_path):
         assert got[(vid + 50_000, vid)] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_near_dup_stream_flags_clones_of_singleton_index_docs(spark):
+    """Regression pin for the r5 advisor finding: _bucket_cap's >=2
+    lower bound is a self-join optimization; applied to the INDEX side
+    of the stream-static probe it silently made every bucket-singleton
+    index doc unmatchable — an exact clone of a unique corpus doc
+    arriving on the stream was never flagged. Wide geometry (16 planes,
+    1 band -> 65k buckets for 40 docs) forces near-all index docs to be
+    singletons; every clone must still be flagged, and the stream hits
+    must equal embedding_near_dup over the union of index+incoming
+    restricted to (incoming x index) pairs (identical pinned geometry)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        embedding_near_dup,
+        rademacher_planes,
+    )
+    from healthcare_aws_data_engineering_spark.streaming.neardup import (
+        near_dup_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    index = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    pm = rademacher_planes(16, 64)
+    ts0 = datetime.datetime(2025, 6, 1)
+    incoming = (
+        index.select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+        .withColumn("ts", F.lit(ts0).cast("timestamp"))
+    )
+
+    # singletons really are the regime under this geometry
+    from healthcare_aws_data_engineering_spark.operators.dedup import _bucket_cap
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        band_keys_from_chunks,
+        quantize_vec,
+        sig_chunks_q,
+    )
+
+    banded = index.select(
+        F.col("vec_id"),
+        F.posexplode(
+            band_keys_from_chunks(
+                sig_chunks_q(quantize_vec(F.col("embedding")), pm, 16), 16, 1
+            )
+        ).alias("band", "band_key"),
+    )
+    survivors = _bucket_cap(banded, "band_key", 200).count()
+    assert survivors < 10, "fixture lost its singleton-heavy regime"
+
+    got = {
+        (r.doc_id, r.index_id): r.cosine
+        for r in near_dup_stream(
+            incoming, index, threshold=0.99, plane_matrix=pm, bands=1
+        ).collect()
+    }
+    # every clone of every index doc — singleton-bucket or not — is hit
+    for vid in [r.vec_id for r in index.collect()]:
+        assert (vid + 50_000, vid) in got, vid
+        assert got[(vid + 50_000, vid)] == pytest.approx(1.0, abs=1e-9)
+
+    union = index.unionByName(incoming.drop("ts"))
+    cross = {
+        (r.doc_b, r.doc_a): r.cosine
+        for r in embedding_near_dup(
+            union, threshold=0.99, plane_matrix=pm, bands=1
+        ).collect()
+        if r.doc_b >= 50_000 and r.doc_a < 50_000
+    }
+    assert got == cross
+
+
 def test_windowed_counts_drops_late_rows(spark, tmp_path):
     """The bounded-state trade the windows.py docstring claims, pinned:
     once a window is finalized (watermark passed its end), a late row for
