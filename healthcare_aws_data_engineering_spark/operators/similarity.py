@@ -354,6 +354,9 @@ def width_for(n_rows: int, target_bucket: int = 200) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+_MAX_BANDS = 512
+
+
 def bands_for(
     width: int,
     design_cos: float = 0.9,
@@ -379,7 +382,18 @@ def bands_for(
     ``hamming1=True`` models a Hamming-1 multi-probe reader
     (:func:`lsh_topk` ``multiprobe``): per-band hit probability becomes
     ``p^w + w·p^{w−1}(1−p)`` (exact key OR any single flipped bit), so
-    far fewer bands reach the same recall — probes replace index."""
+    far fewer bands reach the same recall — probes replace index.
+
+    ``max_bands`` makes degenerate design points fail LOUDLY: a weak
+    ``design_cos`` at a corpus-derived width (e.g. 0.5 at width 26 ⇒
+    per-band ≈ 1.5e-8) would otherwise return tens of millions of
+    bands, and :func:`derive_index` would then materialize a
+    bands×width × dim literal plane matrix on the driver — an OOM/plan
+    blowup with no warning. Realistic near-dup designs stay well under
+    100 bands (0.9 at width 26 → 26); past ``max_bands`` the honest
+    answers are a Hamming-1 multi-probe reader, a higher design_cos, or
+    an exact method (:func:`cosine_topk` / PPJoin), so raise instead of
+    silently clamping recall."""
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, design_cos))) / math.pi
@@ -390,12 +404,23 @@ def bands_for(
         return 1
     if per_band <= 0.0:
         raise ValueError("degenerate design_cos: per-band probability 0")
-    return max(
+    bands = max(
         1,
         math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - per_band)
         ),
     )
+    if bands > _MAX_BANDS:
+        raise ValueError(
+            f"bands_for(width={width}, design_cos={design_cos}, "
+            f"target_recall={target_recall}) needs {bands} bands "
+            f"(per-band collision {per_band:.3g}) — over the "
+            f"{_MAX_BANDS}-band guard. LSH is being used far below its "
+            "design similarity: raise design_cos, use a Hamming-1 "
+            "multi-probe reader (hamming1=True), or switch to an exact "
+            "method (cosine_topk / PPJoin)."
+        )
+    return bands
 
 
 def derive_index(

@@ -189,9 +189,14 @@ def test_bands_for_monotone_and_endpoints():
     assert bands_for(7, 0.9, 0.95) >= bands_for(7, 0.9, 0.8)
     # weaker design similarity needs more bands at equal width
     assert bands_for(7, 0.5, 0.8) > bands_for(7, 0.9, 0.8)
-    # the resulting geometry actually delivers the designed recall
+    # the resulting geometry actually delivers the designed recall;
+    # design points past the _MAX_BANDS guard raise instead (0.5 at
+    # width 26 would need ~61k bands — see
+    # test_bands_for_degenerate_design_fails_loudly)
     for w in (4, 9, 26):
         for cos_d in (0.5, 0.9):
+            if cos_d == 0.5 and w == 26:
+                continue
             b = bands_for(w, cos_d, 0.8)
             p = 1 - math.acos(cos_d) / math.pi
             assert 1 - (1 - p**w) ** b >= 0.8
@@ -261,6 +266,8 @@ def test_bands_for_hamming1_needs_fewer_bands():
 
     for w in (4, 7, 9, 26):
         for cos_d in (0.5, 0.9):
+            if cos_d == 0.5 and w == 26:
+                continue  # past the _MAX_BANDS guard even probed: raises
             plain = bands_for(w, cos_d, 0.8)
             probed = bands_for(w, cos_d, 0.8, hamming1=True)
             assert probed <= plain
@@ -400,3 +407,24 @@ def test_ivf_topk_derived_cells(spark):
         assert got[r["vec_id"]] == r["vec_id"] + 10_000
     # target_cell drives the derived count
     assert cells_for(45, 10) == 5
+
+
+def test_bands_for_degenerate_design_fails_loudly():
+    """r5 advisor pin: a weak design_cos at a corpus-derived width
+    (0.5 at width 26 -> per-band ~1.5e-8 -> tens of millions of bands)
+    must raise, not hand derive_index a million-row plane matrix to
+    materialize on the driver. Realistic designs stay far under the
+    guard; hamming1 multi-probe rescues moderately weak ones."""
+    import pytest as _pytest
+
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        bands_for,
+    )
+
+    with _pytest.raises(ValueError, match="band guard"):
+        bands_for(26, design_cos=0.5)
+    # design-point sanity: the guard is far above every realistic design
+    assert bands_for(26, design_cos=0.9) <= 100
+    assert bands_for(9, design_cos=0.9) <= 10
+    # hamming1 multiprobe keeps moderately-weak designs under the guard
+    assert bands_for(12, design_cos=0.75, hamming1=True) <= 512
