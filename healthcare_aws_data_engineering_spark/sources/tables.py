@@ -93,10 +93,15 @@ def load_observations(spark: SparkSession, path: str) -> DataFrame:
     Contract (:data:`OBSERVATION_CONTRACT`): ``patient_id,
     code_display, value_quantity, effective_datetime``; extra columns
     pass through. Two optional columns are synthesized when absent —
-    ``observation_id`` (deterministic xxhash64 of the contract columns;
-    latest-per-key tiebreaks then stay reproducible across runs) and
-    ``value_string`` (NULL). Raises ``ValueError`` naming any missing
-    contract column rather than failing deep inside a report plan.
+    ``observation_id`` (deterministic xxhash64 of the contract columns
+    plus a within-duplicate-group sequence number, so genuinely
+    duplicate measurement rows — same patient, analyte, value,
+    timestamp, routine in real exports — still get DISTINCT ids and
+    downstream latest-per-key/dedup logic never silently collapses
+    them; latest-per-key tiebreaks stay reproducible across runs
+    because identical rows are interchangeable) and ``value_string``
+    (NULL). Raises ``ValueError`` naming any missing contract column
+    rather than failing deep inside a report plan.
     """
     df = spark.read.parquet(path)
     missing = [c for c in OBSERVATION_CONTRACT if c not in df.columns]
@@ -106,9 +111,19 @@ def load_observations(spark: SparkSession, path: str) -> DataFrame:
             f"column(s) {missing}; contract: {dict(OBSERVATION_CONTRACT)}"
         )
     if "observation_id" not in df.columns:
+        from pyspark.sql import Window as W
+
+        contract = [F.col(c).cast("string") for c in OBSERVATION_CONTRACT]
+        # one keyed shuffle (only on this synthesize-ids path): duplicate
+        # contract rows are numbered within their group, so the id hash is
+        # unique per ROW, not per distinct value tuple. NOT
+        # monotonically_increasing_id — that would make every id depend on
+        # partition layout and break cross-run reproducibility.
+        seq = F.row_number().over(
+            W.partitionBy(*contract).orderBy(F.lit(1))
+        )
         df = df.withColumn(
-            "observation_id",
-            F.xxhash64(*[F.col(c).cast("string") for c in OBSERVATION_CONTRACT]),
+            "observation_id", F.xxhash64(*contract, seq.cast("string"))
         )
     if "value_string" not in df.columns:
         df = df.withColumn("value_string", F.lit(None).cast("string"))

@@ -68,8 +68,30 @@ def test_load_observations_synthesizes_stable_ids(spark, tmp_path):
     a = sorted(r["observation_id"] for r in load_observations(spark, path).collect())
     b = sorted(r["observation_id"] for r in load_observations(spark, path).collect())
     assert a == b  # deterministic across reads
+    assert len(set(a)) == len(a)  # unique per row
     obs = load_observations(spark, path)
     assert "value_string" in obs.columns
+
+
+def test_load_observations_duplicate_rows_get_distinct_ids(spark, tmp_path):
+    """r5 advisor pin: genuinely duplicate measurement rows (same
+    patient, analyte, value, timestamp — routine in real exports) must
+    get DISTINCT synthesized ids, deterministically across reads, or
+    downstream latest-per-key/dedup keyed on observation_id silently
+    collapses them."""
+    ts = datetime.datetime(2025, 3, 1)
+    rows = [(1, "hdl", "55.0", ts)] * 3 + [(2, "hdl", "41.0", ts)]
+    df = spark.createDataFrame(
+        rows,
+        "patient_id long, code_display string, value_quantity string, "
+        "effective_datetime timestamp",
+    )
+    out = str(tmp_path / "dup_obs")
+    df.write.parquet(out)
+    a = sorted(r["observation_id"] for r in load_observations(spark, out).collect())
+    assert len(set(a)) == 4  # all four rows distinct, dup triple included
+    b = sorted(r["observation_id"] for r in load_observations(spark, out).collect())
+    assert a == b  # reproducible across runs
 
 
 def test_load_observations_respects_existing_id(spark, tmp_path):
