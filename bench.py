@@ -20,6 +20,42 @@ from healthcare_aws_data_engineering_spark.session import get_spark
 
 RUNS = 3
 
+# Ambient-contamination signature (r5 verdict ask #4, measured in
+# BASELINE.md r5 notes): machine load inflates SUB-SECOND rows past 2x
+# of their baselines UNIFORMLY while the suite total stays near 1x.
+# When more than AMBIENT_MAX_OVER rows read over the per-query 2x gate
+# while the suite total is under AMBIENT_TOTAL_OK x of the accrued
+# baseline, the capture is noise, not regression: re-measure the
+# flagged rows (fresh median of RUNS) up to AMBIENT_RETRIES times, and
+# if rows remain over-gate under the same signature, self-declare the
+# capture with "ambient_contaminated": true instead of shipping numbers
+# that look like regressions.
+AMBIENT_MAX_OVER = 2
+AMBIENT_TOTAL_OK = 1.1
+AMBIENT_RETRIES = 2
+
+
+def _baselines() -> dict[str, float]:
+    """Per-query accrued baselines parsed from BASELINE.md's protocol
+    tables (rows `| name | 0.1 | sec |`; suite-total rows don't match
+    the name pattern). Queries without a row yet (added this round) are
+    simply not gated."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BASELINE.md")) as f:
+            for line in f:
+                m = re.match(
+                    r"\|\s*([a-z0-9_]+)\s*\|\s*0\.1\s*\|\s*([\d.]+)\s*\|", line
+                )
+                if m:
+                    out[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return out
+
 
 def _last_verified_rounds() -> dict[str, int | None]:
     """Per registry query, the latest round N whose CORRECTNESS_r{N}.json
@@ -106,6 +142,44 @@ def main() -> None:
         # them, whose timed runs have already finished.
         spark.catalog.clearCache()
 
+    # Gate-clean capture discipline: under the uniform-inflation
+    # signature, re-measure over-gate rows instead of recording noise.
+    base = _baselines()
+    gated = [n for n in QUERIES if n in base]
+
+    def _over_gate(t: dict[str, float]) -> list[str]:
+        return [n for n in gated if t[n] > 2.0 * base[n]]
+
+    def _total_ratio(t: dict[str, float]) -> float:
+        b = sum(base[n] for n in gated)
+        return (sum(t[n] for n in gated) / b) if b else 0.0
+
+    ambient = False
+    for _attempt in range(AMBIENT_RETRIES):
+        flagged = _over_gate(timings)
+        if len(flagged) <= AMBIENT_MAX_OVER or _total_ratio(timings) >= AMBIENT_TOTAL_OK:
+            break
+        print(
+            f"# ambient signature: {len(flagged)} rows over 2x at suite "
+            f"ratio {_total_ratio(timings):.2f} — re-measuring {flagged}",
+            file=sys.stderr,
+        )
+        for name in flagged:
+            fn = QUERIES[name]
+            fn(spark, sf_dir).collect()
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+            spark.catalog.clearCache()
+    else:
+        ambient = (
+            len(_over_gate(timings)) > AMBIENT_MAX_OVER
+            and _total_ratio(timings) < AMBIENT_TOTAL_OK
+        )
+
     # suite total = driver-registry queries only (comparable to BASELINE)
     total = round(sum(timings[n] for n in QUERIES), 4)
     payload = {
@@ -114,6 +188,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # capture-quality telemetry: per-query rows over the 2x accrued
+        # baseline gate, suite ratio vs accrued baseline, and whether
+        # the uniform-inflation signature persisted through retries
+        "over_gate": _over_gate(timings),
+        "vs_baseline": round(_total_ratio(timings), 4),
+        "ambient_contaminated": ambient,
         # oracle-freshness telemetry (r4 verdict ask #6): per query, the
         # latest round whose driver CORRECTNESS file has a green verdict
         # for it — makes verdict starvation self-reporting instead of a

@@ -937,9 +937,55 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_audit(load_table(spark, sf_dir, "events"), "user_id")
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit→remedy closed loop (r5 verdict ask #7): run
+    :func:`operators.skew.skew_audit` on ``events.user_id``, take the
+    recommended salt fan-out for the hottest key (a 1-row bounded
+    driver collect — same class as the CC convergence scalars), and
+    aggregate with :func:`operators.skew.salted_agg` at that fan-out.
+    The oracle is the NAIVE single-stage GROUP BY: the two-stage salted
+    plan is required to be result-identical at whatever salt the audit
+    recommends, which is exactly the property that makes salting a safe
+    remedy at 100 TB. Decimal-sum pattern on the double column (module
+    docstring of plans/testdata_queries.py)."""
+    from ..operators.skew import salted_agg, skew_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    rec = skew_audit(ev, "user_id", top_k=1).collect()[0]
+    salt = max(2, rec["salt_rec"])
+    staged = ev.select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = salted_agg(
+        staged,
+        ["user_id"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_value": (F.sum("v"), F.sum("sum_value")),
+            "max_value": (F.max("v"), F.max("max_value")),
+        },
+        salt_buckets=salt,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "skew_audit": q_skew_audit,
+    "salted_agg": q_salted_agg,
     "dist_summary": q_dist_summary,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -964,6 +1010,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "range_join": _RANGE_JOIN_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "skew_audit": skew_audit_sql("events", "user_id"),
+    "salted_agg": _SALTED_AGG_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "split_assign": _SPLIT_ASSIGN_SQL,

@@ -1018,49 +1018,48 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r5 rotation (r4 verdict ask #1): after r4,
-# verdict freshness is r4×50 / r3×43 / r1-r2×17 — so the checked prefix
-# is now
-#   1. the 17 queries whose latest driver verdict is r1/r2 (the former
-#      _CHECK_LAST set — 3+ rounds stale after this round otherwise;
-#      includes text_stats, the bench watch item);
-#   2. the 33 most complex of the 43 r3-green queries (complex first:
-#      multi-operator pipelines, LSH/ANN, windows over CUBE, fuzzy
-#      blocking — a simple filter regressing silently is less likely
-#      and cheaper to diagnose than ppjoin or semantic_dedup).
-# _CHECK_LAST holds the 10 simplest r3-green queries (plain filters /
-# single aggs, definitions unchanged since r3) ahead of the 50 r4-fresh
-# ones in the middle — so they are first in line for the r6 prefix.
+# most need a fresh verdict. r6 rotation (r5 verdict ask #2): after r5,
+# verdict freshness is r5×49 / r4×50 / r3×20 (skew_audit red) — so the
+# checked prefix is now
+#   1. the 20 queries whose latest driver verdict is r3 (3 rounds stale
+#      after r6 otherwise — the whole of r5's _CHECK_NEXT);
+#   2. the queries changed or added THIS round: skew_audit (oracle
+#      HUGEINT fix — the board's only red, must go green), dsir_select
+#      and zipf_slope (oracle tokenizer fix), cluster_split (broadcast
+#      hint removed), salted_agg (new audit→remedy query);
+#   3. the 25 most complex r4-green queries (complex first per the r5
+#      verdict: ML chain, reports, dedup/CC/ANN pipelines, etl_*).
+# _CHECK_NEXT holds the remaining 25 r4-green queries — first in line
+# for the r7 prefix, so no entry's verdict goes 3 rounds stale.
 _CHECK_FIRST = [
-    # (1) latest verdict r1/r2 — positions 1-17
-    "filtered_count", "between_filter", "isin_filter", "keyed_dedup",
-    "frequency_count", "latest_per_key", "daily_latest", "top3_per_group",
-    "linear_trend", "first_last_delta", "pricing_summary",
-    "revenue_by_nation", "text_stats", "doc_fingerprint", "dedup_exact",
-    "media_features", "frame_sample",
-    # (2) NEW in r5 (never had a driver verdict) — positions 18-27
-    "ann_multiprobe_topk", "bpe_pair_counts", "rrf_fusion", "dup_ngrams",
-    "dsir_select", "hard_negatives", "cluster_split", "zipf_slope",
-    "quality_calibrated", "skew_audit",
-    # (3) most complex of the r3-green set — positions 28-50
-    "ppjoin_pairs", "semantic_dedup", "etl_obs_choice", "ann_pq_topk",
-    "source_terms", "event_paths", "fuzzy_match", "span_dedup",
-    "scd2_history", "cube_summary", "attribution", "rank_windows",
-    "heavy_hitters", "quality_classifier", "int8_quantize",
-    "curriculum_stages", "eval_draw", "drift_monitor", "k_anonymity",
-    "cohort_retention", "rfm_segments", "debounce_events", "mix_weights",
-]
-# r3-green queries displaced by the new-in-r5 additions above, then
-# the simplest r3-green set: next in line for the r6 prefix, so keep
-# them right behind the checked 50 (ahead of the r4-fresh middle).
-_CHECK_NEXT = [
+    # (1) latest verdict r3 — positions 1-20
     "dataset_card", "nation_trade", "zscore_outliers", "revenue_share",
     "importance_sample", "shingle_novelty", "word_bigrams",
-    "source_overlap",
-    "promo_revenue", "bracket_revenue",
+    "source_overlap", "promo_revenue", "bracket_revenue",
     "dist_summary", "pii_redact", "doc_chunks", "json_props",
     "length_buckets", "shipping_priority", "order_priority",
     "returned_items", "large_orders", "dormant_customers",
+    # (2) changed/added in r6 — positions 21-25
+    "skew_audit", "dsir_select", "zipf_slope", "cluster_split",
+    "salted_agg",
+    # (3) most complex of the r4-green set — positions 26-50
+    "ml_risk_scores", "ml_preprocess", "report_cvd", "report_prediabetes",
+    "dup_clusters", "graph_pagerank", "corpus_curation", "knn_graph",
+    "dedup_minhash_lsh", "etl_patients", "etl_observations",
+    "etl_encounters", "etl_conditions", "embedding_near_dup",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_cosine_topk", "wellness_monthly",
+    "ml_features", "incremental_dedup", "forecast", "sessionize",
+    "semi_anti_join", "set_ops", "severity_topk",
+]
+# the 25 r4-green queries not in the prefix: next in line for r7.
+_CHECK_NEXT = [
+    "asof_join", "basket_pairs", "bm25_search", "decontaminate",
+    "dedup_simhash", "disease_confidence", "distinct_sketch", "funnel",
+    "gap_fill", "height_weight_bmi", "hist_quantiles", "lm_score",
+    "media_stats", "ngram_jaccard", "pack_sequences", "profile_columns",
+    "range_join", "repetition_filter", "rolling_avg", "shard_manifest",
+    "split_assign", "stratified_sample", "time_rollup", "unpivot_wide",
+    "vocab_topk",
 ]
 _CHECK_LAST: list[str] = []
 
