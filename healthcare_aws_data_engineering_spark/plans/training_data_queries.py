@@ -196,6 +196,59 @@ FROM cc
 """
 
 
+def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, every document
+    gets loss weight 1/|cluster| so each near-dup cluster contributes
+    exactly one document's worth of gradient (docs with no verified dup
+    keep weight 1.0). The down-weight alternative to `dup_clusters`'
+    keeper selection — used when duplicates carry signal you don't want
+    to zero out entirely.
+
+    Scale shape: same pair-bounded LSH→Jaccard→CC chain as dup_clusters,
+    then one LEFT join of the corpus against the cluster table — UNHINTED
+    (the cluster table is corpus-fraction-sized at web-crawl dup rates;
+    AQE broadcasts it only when it is actually small — the
+    `cluster_split` r6 lesson). Output: ``doc_id, cluster_id,
+    n_near_dups, weight`` with sum(weight) == 1.0 per cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
+    )
+    verified = (
+        D.ngram_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    clusters = G.dup_clusters(verified).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("n_near_dups"),
+            (F.lit(1.0) / F.coalesce("cluster_size", F.lit(1))).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+_DEDUP_WEIGHTED_SQL = f"""
+{_DUP_CC_CTES},
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM cc GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+  COALESCE(sz.n, 1) AS n_near_dups,
+  CAST(1.0 AS DOUBLE) / COALESCE(sz.n, 1) AS weight
+FROM documents d
+LEFT JOIN cc ON cc.node = d.doc_id
+LEFT JOIN sz ON sz.cluster_id = cc.cluster_id
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split UNIT is the near-dup
     cluster, not the document — a near-duplicate of a training document
@@ -921,6 +974,148 @@ FROM r
 """
 
 
+# ---------------------------------------------------------- domain_cap --
+# Absolute per-source document cap (the FineWeb/Gopher "domain cap"
+# curation pass): no single domain may contribute more than DOMAIN_CAP
+# documents, and the ones it does contribute are its best by quality.
+# Complements quality_calibrated (a per-source FRACTION) — the cap is
+# what stops a single mega-domain (blogspot.com-class) from dominating
+# the mixture no matter how good its percentile profile looks.
+DOMAIN_CAP = 15
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rank + absolute cap: ``doc_id, source, quality,
+    rk, src_total, keep`` where keep = rank ≤ DOMAIN_CAP by (quality
+    DESC, doc_id ASC).
+
+    Scale shape: ONE shuffle by source; rank + count share the same
+    window exchange. Per-domain partitions can be huge on web crawls —
+    the same honest per-source sort `quality_calibrated` pays; if a
+    single domain outgrows an executor, pre-filter with a per-source
+    approx-quantile threshold at CAP/n_source_docs to shrink the sorted
+    set, then rank exactly inside the survivors (same keep semantics)."""
+    from pyspark.sql import Window as _W
+
+    stats = T.text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "quality"
+    )
+    w = _W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    rk = F.row_number().over(w)
+    return stats.select(
+        "doc_id",
+        "source",
+        "quality",
+        rk.alias("rk"),
+        F.count(F.lit(1)).over(_W.partitionBy("source")).alias("src_total"),
+        (rk <= DOMAIN_CAP).alias("keep"),
+    )
+
+
+_DOMAIN_CAP_SQL = rf"""
+WITH {_TEXT_STATS_CTES},
+q AS (
+  SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality FROM d
+)
+SELECT doc_id, source, quality,
+  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY quality DESC, doc_id ASC) AS INT) AS rk,
+  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+  ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY quality DESC, doc_id ASC) <= {DOMAIN_CAP} AS keep
+FROM q
+"""
+
+
+# ---------------------------------------------------- token_budget_fill --
+# Token-budget selection: keep documents in quality order until the
+# running token total crosses a budget (here NUM/DEN = half the corpus's
+# tokens, so the query is meaningful at every SF). The integer-ratio
+# comparison cum*DEN <= total*NUM keeps the keep decision exact on both
+# engines — no double threshold.
+TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 1, 2
+N_QUALITY_BUCKETS = 256
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global prefix-sum WITHOUT a global single-partition window — the
+    scale trap in the naive `SUM() OVER (ORDER BY ...)` form is that
+    Spark executes an unpartitioned window on one task. Two-phase
+    instead: (1) coarse quality buckets (floor(quality·B), monotone in
+    the sort key) aggregate to a ≤B-row table whose window pass is
+    bounded by B, not the corpus; (2) each doc's exact cum_tokens =
+    its bucket's prefix (broadcast join) + a within-bucket running sum
+    (window partitioned by bucket, ~1/B of the corpus per partition;
+    grow B with the corpus, or recurse, to bound partition size).
+    Output: ``doc_id, quality, n_tokens, cum_tokens, keep`` — identical
+    to the naive global window (test-pinned)."""
+    from pyspark.sql import Window as _W
+
+    stats = T.text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    staged = stats.withColumn(
+        "__b",
+        F.least(
+            F.floor(F.col("quality") * N_QUALITY_BUCKETS),
+            F.lit(N_QUALITY_BUCKETS - 1),
+        ).cast("int"),
+    )
+    per_bucket = staged.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    # ≤B rows: the unpartitioned window here is bounded by the bucket
+    # count, never the corpus.
+    w_all = _W.orderBy(F.col("__b").desc())
+    prefixed = per_bucket.select(
+        "__b",
+        F.coalesce(
+            F.sum("__bt").over(w_all.rowsBetween(_W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prefix"),
+        F.sum("__bt")
+        .over(w_all.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+        .alias("__total"),
+    )
+    w_in = (
+        _W.partitionBy("__b")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = F.col("__prefix") + F.sum("n_tokens").over(w_in)
+    return (
+        staged.join(F.broadcast(prefixed), "__b")
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            (
+                cum * TOKEN_BUDGET_DEN <= F.col("__total") * TOKEN_BUDGET_NUM
+            ).alias("keep"),
+        )
+    )
+
+
+_TOKEN_BUDGET_SQL = rf"""
+WITH {_TEXT_STATS_CTES},
+q AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality, n_tokens FROM d
+),
+c AS (
+  SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM q
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM q)
+SELECT c.doc_id, c.quality, c.n_tokens, c.cum_tokens,
+  (c.cum_tokens * {TOKEN_BUDGET_DEN} <= t.total * {TOKEN_BUDGET_NUM}) AS keep
+FROM c, t
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact (normalized md5) + winnowing-style
     rolling minimum over 16-char grams."""
@@ -1145,6 +1340,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
+    "dedup_weighted": q_dedup_weighted,
     "cluster_split": q_cluster_split,
     "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
@@ -1158,6 +1354,8 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
     "quality_calibrated": q_quality_calibrated,
+    "domain_cap": q_domain_cap,
+    "token_budget_fill": q_token_budget_fill,
     "doc_fingerprint": q_doc_fingerprint,
     "severity_topk": q_severity_topk,
     "media_stats": q_media_stats,
@@ -1170,6 +1368,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dup_clusters": _DUP_CLUSTERS_SQL,
+    "dedup_weighted": _DEDUP_WEIGHTED_SQL,
     "cluster_split": _CLUSTER_SPLIT_SQL,
     "corpus_curation": _CORPUS_CURATION_SQL,
     "dedup_simhash": _simhash_sql(),
@@ -1183,6 +1382,8 @@ TRAINING_ORACLE: dict[str, str] = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "quality_calibrated": _QUALITY_CALIBRATED_SQL,
+    "domain_cap": _DOMAIN_CAP_SQL,
+    "token_budget_fill": _TOKEN_BUDGET_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "severity_topk": _severity_sql(),
     "media_stats": _MEDIA_STATS_SQL,

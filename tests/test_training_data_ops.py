@@ -603,3 +603,125 @@ def test_quality_calibrated_per_source_floor(spark):
                 assert r.quality <= worst_kept, source
         pcts = sorted(r.pct_in_source for r in rs)
         assert pcts[0] == 0.0 and pcts[-1] == 1.0
+
+
+# ------------------------------------------- r6: cap / budget / soft dedup --
+
+
+def test_domain_cap_keeps_top_cap_per_source(spark):
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        DOMAIN_CAP,
+        q_domain_cap,
+    )
+
+    rows = q_domain_cap(spark, "/root/testdata/sf0.001").collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for source, rs in by_source.items():
+        # rk is a dense 1..n permutation consistent with (quality desc, id)
+        order = sorted(rs, key=lambda r: (-r.quality, r.doc_id))
+        assert [r.rk for r in order] == list(range(1, len(rs) + 1)), source
+        assert all(r.src_total == len(rs) for r in rs), source
+        kept = {r.doc_id for r in rs if r.keep}
+        expected = {r.doc_id for r in order[:DOMAIN_CAP]}
+        assert kept == expected, source
+
+
+def test_token_budget_fill_matches_naive_global_window(spark):
+    """The bucketed two-phase prefix sum must be value-identical to the
+    naive single-partition global window it replaces at scale."""
+    from pyspark.sql import Window
+
+    from healthcare_aws_data_engineering_spark.operators import text as TT
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        TOKEN_BUDGET_DEN,
+        TOKEN_BUDGET_NUM,
+        q_token_budget_fill,
+        _docs as _load_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in q_token_budget_fill(spark, sf).collect()}
+
+    stats = TT.text_stats(_load_docs(spark, sf)).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = stats.select(
+        "doc_id", F.sum("n_tokens").over(w).alias("cum_tokens")
+    ).collect()
+    total = sum(r.n_tokens for r in stats.collect())
+
+    assert len(got) == len(naive)
+    for r in naive:
+        g = got[r.doc_id]
+        assert g.cum_tokens == r.cum_tokens, r.doc_id
+        assert g.keep == (
+            r.cum_tokens * TOKEN_BUDGET_DEN <= total * TOKEN_BUDGET_NUM
+        ), r.doc_id
+    # the keep set is a non-trivial prefix at this SF
+    n_kept = sum(1 for g in got.values() if g.keep)
+    assert 0 < n_kept < len(got)
+
+
+def test_token_budget_fill_single_bucket_degenerate(spark):
+    """All-equal quality collapses every doc into ONE bucket — the
+    within-bucket window then IS the global window; cum must still be
+    exact and keep a clean prefix by doc_id."""
+    from healthcare_aws_data_engineering_spark.plans import (
+        training_data_queries as tdq,
+    )
+
+    # identical text => identical quality for every doc
+    docs = _docs(spark, [(i, "same words in every doc here") for i in range(10)])
+    import unittest.mock as mock
+
+    with mock.patch.object(tdq, "_docs", lambda s, d: docs):
+        rows = sorted(
+            tdq.q_token_budget_fill(spark, "ignored").collect(),
+            key=lambda r: r.doc_id,
+        )
+    tok = rows[0].n_tokens
+    total = tok * len(rows)
+    for i, r in enumerate(rows):
+        assert r.cum_tokens == tok * (i + 1)
+        assert r.keep == (r.cum_tokens * 2 <= total)
+
+
+def test_dedup_weighted_cluster_mass_is_one(spark):
+    """Every near-dup cluster contributes exactly 1.0 total weight; docs
+    without a verified dup keep weight 1.0; every doc appears once."""
+    import duckdb
+
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        q_dedup_weighted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_dedup_weighted(spark, sf).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        assert r.weight == 1.0 / r.n_near_dups
+    multi = 0
+    for cid, rs in by_cluster.items():
+        if len(rs) > 1:
+            multi += 1
+            assert all(r.n_near_dups == len(rs) for r in rs)
+            assert abs(sum(r.weight for r in rs) - 1.0) < 1e-9, cid
+        else:
+            # singleton: either a true singleton (weight 1) or the lone
+            # locally-visible member of a cluster — at full-corpus scope
+            # n_near_dups==1 implies weight 1.0
+            assert rs[0].weight == 1.0 / rs[0].n_near_dups
+    assert multi > 0, "corpus should contain at least one near-dup cluster"
