@@ -259,3 +259,36 @@ def test_cluster_split_unpinned_cluster_join(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
         logical
     )
+
+
+def test_domain_cap_single_source_exchange(spark):
+    """Rank + per-source count must share ONE shuffle by source on top of
+    the projection-only text_stats scan — a second window exchange would
+    double-shuffle the corpus."""
+    plan = _plan(spark, "domain_cap")
+    assert _n_exchanges(plan) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_token_budget_fill_no_global_window_over_corpus(spark):
+    """The corpus-side window must be PARTITIONED (by the quality
+    bucket); the only unpartitioned window runs over the <=256-row
+    bucket table, and the bucket prefix table must arrive broadcast."""
+    plan = _plan(spark, "token_budget_fill")
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-side window's required distribution is a hash partition
+    # on the bucket key; the only SinglePartition exchange feeds the
+    # <=256-row bucket-prefix window.
+    assert "hashpartitioning(__b" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_dedup_weighted_unpinned_cluster_join(spark):
+    """Same contract as cluster_split: the corpus <- cluster-table left
+    join must carry no broadcast hint (cluster table is corpus-fraction-
+    sized at web-crawl dup rates; AQE decides)."""
+    ext = _plan(spark, "dedup_weighted", mode="extended")
+    logical = ext.split("== Physical Plan ==")[0]
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
+        logical
+    )
