@@ -12,7 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.decontam import decontaminate, decontaminate_sql
+from ..operators.decontam import (
+    bloom_decontaminate,
+    decontaminate,
+    decontaminate_sql,
+)
 from ..operators.ingest import (
     incremental_dedup,
     incremental_dedup_sql,
@@ -32,6 +36,15 @@ BM25_K = 25
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination: fixed-size bitset probe in-row on
+    the corpus side, exact verification join only over the candidate
+    fraction — result-identical to `decontaminate`, so it shares that
+    query's oracle verbatim (the strongest correctness statement a scale
+    variant can make)."""
+    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +397,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
+    "bloom_decontam": q_bloom_decontam,
     "bm25_search": q_bm25_search,
     "repetition_filter": q_repetition_filter,
     "incremental_dedup": q_incremental_dedup,
@@ -396,6 +410,9 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 CURATION_ORACLE: dict[str, str] = {
     "decontaminate": decontaminate_sql("documents"),
+    # identical semantics, different physical plan: the bloom path is
+    # pinned to the SAME oracle as the exact path.
+    "bloom_decontam": decontaminate_sql("documents"),
     "bm25_search": bm25_sql("documents", BM25_TERMS, k=BM25_K),
     "repetition_filter": _repetition_sql(),
     "incremental_dedup": incremental_dedup_sql("documents"),

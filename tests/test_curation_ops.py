@@ -621,3 +621,92 @@ def test_zipf_oracle_agrees_on_messy_whitespace(spark, tmp_path):
         assert r.n_terms == n_terms
         assert r.zipf_slope == pytest.approx(slope, abs=1e-12)
         assert r.zipf_intercept == pytest.approx(intercept, abs=1e-12)
+
+
+# ------------------------------------------------------- bloom_decontam --
+
+
+def test_bloom_geometry_textbook():
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        _bloom_geometry,
+    )
+
+    m, k = _bloom_geometry(1000, 0.01)
+    # m = -n ln p / ln2^2 ~ 9585 -> word-aligned; k = m/n * ln2 ~ 7
+    assert m % 64 == 0 and 9585 <= m <= 9664
+    assert k == 7
+    # degenerate n is clamped, never a zero-size filter
+    m0, k0 = _bloom_geometry(0, 0.01)
+    assert m0 >= 64 and k0 >= 1
+
+
+def test_bloom_bitset_has_no_false_negatives(spark):
+    """Every member of the build set must probe true — the property the
+    result-identity of bloom_decontaminate rests on."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        _bloom_geometry,
+        _might_contain,
+        bloom_bitset,
+    )
+
+    def members():
+        # fresh lineage each time: probing the SAME DataFrame the bitset
+        # was built from trips Spark's self-join attribute dedup
+        return spark.range(500).select(
+            F.concat(F.lit("shingle "), F.col("id")).alias("shingle")
+        )
+
+    m, k = _bloom_geometry(500, 0.01)
+    bs = bloom_bitset(members(), m, k)
+    probed = members().crossJoin(F.broadcast(bs)).select(
+        _might_contain(F.col("shingle"), F.col("bitset"), m, k).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_bitset_false_positive_rate_near_target(spark):
+    """Non-members must probe true at ~fpp, not wholesale — otherwise the
+    'pruned candidate fraction' claim is empty."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        _bloom_geometry,
+        _might_contain,
+        bloom_bitset,
+    )
+
+    members = spark.range(2000).select(
+        F.concat(F.lit("in "), F.col("id")).alias("shingle")
+    )
+    outsiders = spark.range(20000).select(
+        F.concat(F.lit("out "), F.col("id")).alias("shingle")
+    )
+    m, k = _bloom_geometry(2000, 0.01)
+    bs = bloom_bitset(members, m, k)
+    fp = (
+        outsiders.crossJoin(F.broadcast(bs))
+        .select(
+            _might_contain(F.col("shingle"), F.col("bitset"), m, k).alias("hit")
+        )
+        .filter("hit")
+        .count()
+    )
+    assert fp / 20000 < 0.03, fp  # target 0.01, generous margin
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The scale path and the exact path must be row-identical — same
+    statement the shared driver oracle makes, pinned in-suite."""
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, decontaminate(docs).collect()))
+    b = sorted(map(tuple, bloom_decontaminate(docs).collect()))
+    assert a == b
+    assert len(a) > 0
