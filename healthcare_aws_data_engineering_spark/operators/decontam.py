@@ -259,10 +259,10 @@ def decontaminate_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`decontaminate` (3-word shingles; same
     salted-md5 split, same LEFT-join/aggregate shape)."""
-    return f"""
+    return rf"""
 WITH
   w AS (
-    SELECT doc_id, string_split(trim(text), ' ') AS ws,
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
            CAST(('0x' || substr(md5('{DECON_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 100 AS bucket
     FROM {table}

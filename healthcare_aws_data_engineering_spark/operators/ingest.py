@@ -112,7 +112,7 @@ def incremental_dedup_sql(
     fp_sql = {
         "wordset": (
             "md5(array_to_string(list_sort(list_distinct("
-            "string_split(trim(text), ' '))), ' '))"
+            "string_split_regex(trim(text), '\s+'))), ' '))"
         ),
         "exact": (
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
@@ -179,13 +179,13 @@ def shard_manifest(
 
 def shard_manifest_sql(table: str, n_shards: int = N_SHARDS) -> str:
     """DuckDB oracle twin of :func:`shard_manifest`."""
-    return f"""
+    return rf"""
 SELECT CAST(('0x' || substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
             AS BIGINT) % {n_shards} AS shard,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc,
-       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        CAST(SUM(len(text)) AS BIGINT) AS total_chars
 FROM {table}
 GROUP BY shard

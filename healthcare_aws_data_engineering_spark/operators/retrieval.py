@@ -110,11 +110,11 @@ def bm25_sql(
     """DuckDB oracle twin of :func:`bm25_topk` (same math, same rounding,
     same unique total order)."""
     quoted = ", ".join(f"'{t}'" for t in terms)
-    return f"""
+    return rf"""
 WITH
   base AS (
-    SELECT doc_id, string_split(trim(text), ' ') AS ws,
-           len(string_split(trim(text), ' ')) AS dl
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+           len(string_split_regex(trim(text), '\s+')) AS dl
     FROM {table}
   ),
   stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),

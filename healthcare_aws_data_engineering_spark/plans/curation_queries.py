@@ -117,9 +117,9 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
 
 
-_LM_SCORE_SQL = f"""
+_LM_SCORE_SQL = rf"""
 WITH
-  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
   tok AS (
     SELECT doc_id, ws[i] AS w
     FROM w, unnest(generate_series(1, len(ws))) AS t(i)
@@ -339,9 +339,9 @@ FROM r
 """
 
 
-_REPETITION_SQL = """
+_REPETITION_SQL = r"""
 WITH
-  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
   tok AS (
     SELECT doc_id, ws[i] AS w
     FROM w, unnest(generate_series(1, len(ws))) AS t(i)

@@ -329,9 +329,9 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load_table(spark, sf_dir, "documents"))
 
 
-_VOCAB_TOPK_SQL = """
+_VOCAB_TOPK_SQL = r"""
 WITH
-  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id,
            CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

@@ -25,8 +25,8 @@ from .pipeline_queries import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, with_split
 
 # Shared SQL fragments -------------------------------------------------------
 
-_SHINGLES_SQL = """
-  w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+_SHINGLES_SQL = r"""
+  w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id,
            CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

@@ -79,3 +79,18 @@ def test_entry_module_exposes_full_registry():
     queries, oracle, _, _ = _registry()
     assert set(e.queries()) == set(queries)
     assert set(e.oracle_sql()) == set(oracle)
+
+
+def test_no_oracle_tokenizes_on_single_space_where_spark_uses_regex():
+    """Tokenizer-parity lint (advisor r5, generalized in r6): the repo's
+    \\s+-splitting Spark operators (tokens/word_shingles/lm_score) must
+    pair with string_split_regex oracles. The mismatch signature is
+    exactly `string_split(trim(text), ' ')` — every such oracle paired a
+    trimmed single-space DuckDB split with a \\s+ Spark split and was
+    green only because the gate corpus is single-spaced. Operators that
+    REALLY split on one space on both sides (ppjoin, span_dedup,
+    doc_chunks, quality classifier, heavy_hitters...) use the untrimmed
+    `string_split(text, ' ')` form and are exempt by construction."""
+    _, oracle, _, _ = _registry()
+    bad = [k for k, sql in oracle.items() if "string_split(trim(text), ' ')" in sql]
+    assert not bad, f"single-space oracles paired with regex-split Spark ops: {bad}"
