@@ -415,3 +415,135 @@ def pii_counts(text: Column) -> Column:
             for n, (pat, _) in zip(names, PII_PATTERNS)
         ]
     )
+
+
+# --------------------------------------------------- fused attribute pass --
+
+
+def doc_attributes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE corpus scan producing the full per-document attribute manifest
+    — the Dolma-taggers shape: every quality/language/repetition signal a
+    curation pipeline filters on, materialized together so a 100 TB
+    snapshot pays ONE pass (and downstream filters read slim attribute
+    rows, never the text again). Projection-only: no Exchange.
+
+    Column families and their standalone twins (test-pinned equal):
+    text_stats (n_chars_actual..quality, fingerprint) and
+    repetition_stats (n_distinct..repetitive). The standalone operators
+    remain the single-signal entry points; this pass exists because six
+    separate 100 TB scans is the wrong plan when you want all six
+    families."""
+    t = F.col(text_col)
+    keep = [c for c in docs.columns if c != text_col]
+    staged = (
+        docs.select(
+            *docs.columns,
+            F.trim(t).alias("__trim"),
+            F.lower(t).alias("__low"),
+        )
+        .select(
+            *docs.columns,
+            "__low",
+            F.split(F.col("__trim"), WORD_SPLIT_RE).alias("__ws"),
+            (F.length(F.col("__trim")) == 0).alias("__empty"),
+        )
+        .select(
+            *docs.columns,
+            "__low",
+            "__ws",
+            "__empty",
+            F.when(F.col("__empty"), F.lit(0))
+            .otherwise(F.size("__ws"))
+            .alias("__tc"),
+            F.regexp_count(t, F.lit(r"[^\w\s]")).alias("__np"),
+            F.aggregate(
+                F.col("__ws"), F.lit(0), lambda acc, w: acc + F.length(w)
+            ).alias("__wlen"),
+            _bigrams_of(F.col("__ws")).alias("__grams"),
+            *[
+                F.regexp_count(
+                    F.col("__low"),
+                    F.lit(r"\b(" + "|".join(words) + r")\b"),
+                ).alias(f"__h_{lang}")
+                for lang, words in LANG_PROFILES.items()
+            ],
+        )
+    )
+    tc = F.col("__tc")
+    punct = F.col("__np") / F.greatest(F.length(t), F.lit(1))
+    mwl = F.col("__wlen") / F.greatest(F.size("__ws"), F.lit(1))
+    pairs = F.array(
+        *[
+            F.struct(
+                (F.col(f"__h_{lang}") / F.greatest(tc, F.lit(1))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    bpe = F.when(F.col("__empty"), F.lit(0)).otherwise(
+        F.aggregate(
+            F.transform(
+                F.col("__ws"),
+                lambda w: F.greatest(
+                    F.lit(1), F.ceil(F.length(w) / 4).cast("int")
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    length_ok = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    stop_rate = F.least(
+        F.col("__h_en") / F.greatest(tc, F.lit(1)) * 4.0, F.lit(1.0)
+    )
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4.0)
+    word_shape_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    quality = (
+        length_ok * 0.3 + stop_rate * 0.3 + punct_ok * 0.2
+        + word_shape_ok * 0.2
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__low"), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+    # repetition family over the SAME staged arrays (repetition_stats
+    # semantics verbatim: n = token_count, ratios on the decimal grid)
+    nd = F.size(F.array_distinct(F.col("__ws"))).cast("long")
+    top_w = _mode_count(F.col("__ws"))
+    grams = F.col("__grams")
+    top_b = _mode_count(grams)
+    n_bigrams = F.size(grams)
+    top_word_frac = top_w / F.greatest(tc.cast("long"), F.lit(1))
+    top_bigram_frac = F.when(n_bigrams > 0, top_b / n_bigrams).otherwise(
+        F.lit(0.0)
+    )
+    distinct_ratio = nd / F.greatest(tc.cast("long"), F.lit(1))
+
+    def _grid(c: Column) -> Column:
+        return F.round(c, 6).cast("decimal(18,6)").cast("double")
+
+    return staged.select(
+        *keep,
+        F.length(t).alias("n_chars_actual"),
+        tc.alias("n_tokens"),
+        bpe.alias("n_tokens_bpe_ish"),
+        punct.alias("punct_ratio"),
+        mwl.alias("mean_word_len"),
+        F.coalesce(best["lang"], F.lit("und")).alias("lang_guess"),
+        quality.alias("quality"),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        nd.alias("n_distinct"),
+        _grid(distinct_ratio).alias("distinct_ratio"),
+        _grid(top_word_frac).alias("top_word_frac"),
+        _grid(top_bigram_frac).alias("top_bigram_frac"),
+        (
+            (top_word_frac > TOP_WORD_FRAC_MAX)
+            | (top_bigram_frac > TOP_BIGRAM_FRAC_MAX)
+            | (distinct_ratio < DISTINCT_RATIO_MIN)
+        ).alias("repetitive"),
+    )

@@ -974,6 +974,60 @@ FROM r
 """
 
 
+# ------------------------------------------------------ doc_attributes --
+
+
+def q_doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused Dolma-taggers pass (`operators/text.py::doc_attributes`):
+    every text_stats + repetition_stats attribute in ONE projection-only
+    corpus scan — the manifest a snapshot materializes once so every
+    downstream filter reads slim attribute rows instead of re-scanning
+    100 TB of text. Test-pinned equal to the standalone twins."""
+    return T.doc_attributes(_docs(spark, sf_dir))
+
+
+_DOC_ATTRIBUTES_SQL = rf"""
+WITH {_TEXT_STATS_CTES},
+tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+a1 AS (SELECT doc_id, COUNT(*) AS nd, MAX(c) AS topw FROM wc GROUP BY doc_id),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM base WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS topb FROM bc GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_chars_actual, d.n_tokens,
+  CAST(d.n_tokens_bpe_ish AS INT) AS n_tokens_bpe_ish,
+  d.punct_ratio, d.mean_word_len,
+  CASE WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_guess,
+  {_QUALITY_EXPR_SQL}
+    AS quality,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                          '\s+', ' ', 'g'))) AS fingerprint,
+  CAST(a1.nd AS BIGINT) AS n_distinct,
+  CAST(CAST(round(a1.nd / CAST(greatest(d.n_tokens, 1) AS DOUBLE), 6)
+       AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
+  CAST(CAST(round(a1.topw / CAST(greatest(d.n_tokens, 1) AS DOUBLE), 6)
+       AS DECIMAL(18,6)) AS DOUBLE) AS top_word_frac,
+  CAST(CAST(round(COALESCE(a2.topb / CAST(a2.nb AS DOUBLE), 0.0), 6)
+       AS DECIMAL(18,6)) AS DOUBLE) AS top_bigram_frac,
+  (a1.topw / CAST(greatest(d.n_tokens, 1) AS DOUBLE) > {T.TOP_WORD_FRAC_MAX}
+   OR COALESCE(a2.topb / CAST(a2.nb AS DOUBLE), 0.0) > {T.TOP_BIGRAM_FRAC_MAX}
+   OR a1.nd / CAST(greatest(d.n_tokens, 1) AS DOUBLE) < {T.DISTINCT_RATIO_MIN})
+    AS repetitive
+FROM d
+LEFT JOIN a1 USING (doc_id)
+LEFT JOIN a2 USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------- domain_cap --
 # Absolute per-source document cap (the FineWeb/Gopher "domain cap"
 # curation pass): no single domain may contribute more than DOMAIN_CAP
@@ -1353,6 +1407,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "text_stats": q_text_stats,
+    "doc_attributes": q_doc_attributes,
     "quality_calibrated": q_quality_calibrated,
     "domain_cap": q_domain_cap,
     "token_budget_fill": q_token_budget_fill,
@@ -1381,6 +1436,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "ann_pq_topk": _ANN_PQ_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
+    "doc_attributes": _DOC_ATTRIBUTES_SQL,
     "quality_calibrated": _QUALITY_CALIBRATED_SQL,
     "domain_cap": _DOMAIN_CAP_SQL,
     "token_budget_fill": _TOKEN_BUDGET_SQL,

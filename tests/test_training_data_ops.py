@@ -725,3 +725,49 @@ def test_dedup_weighted_cluster_mass_is_one(spark):
             # n_near_dups==1 implies weight 1.0
             assert rs[0].weight == 1.0 / rs[0].n_near_dups
     assert multi > 0, "corpus should contain at least one near-dup cluster"
+
+
+def test_doc_attributes_equals_standalone_twins(spark):
+    """The fused single-scan tagger pass must be column-identical to
+    text_stats and repetition_stats run separately — the pin that lets
+    the fused implementation share no code with the twins without
+    drifting."""
+    from healthcare_aws_data_engineering_spark.operators.text import (
+        doc_attributes,
+        repetition_stats,
+        text_stats,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fused = {r["doc_id"]: r for r in doc_attributes(docs).collect()}
+    ts = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(fused) == set(ts) == set(rep)
+    ts_cols = [
+        "n_chars_actual", "n_tokens", "n_tokens_bpe_ish", "punct_ratio",
+        "mean_word_len", "lang_guess", "quality", "fingerprint",
+    ]
+    rep_cols = [
+        "n_distinct", "distinct_ratio", "top_word_frac",
+        "top_bigram_frac", "repetitive",
+    ]
+    for d, r in fused.items():
+        for c in ts_cols:
+            assert r[c] == ts[d][c], (d, c)
+        for c in rep_cols:
+            assert r[c] == rep[d][c], (d, c)
+
+
+def test_doc_attributes_is_projection_only(spark):
+    """One corpus scan, zero exchanges — the whole point of the fused
+    pass."""
+    from conftest import n_exchanges, plan_string
+
+    from healthcare_aws_data_engineering_spark.operators.text import (
+        doc_attributes,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert n_exchanges(plan_string(doc_attributes(docs))) == 0
