@@ -227,20 +227,26 @@ def bloom_decontaminate(
             "__might"
         ),
     )
-    # candidates get the exact join (kills bloom false positives);
-    # non-candidates are definitive misses (no false negatives) and skip
-    # the join entirely.
-    hits = (
-        marked.filter(F.col("__might"))
-        .join(eval_shingles, "shingle", "left")
-        .select("doc_id", F.coalesce("hit", F.lit(0)).alias("hit"))
-    )
-    misses = marked.filter(~F.col("__might")).select(
-        "doc_id", F.lit(0).alias("hit")
-    )
-    per_doc = hits.unionByName(misses).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum("hit").cast("long").alias("n_overlap"),
+    # ONE left join whose condition is equality AND the bloom verdict:
+    # candidates get exact verification (kills bloom false positives),
+    # non-candidates simply never match (no false negatives) — one
+    # corpus pass. (A candidates/misses filter+union pair evaluates the
+    # whole probe subtree twice — two corpus passes at 100 TB.)
+    ev = eval_shingles.withColumnRenamed("shingle", "__ev_shingle")
+    per_doc = (
+        marked.join(
+            # UNHINTED: the eval strings are what the bloom path exists
+            # to avoid broadcasting — AQE picks broadcast only when they
+            # really are small.
+            ev,
+            (F.col("shingle") == F.col("__ev_shingle")) & F.col("__might"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
     )
     ratio = F.col("n_overlap") / F.col("n_shingles")
     return per_doc.select(
