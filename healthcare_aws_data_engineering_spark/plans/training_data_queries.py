@@ -1093,23 +1093,13 @@ TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 1, 2
 N_QUALITY_BUCKETS = 256
 
 
-def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global prefix-sum WITHOUT a global single-partition window — the
-    scale trap in the naive `SUM() OVER (ORDER BY ...)` form is that
-    Spark executes an unpartitioned window on one task. Two-phase
-    instead: (1) coarse quality buckets (floor(quality·B), monotone in
-    the sort key) aggregate to a ≤B-row table whose window pass is
-    bounded by B, not the corpus; (2) each doc's exact cum_tokens =
-    its bucket's prefix (broadcast join) + a within-bucket running sum
-    (window partitioned by bucket, ~1/B of the corpus per partition;
-    grow B with the corpus, or recurse, to bound partition size).
-    Output: ``doc_id, quality, n_tokens, cum_tokens, keep`` — identical
-    to the naive global window (test-pinned)."""
+def two_phase_cum_tokens(stats: DataFrame) -> DataFrame:
+    """Exact global running token total over (quality DESC, doc_id ASC)
+    WITHOUT a single-partition window — see :func:`q_token_budget_fill`.
+    Input: ``doc_id, quality, n_tokens``; output adds ``cum_tokens`` and
+    ``__total`` (the corpus token total, same value on every row)."""
     from pyspark.sql import Window as _W
 
-    stats = T.text_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "quality", "n_tokens"
-    )
     staged = stats.withColumn(
         "__b",
         F.least(
@@ -1137,17 +1127,41 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(_W.unboundedPreceding, 0)
     )
     cum = F.col("__prefix") + F.sum("n_tokens").over(w_in)
-    return (
-        staged.join(F.broadcast(prefixed), "__b")
-        .select(
-            "doc_id",
-            "quality",
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            (
-                cum * TOKEN_BUDGET_DEN <= F.col("__total") * TOKEN_BUDGET_NUM
-            ).alias("keep"),
-        )
+    return staged.join(F.broadcast(prefixed), "__b").select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        "__total",
+    )
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global prefix-sum WITHOUT a global single-partition window — the
+    scale trap in the naive `SUM() OVER (ORDER BY ...)` form is that
+    Spark executes an unpartitioned window on one task. Two-phase
+    instead: (1) coarse quality buckets (floor(quality·B), monotone in
+    the sort key) aggregate to a ≤B-row table whose window pass is
+    bounded by B, not the corpus; (2) each doc's exact cum_tokens =
+    its bucket's prefix (broadcast join) + a within-bucket running sum
+    (window partitioned by bucket, ~1/B of the corpus per partition;
+    grow B with the corpus, or recurse, to bound partition size).
+    Output: ``doc_id, quality, n_tokens, cum_tokens, keep`` — identical
+    to the naive global window (test- and hypothesis-pinned via
+    :func:`two_phase_cum_tokens`)."""
+    stats = T.text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    cum = two_phase_cum_tokens(stats)
+    return cum.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (
+            F.col("cum_tokens") * TOKEN_BUDGET_DEN
+            <= F.col("__total") * TOKEN_BUDGET_NUM
+        ).alias("keep"),
     )
 
 

@@ -771,3 +771,51 @@ def test_doc_attributes_is_projection_only(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     assert n_exchanges(plan_string(doc_attributes(docs))) == 0
+
+
+def test_two_phase_cum_property_random_distributions(spark):
+    """Property pin for the bucketed prefix sum: for ARBITRARY quality
+    distributions — coarse-grid qualities force ties and bucket-boundary
+    clustering, zero-token rows included — cum_tokens must equal the
+    python cumsum over the exact (quality DESC, doc_id ASC) order."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        two_phase_cum_tokens,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            # 33-step grid in [0,1]: collisions + exact bucket edges
+            st.integers(min_value=0, max_value=32).map(lambda i: i / 32.0),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows_strategy)
+    def check(rows):
+        data = [
+            Row(doc_id=i, quality=q, n_tokens=t)
+            for i, (q, t) in enumerate(rows)
+        ]
+        got = {
+            r.doc_id: r
+            for r in two_phase_cum_tokens(spark.createDataFrame(data)).collect()
+        }
+        order = sorted(data, key=lambda r: (-r.quality, r.doc_id))
+        total = sum(r.n_tokens for r in data)
+        cum = 0
+        for r in order:
+            cum += r.n_tokens
+            g = got[r.doc_id]
+            assert g.cum_tokens == cum, (r.doc_id, rows)
+            assert g["__total"] == total
+
+    check()
