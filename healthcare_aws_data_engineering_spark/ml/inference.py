@@ -70,9 +70,18 @@ _DEC = "DECIMAL(18,6)"
 
 
 def _f(x: float) -> str:
-    """Shortest round-trip float literal — parses to the identical double
-    in Spark and DuckDB."""
-    return repr(float(x))
+    """Shortest round-trip float literal, forced onto the DOUBLE parse
+    path in BOTH engines via an exponent suffix. Without it, DuckDB
+    parses a bare 16-digit literal as DECIMAL and its DECIMAL→DOUBLE
+    conversion is not correctly rounded — e.g. bare 0.9700000286102295
+    lands one ulp high (…96), which flipped an XGB split for feature
+    values exactly AT the split (x < cond false where numpy said false…
+    DuckDB's off-by-one-ulp cond said true) — caught at sf0.1 as a
+    35-micro-unit probability jump. `…e0` parses as DOUBLE (correctly
+    rounded strtod) in Spark and DuckDB alike; scientific reprs already
+    carry an exponent and pass through."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
 
 
 def _fold_sql(terms: list[str], parity: bool = True) -> str:

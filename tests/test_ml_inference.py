@@ -193,3 +193,28 @@ def test_fast_path_matches_parity(spark):
         for d in I.DISEASES:
             assert abs(rp[f"prob_{d}"] - rf[f"prob_{d}"]) < 1e-9, (pid, d)
             assert rp[f"risk_{d}"] == rf[f"risk_{d}"]
+
+
+def test_float_literal_forces_double_parse_path():
+    """DuckDB parses a bare 16-digit literal as DECIMAL, and its
+    DECIMAL->DOUBLE conversion is not correctly rounded (bare
+    0.9700000286102295 lands one ulp high), which flipped an XGB split
+    for feature values exactly AT the split threshold — caught at sf0.1.
+    _f() must emit an exponent suffix so both engines take the
+    correctly-rounded string->DOUBLE path."""
+    import duckdb
+    import numpy as np
+
+    from healthcare_aws_data_engineering_spark.ml.inference import _f
+
+    v = float(np.float32(0.97))  # the offending value from the field
+    lit = _f(v)
+    assert "e" in lit or "E" in lit
+    got = duckdb.sql(f"SELECT {lit}").fetchone()[0]
+    assert repr(got) == repr(v), (lit, got, v)
+    # scientific reprs pass through un-mangled
+    assert _f(1e-05) == "1e-05"
+    # and the bare-literal failure mode stays documented: DECIMAL parse
+    # of the same digits mis-rounds
+    bare = duckdb.sql(f"SELECT CAST({repr(v)} AS DOUBLE)").fetchone()[0]
+    assert repr(bare) != repr(v)
