@@ -982,10 +982,64 @@ FROM events GROUP BY user_id
 """
 
 
+# ----------------------------------------------------------- training_order --
+# Deterministic per-epoch training order: hash shards + intra-shard
+# salted-md5 order = a full global pseudo-random permutation computed
+# with ONE bounded-key shuffle — the 100 TB alternative to a global
+# ORDER BY rand() sort. Data loaders consume shards round-robin; a new
+# seed re-shuffles the epoch reproducibly.
+ORDER_SEED = "epoch0#"
+N_ORDER_SHARDS = 64
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle manifest: ``doc_id, order_key, shard, pos`` where
+    order_key = md5(seed||doc_id), shard = salted-hash % N_ORDER_SHARDS
+    and pos = rank of order_key within the shard. (shard, pos) is a
+    deterministic permutation of the corpus — no coordinate ever depends
+    on a global sort; the per-shard rank window sees ~n/shards rows, and
+    shards scale with the cluster (set ≈ total cores at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    okey = F.md5(
+        F.concat(F.lit(ORDER_SEED), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = (
+        F.conv(F.substring(okey, 1, 8), 16, 10).cast("long")
+        % N_ORDER_SHARDS
+    ).cast("int")
+    staged = docs.select("doc_id", okey.alias("order_key"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("order_key", "doc_id")
+    return staged.select(
+        "doc_id", "order_key", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+_TRAINING_ORDER_SQL = f"""
+WITH o AS (
+  SELECT doc_id,
+         md5('{ORDER_SEED}' || CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, order_key,
+         CAST(CAST(('0x' || substr(order_key, 1, 8)) AS BIGINT)
+              % {N_ORDER_SHARDS} AS INT) AS shard
+  FROM o
+)
+SELECT doc_id, order_key, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY order_key, doc_id) AS INT) AS pos
+FROM s
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "skew_audit": q_skew_audit,
     "salted_agg": q_salted_agg,
+    "training_order": q_training_order,
     "dist_summary": q_dist_summary,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -1011,6 +1065,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "sessionize": _SESSIONIZE_SQL,
     "skew_audit": skew_audit_sql("events", "user_id"),
     "salted_agg": _SALTED_AGG_SQL,
+    "training_order": _TRAINING_ORDER_SQL,
     "dist_summary": _DIST_SUMMARY_SQL,
     "stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "split_assign": _SPLIT_ASSIGN_SQL,

@@ -1042,18 +1042,18 @@ _CHECK_FIRST = [
     # (2) changed/added in r6 — positions 21-29
     "skew_audit", "dsir_select", "zipf_slope", "cluster_split",
     "salted_agg", "domain_cap", "token_budget_fill", "dedup_weighted",
-    "bloom_decontam", "doc_attributes",
+    "bloom_decontam", "doc_attributes", "training_order",
     # (3) most complex of the r4-green set — positions 31-50
     "ml_risk_scores", "ml_preprocess", "report_cvd", "report_prediabetes",
     "dup_clusters", "graph_pagerank", "corpus_curation", "knn_graph",
     "dedup_minhash_lsh", "etl_patients", "etl_observations",
     "etl_encounters", "etl_conditions", "embedding_near_dup",
     "ann_ivf_topk", "ann_lsh_topk", "ann_cosine_topk", "wellness_monthly",
-    "ml_features", "incremental_dedup",
+    "ml_features",
 ]
 # the r4-green queries not in the prefix: next in line for r7.
 _CHECK_NEXT = [
-    "forecast", "sessionize", "semi_anti_join", "set_ops", "severity_topk",
+    "incremental_dedup", "forecast", "sessionize", "semi_anti_join", "set_ops", "severity_topk",
     "asof_join", "basket_pairs", "bm25_search", "decontaminate",
     "dedup_simhash", "disease_confidence", "distinct_sketch", "funnel",
     "gap_fill", "height_weight_bmi", "hist_quantiles", "lm_score",

@@ -623,3 +623,30 @@ def test_salted_agg_remedy_matches_naive_at_audited_fanout(spark):
         .count()
     )
     assert spread >= rec.salt_rec  # all buckets hit at 2000 rows / ~19 buckets
+
+
+def test_training_order_is_a_permutation_and_seed_sensitive(spark):
+    """(shard, pos) must be a full deterministic permutation: every doc
+    exactly once, pos dense 1..|shard| within each shard, and the order
+    actually scrambles ids (not accidentally sorted by doc_id)."""
+    from healthcare_aws_data_engineering_spark.plans.pipeline_queries import (
+        N_ORDER_SHARDS,
+        q_training_order,
+    )
+
+    rows = q_training_order(spark, "/root/testdata/sf0.001").collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < N_ORDER_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        assert sorted(r.pos for r in rs) == list(range(1, len(rs) + 1)), shard
+        order = sorted(rs, key=lambda r: r.pos)
+        ids = [r.doc_id for r in order]
+        # the epoch order must not be the identity order within a shard
+        if len(ids) > 3:
+            assert ids != sorted(ids), shard
+    # deterministic: second run identical
+    again = q_training_order(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
