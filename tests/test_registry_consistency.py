@@ -94,3 +94,19 @@ def test_no_oracle_tokenizes_on_single_space_where_spark_uses_regex():
     _, oracle, _, _ = _registry()
     bad = [k for k, sql in oracle.items() if "string_split(trim(text), ' ')" in sql]
     assert not bad, f"single-space oracles paired with regex-split Spark ops: {bad}"
+
+
+def test_no_oracle_carries_bare_long_float_literals():
+    """Literal parse-path lint (r6): DuckDB parses a bare high-precision
+    decimal literal as DECIMAL, and its DECIMAL->DOUBLE conversion is
+    not correctly rounded (one-ulp error on e.g. 0.9700000286102295 —
+    flipped an XGB split at sf0.1). Every >=15-fractional-digit float
+    literal in an oracle must carry an exponent suffix (the ``_f()``
+    convention) so both engines take the correctly-rounded
+    string->DOUBLE path."""
+    import re
+
+    _, oracle, _, _ = _registry()
+    pat = re.compile(r"(?<![\w.])\d+\.\d{15,}(?![\deE])")
+    bad = {k: pat.findall(sql)[:3] for k, sql in oracle.items() if pat.search(sql)}
+    assert not bad, f"bare long float literals (need e0 suffix): {bad}"
