@@ -1026,11 +1026,14 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #   2. the queries changed or added THIS round: skew_audit (oracle
 #      HUGEINT fix — the board's only red, must go green), dsir_select
 #      and zipf_slope (oracle tokenizer fix), cluster_split (broadcast
-#      hint removed), salted_agg (new audit→remedy query);
-#   3. the 25 most complex r4-green queries (complex first per the r5
-#      verdict: ML chain, reports, dedup/CC/ANN pipelines, etl_*).
-# _CHECK_NEXT holds the remaining 25 r4-green queries — first in line
-# for the r7 prefix, so no entry's verdict goes 3 rounds stale.
+#      hint removed), and the seven NEW r6 queries (salted_agg,
+#      domain_cap, token_budget_fill, dedup_weighted, bloom_decontam,
+#      doc_attributes, training_order);
+#   3. the most complex r4-green queries fill the remaining slots
+#      (complex first per the r5 verdict: ML chain, reports,
+#      dedup/CC/ANN pipelines, etl_*).
+# _CHECK_NEXT holds the rest of the r4-green set — first in line for
+# the r7 prefix, so no entry's verdict goes 3 rounds stale.
 _CHECK_FIRST = [
     # (1) latest verdict r3 — positions 1-20
     "dataset_card", "nation_trade", "zscore_outliers", "revenue_share",
@@ -1039,11 +1042,11 @@ _CHECK_FIRST = [
     "dist_summary", "pii_redact", "doc_chunks", "json_props",
     "length_buckets", "shipping_priority", "order_priority",
     "returned_items", "large_orders", "dormant_customers",
-    # (2) changed/added in r6 — positions 21-29
+    # (2) changed/added in r6 — positions 21-31
     "skew_audit", "dsir_select", "zipf_slope", "cluster_split",
     "salted_agg", "domain_cap", "token_budget_fill", "dedup_weighted",
     "bloom_decontam", "doc_attributes", "training_order",
-    # (3) most complex of the r4-green set — positions 31-50
+    # (3) most complex of the r4-green set — positions 32-50
     "ml_risk_scores", "ml_preprocess", "report_cvd", "report_prediabetes",
     "dup_clusters", "graph_pagerank", "corpus_curation", "knn_graph",
     "dedup_minhash_lsh", "etl_patients", "etl_observations",

@@ -1045,10 +1045,11 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle by source; rank + count share the same
     window exchange. Per-domain partitions can be huge on web crawls —
-    the same honest per-source sort `quality_calibrated` pays; if a
-    single domain outgrows an executor, pre-filter with a per-source
-    approx-quantile threshold at CAP/n_source_docs to shrink the sorted
-    set, then rank exactly inside the survivors (same keep semantics)."""
+    if a single domain outgrows an executor, use
+    :func:`domain_cap_topk`: a salted two-stage top-k that never sorts
+    a whole domain on one task and is test-pinned to the same keep set
+    (it emits kept rows only, not the full rank manifest this
+    oracle-facing form produces)."""
     from pyspark.sql import Window as _W
 
     stats = T.text_stats(_docs(spark, sf_dir)).select(
@@ -1081,6 +1082,42 @@ SELECT doc_id, source, quality,
                      ORDER BY quality DESC, doc_id ASC) <= {DOMAIN_CAP} AS keep
 FROM q
 """
+
+
+def domain_cap_topk(
+    stats: DataFrame, cap: int = DOMAIN_CAP, salts: int = 32
+) -> DataFrame:
+    """The skew-safe path q_domain_cap's docstring promises, implemented:
+    per-source top-``cap`` WITHOUT a full per-source sort. Two-stage
+    salted top-k: stage 1 ranks inside (source, salt) groups — each
+    ~1/salts of the domain, so a blogspot.com-class mega-domain never
+    sorts on one executor — and keeps each group's top ``cap``; stage 2
+    ranks the ≤ salts·cap survivors per source exactly. Sound because
+    any doc in a source's global top-cap is necessarily in its salt
+    group's top-cap. Output: KEPT rows only (``doc_id, source, quality,
+    rk``) — the capped corpus, not the full rank manifest; test-pinned
+    to select the same keep set as the exact window."""
+    from pyspark.sql import Window as _W
+
+    salted = stats.withColumn(
+        "__salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)).cast("int")
+    )
+    w1 = _W.partitionBy("source", "__salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__salt", "__r1")
+    )
+    w2 = _W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "quality", "rk")
+    )
 
 
 # ---------------------------------------------------- token_budget_fill --

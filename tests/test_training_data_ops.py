@@ -819,3 +819,29 @@ def test_two_phase_cum_property_random_distributions(spark):
             assert g["__total"] == total
 
     check()
+
+
+def test_domain_cap_topk_matches_exact_window(spark):
+    """The salted two-stage top-k (the hot-domain escape hatch) must
+    select exactly the docs the exact per-source window keeps, with the
+    same ranks — including under a salt count that fragments every
+    source."""
+    from healthcare_aws_data_engineering_spark.operators import text as TT
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        domain_cap_topk,
+        q_domain_cap,
+        _docs as _load_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.doc_id, r.rk)
+        for r in q_domain_cap(spark, sf).collect()
+        if r.keep
+    }
+    stats = TT.text_stats(_load_docs(spark, sf)).select(
+        "doc_id", "source", "quality"
+    )
+    for salts in (1, 4, 32):
+        got = {(r.doc_id, r.rk) for r in domain_cap_topk(stats, salts=salts).collect()}
+        assert got == exact, salts
