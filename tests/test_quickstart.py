@@ -99,3 +99,28 @@ def test_load_observations_respects_existing_id(spark, tmp_path):
     obs = load_observations(spark, path)
     ids = [r["observation_id"] for r in obs.collect()]
     assert len(set(ids)) == len(ids)
+
+
+def test_curation_pipeline_example(spark):
+    """examples/curation_pipeline.py composes the r6 curation operators
+    end-to-end; the manifest must be a consistent selection (unique
+    docs, dense shard positions, monotone stage shrinkage)."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "curation_pipeline.py"
+    spec = importlib.util.spec_from_file_location("curation_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    manifest, stats = mod.curate(spark, "/root/testdata/sf0.001")
+    rows = manifest.collect()
+    assert stats["corpus_docs"] >= stats["after_domain_cap"] >= stats["after_token_budget"]
+    assert len(rows) == stats["after_token_budget"] > 0
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        assert 0.0 < r.weight <= 1.0
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
