@@ -41,6 +41,11 @@ def chunk_documents(
     final chunk)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    # Deliberately split on a single space, NOT the shared \s+ tokenizer
+    # (operators/text.py): chunking is a REVERSIBLE segmentation — the
+    # slice is re-joined with ' ' so adjacent chunks re-concatenate to the
+    # original text byte-exactly. A \s+ split would normalize tabs/double
+    # spaces and make chunk_fp/chunk_text lossy.
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     # starts 0, stride, 2·stride, ... strictly below n (n >= 1 always:

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .text import fingerprint, token_count
+from .text import fingerprint, token_count, token_count_sql, tokens, tokens_sql
 
 INCR_SALT = "incr#"
 BATCH_PCT = 20        # doc_id bucket < BATCH_PCT → the "new batch"
@@ -59,7 +59,7 @@ def wordset_fingerprint(text: Column) -> Column:
     """Permutation-invariant content key: md5 of the sorted distinct word
     set. Collapses docs that differ only by word order/repetition — the
     canonicalization level between exact-normalized md5 and MinHash."""
-    ws = F.array_sort(F.array_distinct(F.split(F.trim(text), r"\s+")))
+    ws = F.array_sort(F.array_distinct(tokens(text)))
     return F.md5(F.concat_ws(" ", ws).cast("binary"))
 
 
@@ -112,7 +112,7 @@ def incremental_dedup_sql(
     fp_sql = {
         "wordset": (
             "md5(array_to_string(list_sort(list_distinct("
-            "string_split_regex(trim(text), '\s+'))), ' '))"
+            f"{tokens_sql('text')})), ' '))"
         ),
         "exact": (
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
@@ -185,7 +185,7 @@ SELECT CAST(('0x' || substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8
        COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM({token_count_sql('text')}) AS BIGINT) AS total_tokens,
        CAST(SUM(len(text)) AS BIGINT) AS total_chars
 FROM {table}
 GROUP BY shard

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from .text import tokens, tokens_sql
+
 PPJ_T100 = 50  # Jaccard threshold, percent
 PPJ_SHINGLE_W = 3
 
@@ -71,7 +73,7 @@ def prefix_jaccard_join(
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.split(F.col(text_col), " ").alias("__ws"),
+            tokens(F.col(text_col)).alias("__ws"),
         )
         .filter(F.size("__ws") >= shingle_w)
         .select("id", F.explode(_shingles(shingle_w)).alias("tok"))
@@ -166,7 +168,7 @@ WITH toks AS (
     SELECT doc_id AS id,
            unnest(list_transform(range(1, len(w) - {shingle_w - 2}),
                   i -> {parts})) AS tok
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, {tokens_sql('text')} AS w FROM documents)
     WHERE len(w) >= {shingle_w}
   )
 ),

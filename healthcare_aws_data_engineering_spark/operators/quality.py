@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .text import tokens, tokens_sql
+
 # hash-trick weight grid: md5 → first 8 hex digits → uint32; weight =
 # (h % 2001) - 1000 ∈ [-1000, 1000]. Mean ≈ 0, so document logits are a
 # random walk — sign splits the corpus roughly in half (a substantial
@@ -55,7 +57,7 @@ def tokens_staged(text: Column) -> Column:
     :func:`quality_score`: an inlined split is re-evaluated on EVERY
     lambda element reference inside the interpreted HOF (two element_at
     per bigram → O(n²) splits; staging measured 2.6s → 0.2s at sf0.1)."""
-    return F.slice(F.split(text, " "), 1, CLS_MAX_TOKENS)
+    return F.slice(tokens(text), 1, CLS_MAX_TOKENS)
 
 
 def quality_score(ws: Column) -> tuple[Column, Column]:
@@ -119,7 +121,7 @@ def classifier_sql(table: str = "documents") -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_slice(string_split(text, ' '), 1, {CLS_MAX_TOKENS}) AS ws
+         list_slice({tokens_sql('text')}, 1, {CLS_MAX_TOKENS}) AS ws
   FROM {table}
 ),
 feats AS (

@@ -46,6 +46,10 @@ def span_dedup(
     the doc was a repeat), so value-level correctness is checkable
     without shipping rebuilt corpora."""
     k = span_tokens
+    # Deliberately split on a single space, NOT the shared \s+ tokenizer
+    # (operators/text.py): spans are re-joined with ' ' to REBUILD the
+    # deduplicated text, so the segmentation must round-trip the original
+    # bytes exactly (same contract as operators/chunking.py).
     toks = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
     spans = F.transform(

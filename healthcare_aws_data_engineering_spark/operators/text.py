@@ -28,13 +28,42 @@ WORD_SPLIT_RE = r"\s+"
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (empty array for empty/null
-    handled by callers)."""
+    handled by callers).
+
+    THE repo-wide tokenizer: every operator that means "words" uses this
+    (or :func:`tokens_sql` on the oracle side) so a tab or a double space
+    can never yield different token streams in different operators. The
+    deliberate exceptions are the *reversible segmentations* in
+    ``operators/chunking.py`` and ``operators/spans.py``, which split on a
+    single space so that re-joining with ``' '`` reconstructs the original
+    text byte-exactly (a ``\\s+`` split would normalize whitespace and make
+    chunk/span text lossy)."""
     return F.split(F.trim(text), WORD_SPLIT_RE)
 
 
 def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(tokens(text))
+    )
+
+
+def tokens_sql(col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`tokens` — render THIS into every oracle
+    that tokenizes, so the split regex can never drift between engines.
+
+    Same caveat as the Spark side: both engines yield ``['']`` (length 1)
+    for empty/whitespace-only text, so COUNTS must go through
+    :func:`token_count_sql`, which guards that case to 0."""
+    return rf"string_split_regex(trim({col}), '\s+')"
+
+
+def token_count_sql(col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`token_count` (0 for empty/whitespace-only
+    text — ``string_split_regex('', ...)`` is ``['']``, length 1, so the
+    bare ``len(...)`` over-counts empty docs by one)."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len({tokens_sql(col)}) END"
     )
 
 

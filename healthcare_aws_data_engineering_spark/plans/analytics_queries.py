@@ -26,6 +26,7 @@ from ..operators.quality import (
     int8_audit_sql,
 )
 from ..operators.semdedup import knn_graph, semantic_dedup
+from ..operators.text import token_count, token_count_sql
 from ..sources.tables import load_table
 from .training_data_queries import (
     _EMB_DIM,
@@ -237,13 +238,15 @@ BUCKET_TOKENS = 64
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    bucket = (
-        F.expr(f"CAST((size(split(text, ' ')) + {BUCKET_TOKENS - 1}) "
-               f"DIV {BUCKET_TOKENS} AS BIGINT)") * BUCKET_TOKENS
-    )
     agg = (
-        docs.select(bucket.alias("bucket_len"), tokens.alias("__t"))
+        docs.select(token_count(F.col("text")).cast("long").alias("__t"))
+        .select(
+            "__t",
+            (
+                F.expr(f"CAST((__t + {BUCKET_TOKENS - 1}) "
+                       f"DIV {BUCKET_TOKENS} AS BIGINT)") * BUCKET_TOKENS
+            ).alias("bucket_len"),
+        )
         .groupBy("bucket_len")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -260,7 +263,9 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1e6)
             * (
                 (padded - F.col("sum_tokens")).cast("double")
-                / padded.cast("double")
+                # greatest(...,1): the empty-doc bucket has bucket_len 0 →
+                # waste 0, not 0/0 (both engines pinned to the same guard).
+                / F.greatest(padded, F.lit(1)).cast("double")
             )
         )
         .cast("long")
@@ -269,11 +274,14 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LENGTH_BUCKETS_SQL = f"""
-WITH t AS (
-  SELECT CAST((len(string_split(text, ' ')) + {BUCKET_TOKENS - 1})
+WITH toks AS (
+  SELECT {token_count_sql('text')} AS tok0 FROM documents
+),
+t AS (
+  SELECT CAST((tok0 + {BUCKET_TOKENS - 1})
               // {BUCKET_TOKENS} AS BIGINT) * {BUCKET_TOKENS} AS bucket_len,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-  FROM documents
+         CAST(tok0 AS BIGINT) AS tok
+  FROM toks
 ),
 agg AS (
   SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -284,7 +292,7 @@ SELECT bucket_len, n_docs, sum_tokens,
        CAST(bucket_len * n_docs AS BIGINT) AS padded_tokens,
        CAST(round(CAST(1000000 AS DOUBLE)
             * (CAST(bucket_len * n_docs - sum_tokens AS DOUBLE)
-               / CAST(bucket_len * n_docs AS DOUBLE))) AS BIGINT) AS waste_e6
+               / CAST(greatest(bucket_len * n_docs, 1) AS DOUBLE))) AS BIGINT) AS waste_e6
 FROM agg
 """
 
@@ -302,7 +310,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.col("n_chars").cast("long").alias("__chars"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("__t"),
+        token_count(F.col("text")).cast("long").alias("__t"),
         F.md5(F.col("text").cast("binary")).alias("__fp"),
     )
     agg = base.groupBy("source").agg(
@@ -346,10 +354,10 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DATASET_CARD_SQL = """
+_DATASET_CARD_SQL = f"""
 WITH base AS (
   SELECT source, lang, CAST(n_chars AS BIGINT) AS chars,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         CAST({token_count_sql('text')} AS BIGINT) AS tok,
          md5(text) AS fp
   FROM documents
 ),

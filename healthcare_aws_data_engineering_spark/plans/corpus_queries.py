@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.chunking import CHUNK_STRIDE, CHUNK_WINDOW, chunk_documents, chunk_sql
 from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters, cms_sql
 from ..operators.spans import SPAN_TOKENS, span_dedup, span_dedup_sql
+from ..operators.text import token_count, token_count_sql, tokens, tokens_sql
 from ..sources.tables import load_table
+
+# Every word-level query below tokenizes through the ONE shared tokenizer
+# (operators/text.py tokens()/tokens_sql(), i.e. split on \s+ after trim)
+# so token streams can never differ between operators or engines. The
+# deliberate exceptions in this module are span_dedup and doc_chunks,
+# whose operators split on a single space because they RE-JOIN tokens to
+# reconstruct chunk/span text byte-exactly (see operators/chunking.py).
 
 # ------------------------------------------------------------- span_dedup --
 
@@ -54,7 +62,7 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_source = (
         docs.select(
-            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("__t")
+            "source", token_count(F.col("text")).cast("long").alias("__t")
         )
         .groupBy("source")
         .agg(
@@ -90,7 +98,7 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_WEIGHTS_SQL = f"""
 WITH per_source AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS n_tokens
+         SUM({token_count_sql('text')}) AS n_tokens
   FROM documents GROUP BY source
 ),
 w AS (
@@ -125,7 +133,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(
         F.array_join(
-            F.slice(F.split(F.col("text"), " "), 1, OVERLAP_PREFIX_TOKENS), " "
+            F.slice(tokens(F.col("text")), 1, OVERLAP_PREFIX_TOKENS), " "
         )
     )
     fps = docs.select(fp.alias("fp"), "source").distinct()
@@ -142,7 +150,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_OVERLAP_SQL = f"""
 WITH fps AS (
   SELECT DISTINCT
-    md5(array_to_string(list_slice(string_split(text, ' '), 1, {OVERLAP_PREFIX_TOKENS}), ' ')) AS fp,
+    md5(array_to_string(list_slice({tokens_sql('text')}, 1, {OVERLAP_PREFIX_TOKENS}), ' ')) AS fp,
     source
   FROM documents
 )
@@ -198,13 +206,13 @@ CMS_TOP_K = 40
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("w")
+        F.explode(tokens(F.col("text"))).alias("w")
     )
     return cms_heavy_hitters(words, "w", top_k=CMS_TOP_K)
 
 
 _HEAVY_HITTERS_SQL = cms_sql(
-    "SELECT unnest(string_split(text, ' ')) AS w FROM documents",
+    f"SELECT unnest({tokens_sql('text')}) AS w FROM documents",
     "w",
     top_k=CMS_TOP_K,
 )
@@ -223,7 +231,7 @@ BG_TOP_K = 100
 def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.split(F.col("text"), " ").alias("__ws"))
+        docs.select(tokens(F.col("text")).alias("__ws"))
         .filter(F.size("__ws") >= 2)
         .select(
             F.explode(
@@ -272,7 +280,7 @@ def duplicated_ngrams(
     ``gram, n_docs, occurrences``, top-``k`` under the unique total order
     (n_docs DESC, occurrences DESC, gram)."""
     grams = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        docs.select("doc_id", tokens(F.col("text")).alias("__ws"))
         .filter(F.size("__ws") >= n)
         .select(
             "doc_id",
@@ -309,7 +317,7 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_NGRAMS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, {tokens_sql('text')} AS ws FROM documents
 ),
 g AS (
   SELECT doc_id,
@@ -332,7 +340,7 @@ LIMIT {DUPN_TOP_K}
 
 _WORD_BIGRAMS_SQL = f"""
 WITH ws AS (
-  SELECT string_split(text, ' ') AS w FROM documents
+  SELECT {tokens_sql('text')} AS w FROM documents
 ),
 pairs AS (
   SELECT unnest(list_transform(range(1, len(w)),
@@ -359,7 +367,7 @@ SHINGLE_W = 3
 def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        docs.select("doc_id", tokens(F.col("text")).alias("__ws"))
         .filter(F.size("__ws") >= SHINGLE_W)
         .select(
             "doc_id",
@@ -399,7 +407,7 @@ WITH sh AS (
     SELECT doc_id,
            unnest(list_transform(range(1, len(w) - {SHINGLE_W - 2}),
                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, {tokens_sql('text')} AS w FROM documents)
     WHERE len(w) >= {SHINGLE_W}
   )
 ),
@@ -493,7 +501,7 @@ def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf_s = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_s = tf_s.groupBy("source").agg(F.sum("tf").alias("__ns"))
@@ -516,7 +524,7 @@ def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_TERMS_SQL = f"""
 WITH words AS (
-  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT source, unnest({tokens_sql('text')}) AS term FROM documents
 ),
 tf_s AS (
   SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -565,7 +573,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        F.explode(tokens(F.col("text"))).alias("w"),
     )
     freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     win = _W.partitionBy("source").orderBy(F.col("c").desc(), F.col("w").asc())
@@ -597,7 +605,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZIPF_SLOPE_SQL = f"""
-WITH w AS (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+WITH w AS (SELECT source, {tokens_sql('text')} AS ws
            FROM documents),
 toks AS (
   SELECT source, ws[i] AS w
