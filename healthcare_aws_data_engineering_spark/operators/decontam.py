@@ -96,10 +96,11 @@ def decontaminate(
 # SQL functions, so the bitset is built from public primitives: k
 # xxhash64 positions per shingle, bit_or-folded into 64-bit words, then
 # densified IN-PLAN (map_from_entries + transform(sequence(...))) into a
-# single array<long> row that broadcasts as a fixed-size scalar. No
-# driver-side bitset assembly; the only driver value is the eval
-# shingle COUNT that sizes the filter (a bounded scalar, same class as
-# the CC convergence counters).
+# single array<long> row that broadcasts as a fixed-size scalar. The
+# ASSEMBLY is distributed (two bounded aggregations); the finished
+# one-row bitset is then fetched to the driver — the identical bytes the
+# broadcast ships from the driver regardless — so the eval-shingle cache
+# can be released eagerly instead of leaking per call.
 BLOOM_FPP = 0.01
 
 
@@ -127,7 +128,7 @@ def _bloom_positions(shingle: Column, m: int, k: int) -> Column:
 def bloom_bitset(shingles: DataFrame, m: int, k: int) -> DataFrame:
     """ONE-row DataFrame ``bitset: array<long>`` (m/64 words) over the
     distinct ``shingle`` column — built with two bounded aggregations
-    (≤m/64 groups), densified in-plan, never collected."""
+    (≤m/64 groups), densified in-plan."""
     words = (
         shingles.select(
             F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")
@@ -209,13 +210,24 @@ def bloom_decontaminate(
         .distinct()
         .withColumn("hit", F.lit(1))
         # read three times (count, bitset build, verification join) and
-        # bounded by the eval set — persist, don't recompute the explode
+        # bounded by the eval set — persist for the two EAGER reads below,
+        # released before return (r6 verdict: a long-lived session must not
+        # accumulate one cached eval set per call)
         .persist()
     )
     # bounded driver scalar: eval sets are benchmarks, never corpus-scale
     n_eval = eval_shingles.count()
     m, k = _bloom_geometry(n_eval, fpp)
-    bitset = bloom_bitset(eval_shingles, m, k)
+    # Materialize the one-row bitset NOW (m/64 longs — the exact bytes the
+    # broadcast ships from the driver anyway, so collecting it first adds
+    # no new driver liability), then drop the eval cache. The verification
+    # join below recomputes the eval slice once, lazily — one benchmark-
+    # sized pass, noise next to the corpus-side scan it guards.
+    bitset_plan = bloom_bitset(eval_shingles, m, k)
+    bitset = docs.sparkSession.createDataFrame(
+        bitset_plan.collect(), bitset_plan.schema
+    )
+    eval_shingles.unpersist()
 
     train = base.filter(F.col("bucket") >= eval_pct).select(
         "doc_id", F.explode("shingles").alias("shingle")

@@ -710,3 +710,22 @@ def test_bloom_decontaminate_equals_exact(spark):
     b = sorted(map(tuple, bloom_decontaminate(docs).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_bloom_decontaminate_releases_its_cache(spark):
+    """r6 verdict #4: repeated calls in a long-lived session must not
+    accumulate one persisted eval-shingle set per call — the operator
+    returns with nothing left in the persistent-RDD registry (beyond
+    whatever the session already had)."""
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        bloom_decontaminate,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = bloom_decontaminate(docs)
+    assert jsc.getPersistentRDDs().size() == before  # eager phase released it
+    assert out.count() > 0  # lazy verify leg recomputes, no cache needed
+    assert jsc.getPersistentRDDs().size() == before
