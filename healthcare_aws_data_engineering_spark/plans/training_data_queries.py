@@ -1127,36 +1127,119 @@ def domain_cap_topk(
 # comparison cum*DEN <= total*NUM keeps the keep decision exact on both
 # engines — no double threshold.
 TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 1, 2
-N_QUALITY_BUCKETS = 256
+MIN_QUALITY_BUCKETS = 256       # the r4–r6 gate constant, now the floor
+TARGET_BUCKET_ROWS = 100_000    # aim: rows per within-bucket window partition
+GUARD_MIN_BUCKET_ROWS = 1_000_000  # any bucket under this sorts fine on 1 task
+GUARD_BUCKET_FRACTION = 16      # above the floor, >n/16 in ONE bucket = degenerate
 
 
-def two_phase_cum_tokens(stats: DataFrame) -> DataFrame:
+def quality_buckets_for(n_rows: int, target: int = TARGET_BUCKET_ROWS) -> int:
+    """Bucket count for the two-phase prefix sum so the EXPECTED
+    within-bucket window partition is ≈ ``target`` rows: ``ceil(n /
+    target)``, floored at the gate grid (256) and rounded up to a power
+    of two so bucket grids NEST as corpora grow (a doc's bucket at 2B is
+    a refinement of its bucket at B — replays stay comparable).
+
+    The prefix-sum twin of :func:`~..operators.similarity.cells_for`
+    (r6 verdict #2): a bucket count pinned for the gate corpus re-creates
+    the single-task sort at 1000× — n=60k → 256; n=1e9 → 16384;
+    n=1e11 → 2²⁰. Derivation bounds the EXPECTED partition; the
+    DISTRIBUTION is guarded in-plan (see :func:`two_phase_cum_tokens`)."""
+    import math
+
+    b = max(MIN_QUALITY_BUCKETS, math.ceil(max(n_rows, 1) / target))
+    return 1 << (b - 1).bit_length()
+
+
+def two_phase_cum_tokens(
+    stats: DataFrame,
+    n_buckets: int | None = None,
+    n_rows: int | None = None,
+    max_bucket_rows: int | None = None,
+) -> DataFrame:
     """Exact global running token total over (quality DESC, doc_id ASC)
     WITHOUT a single-partition window — see :func:`q_token_budget_fill`.
     Input: ``doc_id, quality, n_tokens``; output adds ``cum_tokens`` and
-    ``__total`` (the corpus token total, same value on every row)."""
+    ``__total`` (the corpus token total, same value on every row).
+
+    ``n_buckets`` defaults to :func:`quality_buckets_for` over ``n_rows``
+    (pass the cheap parquet-metadata count; falls back to counting
+    ``stats`` — one extra pass — when neither is given). Bucketing by
+    ``floor(quality·B)`` only bounds partitions if quality SPREADS across
+    buckets: a corpus where one value dominates (a default score,
+    post-filter mass at 1.0) concentrates into ONE bucket partition and
+    re-creates the single-task sort this operator exists to avoid — so
+    the bucket table carries an IN-PLAN loud guard (zero extra passes):
+    any bucket holding more than ``max_bucket_rows`` (default
+    ``max(GUARD_MIN_BUCKET_ROWS, n/GUARD_BUCKET_FRACTION)``) raises with
+    the bucket id and count instead of silently serializing. Remedies:
+    raise ``n_buckets``, recurse the two-phase split inside the fat
+    bucket, or tiebreak/jitter the degenerate quality score."""
     from pyspark.sql import Window as _W
 
+    if n_buckets is None:
+        n_buckets = quality_buckets_for(
+            n_rows if n_rows is not None else stats.count()
+        )
     staged = stats.withColumn(
         "__b",
         F.least(
-            F.floor(F.col("quality") * N_QUALITY_BUCKETS),
-            F.lit(N_QUALITY_BUCKETS - 1),
+            F.floor(F.col("quality") * n_buckets),
+            F.lit(n_buckets - 1),
         ).cast("int"),
     )
-    per_bucket = staged.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    per_bucket = staged.groupBy("__b").agg(
+        F.sum("n_tokens").alias("__bt"),
+        F.count(F.lit(1)).alias("__bn"),
+    )
     # ≤B rows: the unpartitioned window here is bounded by the bucket
     # count, never the corpus.
     w_all = _W.orderBy(F.col("__b").desc())
+    w_full = w_all.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    threshold = (
+        F.lit(max_bucket_rows).cast("long")
+        if max_bucket_rows is not None
+        else F.greatest(
+            F.lit(GUARD_MIN_BUCKET_ROWS).cast("long"),
+            F.ceil(
+                F.sum("__bn").over(w_full) / F.lit(GUARD_BUCKET_FRACTION)
+            ).cast("long"),
+        )
+    )
+    # The guard rides the __prefix expression (adds 0 when healthy) so
+    # column pruning can never drop it from the executed plan.
+    guard = (
+        F.when(
+            F.col("__bn") > threshold,
+            F.raise_error(
+                F.concat(
+                    F.lit("two_phase_cum_tokens: quality bucket "),
+                    F.col("__b").cast("string"),
+                    F.lit(" holds "),
+                    F.col("__bn").cast("string"),
+                    F.lit(" rows (> guard "),
+                    threshold.cast("string"),
+                    F.lit(
+                        ") — degenerate quality distribution at this grid;"
+                        " raise n_buckets, recurse the split inside the fat"
+                        " bucket, or tiebreak the dominant quality value"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     prefixed = per_bucket.select(
         "__b",
-        F.coalesce(
-            F.sum("__bt").over(w_all.rowsBetween(_W.unboundedPreceding, -1)),
-            F.lit(0),
+        (
+            F.coalesce(
+                F.sum("__bt").over(w_all.rowsBetween(_W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + guard
         ).alias("__prefix"),
-        F.sum("__bt")
-        .over(w_all.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
-        .alias("__total"),
+        F.sum("__bt").over(w_full).alias("__total"),
     )
     w_in = (
         _W.partitionBy("__b")
@@ -1181,15 +1264,17 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort key) aggregate to a ≤B-row table whose window pass is
     bounded by B, not the corpus; (2) each doc's exact cum_tokens =
     its bucket's prefix (broadcast join) + a within-bucket running sum
-    (window partitioned by bucket, ~1/B of the corpus per partition;
-    grow B with the corpus, or recurse, to bound partition size).
-    Output: ``doc_id, quality, n_tokens, cum_tokens, keep`` — identical
-    to the naive global window (test- and hypothesis-pinned via
-    :func:`two_phase_cum_tokens`)."""
+    (window partitioned by bucket, ~1/B of the corpus per partition).
+    B derives from the corpus row count (:func:`quality_buckets_for` —
+    parquet-metadata count, no data scan) and a degenerate quality
+    distribution fails loudly in-plan instead of serializing (r6
+    verdict #2). Output: ``doc_id, quality, n_tokens, cum_tokens,
+    keep`` — identical to the naive global window (test- and
+    hypothesis-pinned via :func:`two_phase_cum_tokens`)."""
     stats = T.text_stats(_docs(spark, sf_dir)).select(
         "doc_id", "quality", "n_tokens"
     )
-    cum = two_phase_cum_tokens(stats)
+    cum = two_phase_cum_tokens(stats, n_rows=_docs(spark, sf_dir).count())
     return cum.select(
         "doc_id",
         "quality",

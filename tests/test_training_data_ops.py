@@ -821,6 +821,69 @@ def test_two_phase_cum_property_random_distributions(spark):
     check()
 
 
+def test_quality_buckets_for_derivation():
+    """r6 verdict #2: the bucket count is DERIVED (cells_for recipe) —
+    gate floor at 256, linear growth with the corpus, power-of-two
+    rounding so grids nest across scales."""
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        MIN_QUALITY_BUCKETS,
+        TARGET_BUCKET_ROWS,
+        quality_buckets_for,
+    )
+
+    assert quality_buckets_for(0) == MIN_QUALITY_BUCKETS
+    assert quality_buckets_for(60_000) == MIN_QUALITY_BUCKETS  # gate scale
+    b1e9 = quality_buckets_for(1_000_000_000)
+    assert b1e9 == 16384  # ceil(1e9/1e5)=10000 → next pow2
+    assert quality_buckets_for(10**11) == 2**20
+    # monotone, power-of-two, and expected partition stays bounded
+    prev = 0
+    for n in (10**5, 10**6, 10**7, 10**8, 10**9, 10**10):
+        b = quality_buckets_for(n)
+        assert b >= prev and b & (b - 1) == 0
+        assert n / b <= 2 * TARGET_BUCKET_ROWS  # pow2 rounding halves at worst
+        prev = b
+
+
+def test_two_phase_cum_tokens_degenerate_quality_fails_loudly(spark):
+    """A corpus whose quality mass sits on ONE value concentrates into a
+    single bucket partition — the in-plan guard must raise (naming the
+    bucket), never silently serialize the within-bucket window."""
+    import pytest as _pytest
+
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        two_phase_cum_tokens,
+    )
+
+    dominant = spark.createDataFrame(
+        [Row(doc_id=i, quality=1.0, n_tokens=10) for i in range(200)]
+    )
+    bad = two_phase_cum_tokens(dominant, n_buckets=256, max_bucket_rows=100)
+    with _pytest.raises(Exception, match="two_phase_cum_tokens: quality bucket"):
+        bad.collect()
+    # the same corpus passes when the guard admits the bucket — and the
+    # values are the plain cumsum (guard adds 0 on the healthy path)
+    ok = two_phase_cum_tokens(
+        dominant, n_buckets=256, max_bucket_rows=200
+    ).orderBy("doc_id").collect()
+    assert [r.cum_tokens for r in ok] == [10 * (i + 1) for i in range(200)]
+
+
+def test_two_phase_cum_tokens_default_guard_quiet_on_spread_quality(spark):
+    """The derived default guard (max(1M, n/16)) must not fire on a
+    healthy spread — same fixture family as the property test."""
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        two_phase_cum_tokens,
+    )
+
+    data = [
+        Row(doc_id=i, quality=(i % 33) / 32.0, n_tokens=i % 7)
+        for i in range(500)
+    ]
+    out = two_phase_cum_tokens(spark.createDataFrame(data), n_buckets=256)
+    assert out.count() == 500
+
+
 def test_domain_cap_topk_matches_exact_window(spark):
     """The salted two-stage top-k (the hot-domain escape hatch) must
     select exactly the docs the exact per-source window keeps, with the
