@@ -1018,52 +1018,54 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r6 rotation (r5 verdict ask #2): after r5,
-# verdict freshness is r5×49 / r4×50 / r3×20 (skew_audit red) — so the
-# checked prefix is now
-#   1. the 20 queries whose latest driver verdict is r3 (3 rounds stale
-#      after r6 otherwise — the whole of r5's _CHECK_NEXT);
-#   2. the queries changed or added THIS round: skew_audit (oracle
-#      HUGEINT fix — the board's only red, must go green), dsir_select
-#      and zipf_slope (oracle tokenizer fix), cluster_split (broadcast
-#      hint removed), and the seven NEW r6 queries (salted_agg,
-#      domain_cap, token_budget_fill, dedup_weighted, bloom_decontam,
-#      doc_attributes, training_order);
-#   3. the most complex r4-green queries fill the remaining slots
-#      (complex first per the r5 verdict: ML chain, reports,
-#      dedup/CC/ANN pipelines, etl_*).
-# _CHECK_NEXT holds the rest of the r4-green set — first in line for
-# the r7 prefix, so no entry's verdict goes 3 rounds stale.
+# most need a fresh verdict. r7 rotation (r6 verdict ask #1): after r6
+# the freshness map is r6×50 / r5×46 / r4×31 — the checked prefix is
+#   1. all 31 queries whose latest driver verdict is r4 (3 rounds stale
+#      after r7 otherwise — exactly r6's _CHECK_NEXT plus its head);
+#   2. the queries CHANGED this round, which need fresh verdicts on the
+#      new semantics: the tokenizer unification (r6 verdict ask #5 —
+#      every word-level query now rides operators/text.py
+#      tokens()/tokens_sql(): mix_weights, source_overlap,
+#      heavy_hitters, word_bigrams, dup_ngrams, shingle_novelty,
+#      source_terms, length_buckets, dataset_card, ppjoin_pairs,
+#      quality_classifier; vocab_topk/shard_manifest/incremental_dedup
+#      are already in set 1), the derived-B + in-plan guard prefix sum
+#      (token_budget_fill, ask #2), and the eager-released eval cache
+#      (bloom_decontam, ask #4);
+#   3. the 6 oldest r5-green rows fill the remaining slots.
+# _CHECK_NEXT holds the rest of the r5-green set (34 rows) — the whole
+# of it is due in the r8 prefix, so no entry's verdict goes 3 rounds
+# stale.
 _CHECK_FIRST = [
-    # (1) latest verdict r3 — positions 1-20
-    "dataset_card", "nation_trade", "zscore_outliers", "revenue_share",
-    "importance_sample", "shingle_novelty", "word_bigrams",
-    "source_overlap", "promo_revenue", "bracket_revenue",
-    "dist_summary", "pii_redact", "doc_chunks", "json_props",
-    "length_buckets", "shipping_priority", "order_priority",
-    "returned_items", "large_orders", "dormant_customers",
-    # (2) changed/added in r6 — positions 21-31
-    "skew_audit", "dsir_select", "zipf_slope", "cluster_split",
-    "salted_agg", "domain_cap", "token_budget_fill", "dedup_weighted",
-    "bloom_decontam", "doc_attributes", "training_order",
-    # (3) most complex of the r4-green set — positions 32-50
-    "ml_risk_scores", "ml_preprocess", "report_cvd", "report_prediabetes",
-    "dup_clusters", "graph_pagerank", "corpus_curation", "knn_graph",
-    "dedup_minhash_lsh", "etl_patients", "etl_observations",
-    "etl_encounters", "etl_conditions", "embedding_near_dup",
-    "ann_ivf_topk", "ann_lsh_topk", "ann_cosine_topk", "wellness_monthly",
-    "ml_features",
-]
-# the r4-green queries not in the prefix: next in line for r7.
-_CHECK_NEXT = [
-    "incremental_dedup", "forecast", "sessionize", "semi_anti_join", "set_ops", "severity_topk",
+    # (1) latest verdict r4 — positions 1-31
     "asof_join", "basket_pairs", "bm25_search", "decontaminate",
-    "dedup_simhash", "disease_confidence", "distinct_sketch", "funnel",
-    "gap_fill", "height_weight_bmi", "hist_quantiles", "lm_score",
-    "media_stats", "ngram_jaccard", "pack_sequences", "profile_columns",
-    "range_join", "repetition_filter", "rolling_avg", "shard_manifest",
-    "split_assign", "stratified_sample", "time_rollup", "unpivot_wide",
-    "vocab_topk",
+    "dedup_simhash", "disease_confidence", "distinct_sketch", "forecast",
+    "funnel", "gap_fill", "height_weight_bmi", "hist_quantiles",
+    "incremental_dedup", "lm_score", "media_stats", "ngram_jaccard",
+    "pack_sequences", "profile_columns", "range_join",
+    "repetition_filter", "rolling_avg", "semi_anti_join", "sessionize",
+    "set_ops", "severity_topk", "shard_manifest", "split_assign",
+    "stratified_sample", "time_rollup", "unpivot_wide", "vocab_topk",
+    # (2) changed in r7 — positions 32-44
+    "mix_weights", "source_overlap", "heavy_hitters", "word_bigrams",
+    "dup_ngrams", "shingle_novelty", "source_terms", "length_buckets",
+    "dataset_card", "ppjoin_pairs", "quality_classifier",
+    "token_budget_fill", "bloom_decontam",
+    # (3) oldest r5-green fills — positions 45-50
+    "ann_multiprobe_topk", "bpe_pair_counts", "rrf_fusion",
+    "hard_negatives", "quality_calibrated", "etl_obs_choice",
+]
+# the r5-green queries not in the prefix: the whole r8 prefix head.
+_CHECK_NEXT = [
+    "ann_pq_topk", "attribution", "between_filter", "cohort_retention",
+    "cube_summary", "curriculum_stages", "daily_latest",
+    "debounce_events", "dedup_exact", "doc_fingerprint", "drift_monitor",
+    "eval_draw", "event_paths", "filtered_count", "first_last_delta",
+    "frame_sample", "frequency_count", "fuzzy_match", "int8_quantize",
+    "isin_filter", "k_anonymity", "keyed_dedup", "latest_per_key",
+    "linear_trend", "media_features", "pricing_summary", "rank_windows",
+    "revenue_by_nation", "rfm_segments", "scd2_history",
+    "semantic_dedup", "span_dedup", "text_stats", "top3_per_group",
 ]
 _CHECK_LAST: list[str] = []
 
