@@ -72,6 +72,24 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Curation composites all start from the same text_stats staging. At
+# 100 TB you run the tagger pass ONCE per corpus snapshot
+# (operators.text.doc_attributes → parquet) and every downstream
+# composite reads slim attribute rows instead of re-deriving the text
+# projection — set this conf to that table's path to switch every
+# composite onto it. doc_attributes is a column superset of text_stats
+# and test-pinned equal on the shared columns, so results are identical
+# by construction (pinned again end-to-end in test_training_data_ops).
+ATTRS_PATH_CONF = "spark.graft.attributesPath"
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
+    path = spark.conf.get(ATTRS_PATH_CONF, "")
+    if path:
+        return spark.read.parquet(path).select(*cols)
+    return T.text_stats(_docs(spark, sf_dir)).select(*cols)
+
+
 # ----------------------------------------------------------------- queries --
 
 
@@ -311,8 +329,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti join broadcasts (AQE); the final rollup is ONE shuffle on
     (split, lang)."""
     docs = _docs(spark, sf_dir)
-    stats = T.text_stats(docs).select(
-        "doc_id", "lang", "source", "n_tokens", "quality"
+    stats = _doc_stats(
+        spark, sf_dir, ["doc_id", "lang", "source", "n_tokens", "quality"]
     )
     kept = stats.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
     pairs = D.minhash_lsh_pairs(
@@ -942,7 +960,7 @@ def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast per source — same keep semantics, no full sort)."""
     from pyspark.sql import Window as _W
 
-    stats = T.text_stats(_docs(spark, sf_dir)).select("doc_id", "source", "quality")
+    stats = _doc_stats(spark, sf_dir, ["doc_id", "source", "quality"])
     win = _W.partitionBy("source").orderBy(
         F.col("quality").asc(), F.col("doc_id").asc()
     )
@@ -1052,9 +1070,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-facing form produces)."""
     from pyspark.sql import Window as _W
 
-    stats = T.text_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "source", "quality"
-    )
+    stats = _doc_stats(spark, sf_dir, ["doc_id", "source", "quality"])
     w = _W.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
@@ -1271,9 +1287,7 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict #2). Output: ``doc_id, quality, n_tokens, cum_tokens,
     keep`` — identical to the naive global window (test- and
     hypothesis-pinned via :func:`two_phase_cum_tokens`)."""
-    stats = T.text_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "quality", "n_tokens"
-    )
+    stats = _doc_stats(spark, sf_dir, ["doc_id", "quality", "n_tokens"])
     cum = two_phase_cum_tokens(stats, n_rows=_docs(spark, sf_dir).count())
     return cum.select(
         "doc_id",

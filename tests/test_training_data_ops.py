@@ -884,6 +884,45 @@ def test_two_phase_cum_tokens_default_guard_quiet_on_spread_quality(spark):
     assert out.count() == 500
 
 
+def test_composites_read_materialized_attribute_table(spark, tmp_path):
+    """r6 verdict optional #8: with spark.graft.attributesPath pointing
+    at a doc_attributes parquet (the once-per-snapshot tagger pass),
+    every text_stats-staged composite reads slim attribute rows instead
+    of re-deriving the text projection — and returns IDENTICAL rows."""
+    from conftest import plan_string
+    from healthcare_aws_data_engineering_spark.operators.text import (
+        doc_attributes,
+    )
+    from healthcare_aws_data_engineering_spark.plans import (
+        training_data_queries as tq,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    composites = [
+        tq.q_corpus_curation,
+        tq.q_quality_calibrated,
+        tq.q_domain_cap,
+        tq.q_token_budget_fill,
+    ]
+    fresh = [sorted(map(tuple, q(spark, sf).collect())) for q in composites]
+
+    attrs_path = str(tmp_path / "attributes.parquet")
+    doc_attributes(load_table(spark, sf, "documents")).drop("text").write.parquet(
+        attrs_path
+    )
+    spark.conf.set(tq.ATTRS_PATH_CONF, attrs_path)
+    try:
+        for q, want in zip(composites, fresh):
+            got = sorted(map(tuple, q(spark, sf).collect()))
+            assert got == want, q.__name__
+        # the staging really is the attribute table, not a re-derivation
+        plan = plan_string(tq.q_domain_cap(spark, sf))
+        assert "attributes.parquet" in plan
+    finally:
+        spark.conf.unset(tq.ATTRS_PATH_CONF)
+
+
 def test_domain_cap_topk_matches_exact_window(spark):
     """The salted two-stage top-k (the hot-domain escape hatch) must
     select exactly the docs the exact per-source window keeps, with the
