@@ -85,8 +85,11 @@ def curate(spark, sf_dir: str):
     stats["after_domain_cap"] = selected.count()
 
     # 4. token budget: half the surviving token mass, best-quality first
+    # (n_rows: reuse the count stage 3 already materialized — the bucket
+    # count derives from it without re-evaluating the selection chain)
     cum = two_phase_cum_tokens(
-        selected.select("doc_id", "quality", "n_tokens")
+        selected.select("doc_id", "quality", "n_tokens"),
+        n_rows=stats["after_domain_cap"],
     )
     kept = cum.filter(
         F.col("cum_tokens") * TOKEN_BUDGET_DEN

@@ -90,6 +90,32 @@ def _doc_stats(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     return T.text_stats(_docs(spark, sf_dir)).select(*cols)
 
 
+# The second shared staging: the verified near-dup cluster table
+# (q_dup_clusters' output shape — doc_id, cluster_id, cluster_size,
+# is_keeper; singletons absent by contract). dedup_weighted,
+# cluster_split and corpus_curation each consume it; like the attribute
+# table, a 100 TB pipeline builds it ONCE per snapshot and the
+# composites read the pair-sized result instead of re-running
+# LSH → Jaccard → connected components per query.
+CLUSTERS_PATH_CONF = "spark.graft.clustersPath"
+
+
+def _dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = spark.conf.get(CLUSTERS_PATH_CONF, "")
+    if path:
+        return spark.read.parquet(path)
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
+    )
+    verified = (
+        D.ngram_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    return G.dup_clusters(verified)
+
+
 # ----------------------------------------------------------------- queries --
 
 
@@ -160,15 +186,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: LSH candidates → exact-Jaccard verification →
     distributed connected components (min-label propagation,
     ``operators/graph.py``) → one canonical keeper per component. The
-    full dedup deliverable, end to end."""
-    docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(docs, num_perm=6, bands=3, backend="md5", max_bucket=50)
-    verified = (
-        D.ngram_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
-        .select("doc_a", "doc_b")
-    )
-    return G.dup_clusters(verified)
+    full dedup deliverable, end to end (or the persisted copy when
+    ``spark.graft.clustersPath`` is set — see :func:`_dup_cluster_table`)."""
+    return _dup_cluster_table(spark, sf_dir)
 
 
 # Oracle: same verified pairs, then transitive closure as a recursive CTE
@@ -229,15 +249,7 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cluster_split` r6 lesson). Output: ``doc_id, cluster_id,
     n_near_dups, weight`` with sum(weight) == 1.0 per cluster."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
-    )
-    verified = (
-        D.ngram_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
-        .select("doc_a", "doc_b")
-    )
-    clusters = G.dup_clusters(verified).select(
+    clusters = _dup_cluster_table(spark, sf_dir).select(
         "doc_id", "cluster_id", "cluster_size"
     )
     return (
@@ -275,15 +287,7 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     are their own unit. Same md5 'split#' bucketing as split_assign, so
     the 80/10/10 shares and determinism carry over."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
-    )
-    verified = (
-        D.ngram_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
-        .select("doc_a", "doc_b")
-    )
-    clusters = G.dup_clusters(verified).select("doc_id", "cluster_id")
+    clusters = _dup_cluster_table(spark, sf_dir).select("doc_id", "cluster_id")
     # No broadcast hint: the cluster table holds one row per document in
     # any verified near-dup pair — at web-crawl dup rates (30%+ of docs)
     # that is corpus-fraction-sized, and a forced broadcast OOMs every
@@ -328,20 +332,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces a loser set that is tiny relative to the corpus, so the
     left-anti join broadcasts (AQE); the final rollup is ONE shuffle on
     (split, lang)."""
-    docs = _docs(spark, sf_dir)
     stats = _doc_stats(
         spark, sf_dir, ["doc_id", "lang", "source", "n_tokens", "quality"]
     )
     kept = stats.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_perm=6, bands=3, backend="md5", max_bucket=50
+    losers = (
+        _dup_cluster_table(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
     )
-    verified = (
-        D.ngram_jaccard(docs, pairs)
-        .filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
-        .select("doc_a", "doc_b")
-    )
-    losers = G.dup_clusters(verified).filter(~F.col("is_keeper")).select("doc_id")
     curated = with_split(kept.join(losers, "doc_id", "left_anti"), "source")
     return curated.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -923,6 +923,39 @@ def test_composites_read_materialized_attribute_table(spark, tmp_path):
         spark.conf.unset(tq.ATTRS_PATH_CONF)
 
 
+def test_composites_read_materialized_cluster_table(spark, tmp_path):
+    """Same seam for the second shared staging: the verified near-dup
+    cluster table. With spark.graft.clustersPath set, dedup_weighted /
+    cluster_split / corpus_curation / dup_clusters read the persisted
+    pair-sized table instead of re-running LSH→Jaccard→CC — identical
+    rows, plan provably reading the parquet."""
+    from conftest import plan_string
+    from healthcare_aws_data_engineering_spark.plans import (
+        training_data_queries as tq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    composites = [
+        tq.q_dup_clusters,
+        tq.q_dedup_weighted,
+        tq.q_cluster_split,
+        tq.q_corpus_curation,
+    ]
+    fresh = [sorted(map(tuple, q(spark, sf).collect())) for q in composites]
+
+    clusters_path = str(tmp_path / "clusters.parquet")
+    tq.q_dup_clusters(spark, sf).write.parquet(clusters_path)
+    spark.conf.set(tq.CLUSTERS_PATH_CONF, clusters_path)
+    try:
+        for q, want in zip(composites, fresh):
+            got = sorted(map(tuple, q(spark, sf).collect()))
+            assert got == want, q.__name__
+        plan = plan_string(tq.q_cluster_split(spark, sf))
+        assert "clusters.parquet" in plan
+    finally:
+        spark.conf.unset(tq.CLUSTERS_PATH_CONF)
+
+
 def test_domain_cap_topk_matches_exact_window(spark):
     """The salted two-stage top-k (the hot-domain escape hatch) must
     select exactly the docs the exact per-source window keeps, with the

@@ -1,12 +1,13 @@
-"""Composite-suite delta from a materialized attribute table (r6
-verdict optional #8).
+"""Composite-suite delta from materialized shared staging (r6 verdict
+optional #8).
 
-Times the four text_stats-staged curation composites twice at the given
-SF: (a) deriving the staging from raw text per query — the driver-gate
-shape — and (b) reading a doc_attributes parquet via
-``spark.graft.attributesPath`` — the once-per-snapshot tagger-pass shape
-a 100 TB pipeline runs. Also reports the one-off cost of materializing
-the attribute table. Results recorded in BASELINE.md.
+Times the curation composites three ways at the given SF: (a) deriving
+every staging from raw text per query — the driver-gate shape; (b) with
+a doc_attributes parquet via ``spark.graft.attributesPath``; (c) with
+BOTH the attribute table and the near-dup cluster table
+(``spark.graft.clustersPath``) — the once-per-snapshot tagger+dedup
+shape a 100 TB pipeline runs. Also reports the one-off materialization
+costs. Results recorded in BASELINE.md.
 
 Run: python tools/attrs_delta_probe.py [sf_dir]   # default sf0.1
 """
@@ -33,6 +34,8 @@ COMPOSITES = {
     "quality_calibrated": tq.q_quality_calibrated,
     "domain_cap": tq.q_domain_cap,
     "token_budget_fill": tq.q_token_budget_fill,
+    "dedup_weighted": tq.q_dedup_weighted,
+    "cluster_split": tq.q_cluster_split,
 }
 
 
@@ -68,11 +71,22 @@ def main() -> int:
     ).write.parquet(attrs_path)
     tagger_sec = round(time.perf_counter() - t0, 2)
 
+    clusters_path = f"{tmp}/clusters.parquet"
+    t0 = time.perf_counter()
+    tq.q_dup_clusters(spark, sf_dir).write.parquet(clusters_path)
+    dedup_sec = round(time.perf_counter() - t0, 2)
+
     spark.conf.set(tq.ATTRS_PATH_CONF, attrs_path)
     try:
         staged = run_suite(spark, sf_dir)
+        spark.conf.set(tq.CLUSTERS_PATH_CONF, clusters_path)
+        both = run_suite(spark, sf_dir)
     finally:
         spark.conf.unset(tq.ATTRS_PATH_CONF)
+        try:
+            spark.conf.unset(tq.CLUSTERS_PATH_CONF)
+        except Exception:
+            pass
         shutil.rmtree(tmp, ignore_errors=True)
 
     print(
@@ -80,10 +94,13 @@ def main() -> int:
             {
                 "sf_dir": sf_dir,
                 "tagger_pass_sec": tagger_sec,
+                "dedup_pass_sec": dedup_sec,
                 "fresh_sec": fresh,
                 "attrs_sec": staged,
+                "attrs_plus_clusters_sec": both,
                 "fresh_total": round(sum(fresh.values()), 2),
                 "attrs_total": round(sum(staged.values()), 2),
+                "attrs_plus_clusters_total": round(sum(both.values()), 2),
             }
         ),
         flush=True,
