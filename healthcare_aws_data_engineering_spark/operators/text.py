@@ -25,6 +25,16 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 WORD_SPLIT_RE = r"\s+"
 
+# Java's \s (Spark) is [ \t\n\x0B\f\r]; RE2's \s (DuckDB) is [ \t\n\f\r]
+# — VERTICAL TAB is the one ASCII whitespace the engines disagree on
+# (empirically mapped in tests/test_tokenizer.py). Oracle SQL must
+# therefore spell the Java class explicitly instead of writing '\s';
+# same for the negated punctuation class. Unicode whitespace (nbsp &c.)
+# is a non-issue: neither engine's \s matches it.
+WORD_SPLIT_RE_SQL = r"[ \t\n\v\f\r]+"
+PUNCT_RE = r"[^\w\s]"
+PUNCT_RE_SQL = r"[^\w \t\n\v\f\r]"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (empty array for empty/null
@@ -49,12 +59,14 @@ def token_count(text: Column) -> Column:
 
 def tokens_sql(col: str = "text") -> str:
     """DuckDB oracle twin of :func:`tokens` — render THIS into every oracle
-    that tokenizes, so the split regex can never drift between engines.
+    that tokenizes, so the split regex can never drift between engines
+    (the class literal matches Java's \\s INCLUDING vertical tab, which
+    RE2's \\s omits — see WORD_SPLIT_RE_SQL).
 
     Same caveat as the Spark side: both engines yield ``['']`` (length 1)
     for empty/whitespace-only text, so COUNTS must go through
     :func:`token_count_sql`, which guards that case to 0."""
-    return rf"string_split_regex(trim({col}), '\s+')"
+    return f"string_split_regex(trim({col}), '{WORD_SPLIT_RE_SQL}')"
 
 
 def token_count_sql(col: str = "text") -> str:

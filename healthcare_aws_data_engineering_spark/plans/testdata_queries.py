@@ -43,7 +43,10 @@ EVENTS_T2D_URINE_KEYS = ("view", "error")
 # props is a tiny JSON doc '{"k": NN}'; derive a qualitative result string
 # from k the same way on both engines (exercises LOWER(TRIM(...)) + IN-list
 # normalization of Athena_queries_for_reports.sql:106-108,134-140).
-_K_REGEX = r'"k":\s*(\d+)'
+# \s* would diverge on a vertical tab between ':' and the digits —
+# Java's \s includes \x0B, RE2's doesn't (see operators/text.py). The
+# explicit class keeps both engines on the identical set.
+_K_REGEX = r'"k":[ \t\n\v\f\r]*(\d+)'
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,10 +67,10 @@ def _qualitative_value_string(props) -> F.Column:
     )
 
 
-_QUAL_SQL = """CASE
-      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 25 THEN 'Negative'
-      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 50 THEN '  Trace '
-      WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 75 THEN 'POSITIVE'
+_QUAL_SQL = r"""CASE
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 25 THEN 'Negative'
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 50 THEN '  Trace '
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 75 THEN 'POSITIVE'
       ELSE 'neg' END"""
 
 

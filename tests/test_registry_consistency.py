@@ -96,6 +96,20 @@ def test_no_oracle_tokenizes_on_single_space_where_spark_uses_regex():
     assert not bad, f"single-space oracles paired with regex-split Spark ops: {bad}"
 
 
+def test_no_oracle_uses_backslash_s():
+    r"""r7 lint: Java's \s (Spark) includes vertical tab \x0B, RE2's \s
+    (DuckDB) does not — so ANY '\s' in oracle SQL is a latent
+    cross-engine divergence waiting for the first \x0B in a document
+    (empirically mapped in tests/test_tokenizer.py). Oracles must spell
+    the Java class explicitly: [ \t\n\v\f\r] (see
+    operators/text.py::WORD_SPLIT_RE_SQL / PUNCT_RE_SQL)."""
+    import re
+
+    _, oracle, _, _ = _registry()
+    bad = sorted(k for k, sql in oracle.items() if re.search(r"\\s", sql))
+    assert not bad, f"oracles containing a bare \\s regex class: {bad}"
+
+
 def test_no_oracle_carries_bare_long_float_literals():
     """Literal parse-path lint (r6): DuckDB parses a bare high-precision
     decimal literal as DECIMAL, and its DECIMAL->DOUBLE conversion is

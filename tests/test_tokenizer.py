@@ -31,7 +31,10 @@ from healthcare_aws_data_engineering_spark.operators.text import (
 )
 
 # The whitespace gauntlet: every shape that distinguishes split(' ')
-# from trim+\s+.
+# from trim+\s+, PLUS the engine-divergence probes — vertical tab \x0B
+# is in Java's \s but NOT in RE2's (the reason oracles spell the class
+# out, operators/text.py::WORD_SPLIT_RE_SQL), and \x1c / nbsp are
+# whitespace to Python but to NEITHER regex engine.
 GAUNTLET = [
     (1, "plain simple words"),
     (2, "tab\tseparated\ttokens"),
@@ -42,6 +45,9 @@ GAUNTLET = [
     (7, "   "),
     (8, "single"),
     (9, "newline\nseparated\nlines"),
+    (10, "vertical\x0btab\x0bsplits"),
+    (11, "a \x0b b"),
+    (12, "form\x0cfeed and\rcarriage"),
 ]
 
 
@@ -81,6 +87,33 @@ def test_duckdb_twins_match_spark(spark):
         assert n == s_n, (doc_id, ws, n, s_n)
         if n:
             assert ws == s_ws, (doc_id, ws, s_ws)
+
+
+def test_non_regex_whitespace_agrees_across_engines(spark):
+    r"""The documented contract edge: \x1c-\x1f and unicode spaces are
+    whitespace to Python's str.split() but to NEITHER regex engine —
+    both engines must agree with EACH OTHER (no split), which is what
+    the oracle gate needs; Python is not the spec for these."""
+    cases = [(1, "a\x1cb"), (2, "a\x1db"), (3, "a\u00a0b"), (4, "a\u2003b")]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ws, r.n)
+        for r in df.select(
+            "doc_id",
+            tokens(F.col("text")).alias("ws"),
+            token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    duck = con.execute(
+        f"SELECT doc_id, {tokens_sql('text')} AS ws, "
+        f"{token_count_sql('text')} AS n FROM t"
+    ).fetchall()
+    for doc_id, ws, n in duck:
+        assert (ws, n) == got[doc_id], (doc_id, ws, got[doc_id])
+        assert n == 1  # neither engine splits — one opaque token
 
 
 # ------------------------------------------------------------------------
