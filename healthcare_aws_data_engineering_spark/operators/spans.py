@@ -140,3 +140,129 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        md5(txt) AS dedup_fp
 FROM agg
 """
+
+
+# ----------------------------------------------------------------------
+# repeated_spans — the OVERLAPPING-window sibling of span_dedup: exact
+# maximal repeated substrings, reported (not removed).
+# ----------------------------------------------------------------------
+REP_SPAN_L = 8       # window length in tokens (stride 1)
+REP_MIN_COUNT = 2    # corpus-wide occurrences at/above which a window repeats
+
+
+def repeated_spans(
+    docs: DataFrame,
+    window: int = REP_SPAN_L,
+    min_count: int = REP_MIN_COUNT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated token spans — the streaming-hash rendition of
+    Lee et al.'s suffix-array substring dedup at word granularity:
+    every length-``window`` token window (STRIDE 1, unlike span_dedup's
+    fixed blocks) is hashed; windows occurring ≥ ``min_count`` times
+    corpus-wide (within-doc repeats count, as in the paper) mark their
+    positions; per document, overlapping/adjacent marked windows merge
+    into maximal spans (gaps-and-islands). Output one row per span:
+    ``doc_id, span_idx, start_tok, end_tok, span_tokens`` (end
+    exclusive; span_idx 1..k in position order). This names the exact
+    byte ranges a scrubber would cut — finer than span_dedup's block
+    grid, which misses duplicates straddling block boundaries.
+
+    Tokenizes through the SHARED tokenizer (operators/text.py): offsets
+    index the canonical token stream, no text is rebuilt, so the
+    reversible-segmentation exception does not apply here.
+
+    Scale shape (100 TB): the window explode is token-stream-sized — the
+    honest price of EXACT substring mining (a suffix array pays the same
+    linear term); rows are (doc_id, pos, 16-byte hash), never text. Then
+    ONE map-side-combined count by hash (Zipf head collapses before the
+    shuffle), one hash-keyed join back (uniform md5 keys, no skew), and
+    the island merge is a window over each doc's OWN marked positions —
+    bounded by document length, never corpus-sized partitions.
+    """
+    from .text import tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__ws")
+    ).filter(F.size("__ws") >= window)
+    wins = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__ws)-{window}),"
+                f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    repeated = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    marked = wins.join(repeated, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+    )
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("span_idx"),
+    )
+    return islands.groupBy("doc_id", "span_idx").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + window).cast("long").alias("end_tok"),
+        (F.max("pos") + window - F.min("pos")).cast("long").alias("span_tokens"),
+    )
+
+
+def repeated_spans_sql(
+    table: str = "documents",
+    window: int = REP_SPAN_L,
+    min_count: int = REP_MIN_COUNT,
+) -> str:
+    """DuckDB oracle twin of :func:`repeated_spans` (same shared-tokenizer
+    class, same island break rule)."""
+    from .text import tokens_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS ws FROM {table}
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:i + {window - 1}], ' ')) AS h
+  FROM t, unnest(generate_series(1, len(ws) - {window - 1})) AS u(i)
+  WHERE len(ws) >= {window}
+),
+rep AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= {min_count}),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN rep USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + {window}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+g AS (
+  SELECT doc_id, pos,
+    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS span_idx
+  FROM isl
+)
+SELECT doc_id, span_idx,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {window} AS BIGINT) AS end_tok,
+       CAST(MAX(pos) + {window} - MIN(pos) AS BIGINT) AS span_tokens
+FROM g GROUP BY doc_id, span_idx
+"""

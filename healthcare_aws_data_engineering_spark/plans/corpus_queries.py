@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.chunking import CHUNK_STRIDE, CHUNK_WINDOW, chunk_documents, chunk_sql
 from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters, cms_sql
-from ..operators.spans import SPAN_TOKENS, span_dedup, span_dedup_sql
+from ..operators.spans import (
+    SPAN_TOKENS,
+    repeated_spans,
+    repeated_spans_sql,
+    span_dedup,
+    span_dedup_sql,
+)
 from ..operators.text import token_count, token_count_sql, tokens, tokens_sql
 from ..sources.tables import load_table
 
@@ -33,6 +39,13 @@ from ..sources.tables import load_table
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(load_table(spark, sf_dir, "documents"), SPAN_TOKENS)
+
+
+# ---------------------------------------------------------- repeated_spans --
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_spans(load_table(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------------------------- doc_chunks --
@@ -645,6 +658,7 @@ FROM sums
 
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
+    "repeated_spans": q_repeated_spans,
     "doc_chunks": q_doc_chunks,
     "mix_weights": q_mix_weights,
     "source_overlap": q_source_overlap,
@@ -661,6 +675,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 CORPUS_ORACLE: dict[str, str] = {
     "span_dedup": span_dedup_sql(),
+    "repeated_spans": repeated_spans_sql(),
     "doc_chunks": chunk_sql(),
     "mix_weights": _MIX_WEIGHTS_SQL,
     "source_overlap": _SOURCE_OVERLAP_SQL,

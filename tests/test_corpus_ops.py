@@ -323,3 +323,102 @@ def test_zipf_slope_recovers_power_law_and_flat(spark):
     assert out["zipfy"].zipf_slope == pytest.approx(-1.0, abs=0.05)
     assert out["flat"].n_terms == 30
     assert out["flat"].zipf_slope == pytest.approx(0.0, abs=1e-6)
+
+
+# --------------------------------------------------------- repeated_spans --
+
+
+def _py_repeated_spans(rows, L, min_count):
+    """Reference model: hash-count stride-1 windows, mark positions of
+    windows repeating >= min_count corpus-wide (within-doc included),
+    merge overlapping/adjacent marked windows into maximal spans."""
+    wins: dict[str, int] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in rows:
+        ws = text.split()
+        for i in range(0, len(ws) - L + 1):
+            g = " ".join(ws[i : i + L])
+            wins[g] = wins.get(g, 0) + 1
+            per_doc.setdefault(doc_id, []).append((i, g))
+    out = {}
+    for doc_id, lst in per_doc.items():
+        marked = sorted(i for i, g in lst if wins[g] >= min_count)
+        spans: list[list[int]] = []
+        for i in marked:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + L)
+            else:
+                spans.append([i, i + L])
+        for idx, (s, e) in enumerate(spans, 1):
+            out.setdefault(doc_id, []).append((idx, s, e, e - s))
+    return out
+
+
+def test_repeated_spans_matches_python_model(spark):
+    from healthcare_aws_data_engineering_spark.operators.spans import (
+        repeated_spans,
+    )
+
+    rows = [
+        # docs 1 and 2 share the 10-token run "c1..c10" at different
+        # offsets -> every window inside it repeats; windows must merge
+        # into ONE maximal span per doc covering the whole run
+        (1, "a b c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 x y z"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 q r"),
+        # doc 3 repeats an 8-token run WITHIN itself (within-doc counts)
+        (3, "m1 m2 m3 m4 m5 m6 m7 m8 gap1 gap2 m1 m2 m3 m4 m5 m6 m7 m8"),
+        # doc 4 shares nothing
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+        # doc 5: TWO separated repeats of doc 1/2's run prefix -> two islands
+        (5, "c1 c2 c3 c4 c5 c6 c7 c8 sep1 sep2 sep3 c1 c2 c3 c4 c5 c6 c7 c8"),
+    ]
+    got: dict[int, list] = {}
+    out = repeated_spans(_docs(spark, rows), window=8, min_count=2).collect()
+    for r in sorted(out, key=lambda r: (r.doc_id, r.span_idx)):
+        got.setdefault(r.doc_id, []).append(
+            (r.span_idx, r.start_tok, r.end_tok, r.span_tokens)
+        )
+    want = _py_repeated_spans(rows, 8, 2)
+    assert got == want
+    # the load-bearing shapes, stated explicitly:
+    assert got[1] == [(1, 2, 12, 10)]     # one maximal span over the run
+    assert got[2] == [(1, 0, 10, 10)]
+    # within-doc repeat: both copies of the 8-run are marked (the count
+    # is corpus-wide occurrences), but the windows STRADDLING the gap
+    # occur once, so the copies stay two islands — [0,8) and [10,18)
+    assert got[3] == [(1, 0, 8, 8), (2, 10, 18, 8)]
+    assert 4 not in got                   # unique doc yields nothing
+    assert len(got[5]) == 2               # separated repeats stay separate
+
+
+def test_repeated_spans_corpus_invariants(spark):
+    from healthcare_aws_data_engineering_spark.operators.spans import (
+        REP_SPAN_L,
+        repeated_spans,
+    )
+    from healthcare_aws_data_engineering_spark.operators.text import tokens
+    from pyspark.sql import functions as F
+
+    docs = cq.load_table(spark, SF, "documents")
+    out = repeated_spans(docs).persist()
+    rows = out.collect()
+    assert len(rows) > 0  # the synthetic corpus has boilerplate overlaps
+    # spans are well-formed: end > start, length >= window, within doc
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens == r.end_tok - r.start_tok >= REP_SPAN_L
+        assert 0 <= r.start_tok and r.end_tok <= n_tok[r.doc_id]
+        per_doc.setdefault(r.doc_id, []).append(r)
+    # islands are disjoint and span_idx is dense in position order
+    for doc_id, spans in per_doc.items():
+        spans.sort(key=lambda r: r.span_idx)
+        assert [r.span_idx for r in spans] == list(range(1, len(spans) + 1))
+        for a, b in zip(spans, spans[1:]):
+            assert a.end_tok < b.start_tok  # gap > 0: truly maximal islands
+    out.unpersist()
