@@ -115,8 +115,12 @@ def incremental_dedup_sql(
             f"{tokens_sql('text')})), ' '))"
         ),
         "exact": (
+            # explicit Java-equivalent classes + two-arg trim: RE2's \s
+            # omits \x0B and DuckDB's one-arg trim strips unicode
+            # whitespace (see operators/text.py engine-seam notes)
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
-            "'[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+            "'[^\\w \\t\\n\\v\\f\\r]', '', 'g'), "
+            "'[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '))"
         ),
     }[key]
     return f"""

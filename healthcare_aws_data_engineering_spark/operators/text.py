@@ -35,6 +35,29 @@ WORD_SPLIT_RE_SQL = r"[ \t\n\v\f\r]+"
 PUNCT_RE = r"[^\w\s]"
 PUNCT_RE_SQL = r"[^\w \t\n\v\f\r]"
 
+# Two more engine seams the expression fuzz pinned down
+# (tests/test_cross_engine_fuzz.py):
+# - trim(): Spark's strips ASCII space ONLY; DuckDB's one-arg trim
+#   strips unicode whitespace (nbsp!). Oracles must use the two-arg
+#   form trim(x, ' ') wherever they twin F.trim.
+# - \b: Java's is Unicode-aware (a stopword abutting 'é' has NO Java
+#   boundary but DOES have an RE2 one). RE2 has no lookaround, so the
+#   oracle keeps '\b' (ASCII in RE2) and the SPARK side spells the
+#   ASCII boundary explicitly with lookarounds — identical on ASCII,
+#   now also identical on unicode-adjacent text. PII_PATTERNS is the
+#   deliberate exception: its oracle renders the same pattern text into
+#   RE2 (no lookaround support there), and its driver input is the
+#   controlled digit-free + synthetic-suffix fixture where the two \b
+#   definitions cannot diverge (see plans/curation_queries.py).
+_ASCII_B_L = r"(?<![a-zA-Z0-9_])"
+_ASCII_B_R = r"(?![a-zA-Z0-9_])"
+
+
+def ascii_word_bounded(alternation: str) -> str:
+    r"""Java pattern equivalent to RE2's \b(alternation)\b — boundaries
+    defined by ASCII word chars on BOTH engines."""
+    return f"{_ASCII_B_L}({alternation}){_ASCII_B_R}"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (empty array for empty/null
@@ -66,7 +89,7 @@ def tokens_sql(col: str = "text") -> str:
     Same caveat as the Spark side: both engines yield ``['']`` (length 1)
     for empty/whitespace-only text, so COUNTS must go through
     :func:`token_count_sql`, which guards that case to 0."""
-    return f"string_split_regex(trim({col}), '{WORD_SPLIT_RE_SQL}')"
+    return f"string_split_regex(trim({col}, ' '), '{WORD_SPLIT_RE_SQL}')"
 
 
 def token_count_sql(col: str = "text") -> str:
@@ -74,7 +97,7 @@ def token_count_sql(col: str = "text") -> str:
     text — ``string_split_regex('', ...)`` is ``['']``, length 1, so the
     bare ``len(...)`` over-counts empty docs by one)."""
     return (
-        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"CASE WHEN length(trim({col}, ' ')) = 0 THEN 0 "
         f"ELSE len({tokens_sql(col)}) END"
     )
 
@@ -93,8 +116,9 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
-    """Occurrences of any profile word (word-bounded, case-insensitive)."""
-    pattern = r"\b(" + "|".join(words) + r")\b"
+    """Occurrences of any profile word (ASCII-word-bounded on both
+    engines — see :func:`ascii_word_bounded` — case-insensitive)."""
+    pattern = ascii_word_bounded("|".join(words))
     return F.regexp_count(F.lower(text), F.lit(pattern))
 
 
@@ -248,7 +272,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             *[
                 F.regexp_count(
                     F.col("__low"),
-                    F.lit(r"\b(" + "|".join(words) + r")\b"),
+                    F.lit(ascii_word_bounded("|".join(words))),
                 ).alias(f"__h_{lang}")
                 for lang, words in LANG_PROFILES.items()
             ],
@@ -504,7 +528,7 @@ def doc_attributes(docs: DataFrame, text_col: str = "text") -> DataFrame:
             *[
                 F.regexp_count(
                     F.col("__low"),
-                    F.lit(r"\b(" + "|".join(words) + r")\b"),
+                    F.lit(ascii_word_bounded("|".join(words))),
                 ).alias(f"__h_{lang}")
                 for lang, words in LANG_PROFILES.items()
             ],

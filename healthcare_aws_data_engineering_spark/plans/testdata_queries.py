@@ -160,7 +160,7 @@ WITH observations AS (
   SELECT patient_id,
     MAX(CASE WHEN code_display = 'signup' THEN TRY_CAST(value_quantity AS DOUBLE) END) AS a1c,
     MAX(CASE WHEN code_display = 'click'  THEN TRY_CAST(value_quantity AS DOUBLE) END) AS glucose_blood,
-    MAX(CASE WHEN code_display IN ('view','error') THEN LOWER(TRIM(value_string)) END) AS glucose_urine_txt
+    MAX(CASE WHEN code_display IN ('view','error') THEN LOWER(TRIM(value_string, ' ')) END) AS glucose_urine_txt
   FROM observations WHERE rn = 1 GROUP BY patient_id
 )
 SELECT patient_id AS patient,

@@ -26,7 +26,7 @@ from .pipeline_queries import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, with_split
 # Shared SQL fragments -------------------------------------------------------
 
 _SHINGLES_SQL = r"""
-  w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id,
            CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -133,7 +133,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EXACT_SQL = """
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w \\t\\n\\v\\f\\r]', '', 'g'),
-                               '[ \\t\\n\\v\\f\\r]+', ' ', 'g'))) AS content_hash,
+                               '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' ')) AS content_hash,
        min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """
@@ -383,9 +383,9 @@ losers AS (
 ),
 tb AS (
   SELECT doc_id, lang, source, text,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+')) END AS n_tokens,
-    string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS ws,
+    CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+')) END AS n_tokens,
+    string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+') AS ws,
     len(regexp_extract_all(text, '[^\\w \\t\\n\\v\\f\\r]')) AS n_punct,
     len(regexp_extract_all(lower(text),
         '\\b(the|and|of|to|a|in|is|that)\\b')) AS hits_en
@@ -709,7 +709,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAIRS_SQL = r"""
 WITH words AS (
   SELECT w AS word, COUNT(*) AS n
-  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+')) AS w
+  FROM (SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\v\f\r]+')) AS w
         FROM documents)
   WHERE w <> ''
   GROUP BY 1
@@ -892,9 +892,9 @@ _TEXT_STATS_CTES = r"""
 base AS (
   SELECT doc_id, lang, source, n_chars, text,
     length(text) AS n_chars_actual,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) END AS n_tokens,
-    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS ws,
+    CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+')) END AS n_tokens,
+    string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws,
     len(regexp_extract_all(text, '[^\w \t\n\v\f\r]')) AS n_punct,
     len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS hits_en,
     len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS hits_de,
@@ -904,7 +904,7 @@ base AS (
 ),
 d AS (
   SELECT *,
-    CASE WHEN length(trim(text)) = 0 THEN 0
+    CASE WHEN length(trim(text, ' ')) = 0 THEN 0
          ELSE list_sum(list_transform(ws, w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END
       AS n_tokens_bpe_ish,
     n_punct / greatest(length(text), 1) AS punct_ratio,
@@ -935,7 +935,7 @@ SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
   {_QUALITY_EXPR_SQL}
     AS quality,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-                          '[ \t\n\v\f\r]+', ' ', 'g'))) AS fingerprint
+                          '[ \t\n\v\f\r]+', ' ', 'g'), ' ')) AS fingerprint
 FROM d
 """
 
@@ -1027,7 +1027,7 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_chars_actual, d.n_tokens,
   {_QUALITY_EXPR_SQL}
     AS quality,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-                          '[ \t\n\v\f\r]+', ' ', 'g'))) AS fingerprint,
+                          '[ \t\n\v\f\r]+', ' ', 'g'), ' ')) AS fingerprint,
   CAST(a1.nd AS BIGINT) AS n_distinct,
   CAST(CAST(round(a1.nd / CAST(greatest(d.n_tokens, 1) AS DOUBLE), 6)
        AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
@@ -1336,7 +1336,7 @@ _DOC_FINGERPRINT_SQL = r"""
 WITH n AS (
   SELECT doc_id,
     trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-         '[ \t\n\v\f\r]+', ' ', 'g')) AS norm
+         '[ \t\n\v\f\r]+', ' ', 'g'), ' ') AS norm
   FROM documents
 )
 SELECT doc_id, md5(norm) AS fingerprint,

@@ -110,6 +110,35 @@ def test_no_oracle_uses_backslash_s():
     assert not bad, f"oracles containing a bare \\s regex class: {bad}"
 
 
+def test_no_oracle_uses_one_arg_trim():
+    """r7 lint (fuzz find #2): DuckDB's one-arg trim strips UNICODE
+    whitespace (nbsp) while Spark's F.trim strips ASCII space only — so
+    every oracle trim that twins F.trim must be the two-arg
+    trim(x, ' ') form."""
+    _, oracle, _, _ = _registry()
+    bad = {}
+    for k, sql in oracle.items():
+        import re as _re
+
+        for m in _re.finditer(r"trim\(", sql.lower()):
+            seg = sql[m.start():]
+            depth, i, arg2 = 0, 5, False
+            while i < len(seg):
+                c = seg[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    arg2 = True
+                i += 1
+            if not arg2:
+                bad.setdefault(k, []).append(seg[:60])
+    assert not bad, f"one-arg trim() in oracles (unicode-ws divergence): {bad}"
+
+
 def test_no_oracle_carries_bare_long_float_literals():
     """Literal parse-path lint (r6): DuckDB parses a bare high-precision
     decimal literal as DECIMAL, and its DECIMAL->DOUBLE conversion is
