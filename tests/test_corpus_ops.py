@@ -422,3 +422,32 @@ def test_repeated_spans_corpus_invariants(spark):
         for a, b in zip(spans, spans[1:]):
             assert a.end_tok < b.start_tok  # gap > 0: truly maximal islands
     out.unpersist()
+
+
+def test_repeated_spans_random_corpus_matches_model(spark):
+    """Seeded random corpus over a 5-word alphabet (dense window
+    collisions, heavy merging, empty/short docs) — the whole output must
+    equal the python model, window=3."""
+    import random
+
+    from healthcare_aws_data_engineering_spark.operators.spans import (
+        repeated_spans,
+    )
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(200)
+    ]
+    got: dict[int, list] = {}
+    for r in repeated_spans(_docs(spark, rows), window=3, min_count=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_idx, r.start_tok, r.end_tok, r.span_tokens)
+        )
+    for v in got.values():
+        v.sort()
+    want = _py_repeated_spans(rows, 3, 2)
+    for v in want.values():
+        v.sort()
+    assert got == want
