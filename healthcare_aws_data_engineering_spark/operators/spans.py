@@ -266,3 +266,213 @@ SELECT doc_id, span_idx,
        CAST(MAX(pos) + {window} - MIN(pos) AS BIGINT) AS span_tokens
 FROM g GROUP BY doc_id, span_idx
 """
+
+
+# ----------------------------------------------------------------------
+# scrub_repeated — the removal transform over repeated_spans' signal:
+# keep the globally FIRST occurrence of every repeated window, cut the
+# tokens covered by the rest (Lee et al.'s actual dedup transformation).
+# ----------------------------------------------------------------------
+
+
+def scrub_repeated(
+    docs: DataFrame,
+    window: int = REP_SPAN_L,
+    min_count: int = REP_MIN_COUNT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first span scrubbing: every length-``window`` token window
+    occurring ≥ ``min_count`` times corpus-wide keeps its FIRST
+    occurrence (min (doc_id, pos), the stable ingest order) and every
+    other occurrence marks its positions for removal; per document the
+    marked windows merge into maximal islands (same rule as
+    :func:`repeated_spans`) and the covered tokens are cut. One row per
+    document (scrub-free docs included): ``doc_id, n_tokens,
+    n_removed, n_kept, n_cut_spans, kept_fp`` — ``kept_fp`` is the md5
+    of the surviving tokens joined with ' ', so content-level
+    correctness is checkable without shipping rebuilt corpora (the
+    span_dedup contract, at exact-substring granularity).
+
+    Skew note: the canonical first occurrence is derived with TWO
+    map-side-combined aggregations (min doc per hash, then min pos
+    within that doc) instead of a row_number window over the hash — a
+    universal boilerplate window has corpus-scale occurrence counts,
+    and a per-hash sort partition would serialize exactly there.
+    """
+    from .text import tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__ws")
+    )
+    wins = staged.filter(F.size("__ws") >= window).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__ws)-{window}),"
+                f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    rep = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min("doc_id").alias("__d0"))
+        .filter(F.col("__c") >= min_count)
+        .select("h", "__d0")
+    )
+    first_pos = (
+        wins.join(rep, "h")
+        .filter(F.col("doc_id") == F.col("__d0"))
+        .groupBy("h")
+        .agg(F.min("pos").alias("__p0"))
+    )
+    marked = (
+        wins.join(rep, "h")
+        .join(first_pos, "h")
+        .filter(
+            ~((F.col("doc_id") == F.col("__d0")) & (F.col("pos") == F.col("__p0")))
+        )
+        .select("doc_id", "pos")
+        # distinct: two different repeated hashes can mark the same
+        # (doc, pos) start; islands only need each start once
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    islands = (
+        marked.select(
+            "doc_id",
+            "pos",
+            F.sum(brk)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__isl"),
+        )
+        .groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + window).alias("e"),
+        )
+    )
+    cuts = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts"),
+        F.count(F.lit(1)).alias("n_cut_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    )
+    from .text import token_count
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__ws"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    # 0-based token index i survives when no island covers it; __ws is
+    # staged, the HOFs index it in-row (the SCALING.md staging lesson)
+    kept_text = F.expr(
+        "array_join(transform("
+        "  filter(transform(__ws, (w, i) -> struct(w AS w, i AS i)),"
+        "         s -> NOT exists(__cuts, c -> s.i >= c.s AND s.i < c.e)),"
+        "  s -> s.w), ' ')"
+    )
+    return (
+        base.join(cuts, "doc_id", "left")
+        .withColumn("__cuts", F.coalesce("__cuts", F.expr("array()")))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce("n_cut_spans", F.lit(0)).cast("long").alias("n_cut_spans"),
+            F.md5(
+                F.when(F.col("n_tokens") == 0, F.lit("")).otherwise(kept_text)
+                .cast("binary")
+            ).alias("kept_fp"),
+        )
+    )
+
+
+def scrub_repeated_sql(
+    table: str = "documents",
+    window: int = REP_SPAN_L,
+    min_count: int = REP_MIN_COUNT,
+) -> str:
+    """DuckDB oracle twin of :func:`scrub_repeated` (same canonical
+    first-occurrence rule, same island merge, same kept-text md5)."""
+    from .text import token_count_sql, tokens_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS ws,
+         {token_count_sql('text')} AS n_tokens
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ws[i:i + {window - 1}], ' ')) AS h
+  FROM t, unnest(generate_series(1, len(ws) - {window - 1})) AS u(i)
+  WHERE len(ws) >= {window}
+),
+rep AS (
+  SELECT h, MIN(doc_id) AS d0 FROM wins GROUP BY h
+  HAVING COUNT(*) >= {min_count}
+),
+firstpos AS (
+  SELECT w.h, MIN(w.pos) AS p0
+  FROM wins w JOIN rep r ON w.h = r.h AND w.doc_id = r.d0
+  GROUP BY w.h
+),
+marked AS (
+  SELECT DISTINCT w.doc_id, w.pos
+  FROM wins w
+  JOIN rep r ON w.h = r.h
+  JOIN firstpos f ON w.h = f.h
+  WHERE NOT (w.doc_id = r.d0 AND w.pos = f.p0)
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + {window}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+g AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {window} AS e
+  FROM g GROUP BY doc_id, island
+),
+cutpos AS (
+  SELECT doc_id, list(p) AS cp, COUNT(*) AS n_removed
+  FROM (SELECT doc_id, unnest(generate_series(s, e - 1)) AS p FROM spans)
+  GROUP BY doc_id
+),
+cutspans AS (
+  SELECT doc_id, COUNT(*) AS n_cut_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(t.n_tokens - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(s.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       md5(CASE WHEN t.n_tokens = 0 THEN '' ELSE
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' — a fully-scrubbed doc must hash ''
+         COALESCE(array_to_string(
+           list_transform(
+             list_filter(
+               list_transform(t.ws, (w, i) -> {{'w': w, 'i': i - 1}}),
+               x -> NOT list_contains(COALESCE(c.cp, []), x.i)),
+             x -> x.w), ' '), '') END) AS kept_fp
+FROM t
+LEFT JOIN cutpos c ON c.doc_id = t.doc_id
+LEFT JOIN cutspans s ON s.doc_id = t.doc_id
+"""

@@ -21,6 +21,8 @@ from ..operators.spans import (
     SPAN_TOKENS,
     repeated_spans,
     repeated_spans_sql,
+    scrub_repeated,
+    scrub_repeated_sql,
     span_dedup,
     span_dedup_sql,
 )
@@ -46,6 +48,13 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- span_scrub --
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_repeated(load_table(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------------------------- doc_chunks --
@@ -659,6 +668,7 @@ FROM sums
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "repeated_spans": q_repeated_spans,
+    "span_scrub": q_span_scrub,
     "doc_chunks": q_doc_chunks,
     "mix_weights": q_mix_weights,
     "source_overlap": q_source_overlap,
@@ -676,6 +686,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 CORPUS_ORACLE: dict[str, str] = {
     "span_dedup": span_dedup_sql(),
     "repeated_spans": repeated_spans_sql(),
+    "span_scrub": scrub_repeated_sql(),
     "doc_chunks": chunk_sql(),
     "mix_weights": _MIX_WEIGHTS_SQL,
     "source_overlap": _SOURCE_OVERLAP_SQL,

@@ -1054,15 +1054,15 @@ _CHECK_FIRST = [
     "dup_ngrams", "shingle_novelty", "source_terms", "length_buckets",
     "dataset_card", "ppjoin_pairs", "quality_classifier",
     "token_budget_fill", "bloom_decontam",
-    # (3) NEW in r7 — needs its first verdict
-    "repeated_spans",
-    # (4) oldest r5-green fills — positions 46-50
+    # (3) NEW in r7 — need their first verdicts
+    "repeated_spans", "span_scrub",
+    # (4) oldest r5-green fills — positions 47-50
     "ann_multiprobe_topk", "bpe_pair_counts", "rrf_fusion",
-    "hard_negatives", "quality_calibrated",
+    "hard_negatives",
 ]
 # the r5-green queries not in the prefix: the whole r8 prefix head.
 _CHECK_NEXT = [
-    "etl_obs_choice",
+    "quality_calibrated", "etl_obs_choice",
     "ann_pq_topk", "attribution", "between_filter", "cohort_retention",
     "cube_summary", "curriculum_stages", "daily_latest",
     "debounce_events", "dedup_exact", "doc_fingerprint", "drift_monitor",

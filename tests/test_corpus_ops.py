@@ -451,3 +451,108 @@ def test_repeated_spans_random_corpus_matches_model(spark):
     for v in want.values():
         v.sort()
     assert got == want
+
+
+# ------------------------------------------------------------- span_scrub --
+
+
+def _py_scrub(rows, L, min_count):
+    """Reference model: corpus-wide window counts; FIRST occurrence of a
+    repeated window (min (doc_id, pos)) survives, every other occurrence
+    marks [pos, pos+L) for removal; kept text = uncovered tokens."""
+    wins: dict[str, list] = {}
+    toks = {}
+    for doc_id, text in rows:
+        ws = text.split()
+        toks[doc_id] = ws
+        for i in range(0, len(ws) - L + 1):
+            wins.setdefault(" ".join(ws[i : i + L]), []).append((doc_id, i))
+    out = {}
+    cut = {doc_id: set() for doc_id, _ in rows}
+    for occ in wins.values():
+        if len(occ) < min_count:
+            continue
+        for doc_id, i in sorted(occ)[1:]:
+            cut[doc_id].update(range(i, i + L))
+    import hashlib
+
+    for doc_id, _ in rows:
+        ws = toks[doc_id]
+        kept = [w for i, w in enumerate(ws) if i not in cut[doc_id]]
+        # n_cut_spans = islands of cut positions
+        spans = 0
+        prev = None
+        for p in sorted(cut[doc_id]):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        out[doc_id] = (
+            len(ws),
+            len(cut[doc_id]),
+            len(ws) - len(cut[doc_id]),
+            spans,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_span_scrub_matches_python_model(spark):
+    import random
+
+    from healthcare_aws_data_engineering_spark.operators.spans import (
+        scrub_repeated,
+    )
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(150)
+    ] + [
+        (900, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (901, "u1 u2 u3 u4 u5 u6 u7 u8"),   # exact dup: fully scrubbed
+        (902, ""),
+    ]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_kept, r.n_cut_spans, r.kept_fp)
+        for r in scrub_repeated(_docs(spark, rows), window=3, min_count=2).collect()
+    }
+    assert got == _py_scrub(rows, 3, 2)
+    # the exact-dup pair: first copy intact, second fully scrubbed to ''
+    import hashlib
+    assert got[900][2] == 8 and got[900][4] == hashlib.md5(
+        b"u1 u2 u3 u4 u5 u6 u7 u8"
+    ).hexdigest()
+    assert got[901][2] == 0 and got[901][4] == hashlib.md5(b"").hexdigest()
+    assert got[902] == (0, 0, 0, 0, hashlib.md5(b"").hexdigest())
+
+
+def test_span_scrub_consistent_with_repeated_spans(spark):
+    """Cross-operator invariant on the real corpus: scrubbing can only
+    remove positions repeated_spans reports, and the total removed mass
+    is bounded by the reported repeated mass; every doc appears."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.spans import (
+        repeated_spans,
+        scrub_repeated,
+    )
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    scrub = scrub_repeated(docs)
+    rep = repeated_spans(docs)
+    n_docs = docs.count()
+    assert scrub.count() == n_docs  # one row per document, always
+    removed = {r.doc_id: r.n_removed for r in scrub.collect()}
+    reported = {
+        r["doc_id"]: r["rep"]
+        for r in rep.groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("rep"))
+        .collect()
+    }
+    assert sum(removed.values()) > 0
+    for doc_id, n_rem in removed.items():
+        assert n_rem <= reported.get(doc_id, 0)
+    # and something survives keep-first that pure reporting marks
+    assert sum(removed.values()) < sum(reported.values())
