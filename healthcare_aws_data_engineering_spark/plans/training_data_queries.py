@@ -954,9 +954,12 @@ def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: percent_rank over a unique (quality, doc_id) order is
     (row_number−1)/(n−1) — an exact integer ratio, identical in DuckDB;
     the keep decision compares that raw double. Scale shape: ONE shuffle
-    by source + a per-source sort (the honest price of exact
-    calibration; at extreme skew swap in approx-quantile thresholds
-    broadcast per source — same keep semantics, no full sort)."""
+    by source + a per-source sort (the honest price of the full
+    pct-annotated manifest this oracle-facing form emits). When a
+    mega-source outgrows one task, :func:`quality_keep_topfrac` is the
+    implemented skew hatch: the same keep set (test-pinned, integer rank
+    math, salts 1/4/32) via the salted two-stage top-k — no per-source
+    full sort."""
     from pyspark.sql import Window as _W
 
     stats = _doc_stats(spark, sf_dir, ["doc_id", "source", "quality"])
@@ -1132,6 +1135,65 @@ def domain_cap_topk(
         survivors.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= cap)
         .select("doc_id", "source", "quality", "rk")
+    )
+
+
+def quality_keep_topfrac(
+    stats: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 5,
+    salts: int = 32,
+) -> DataFrame:
+    """The approx-quantile-free skew hatch q_quality_calibrated's
+    docstring promises, implemented EXACTLY: per-source "drop the bottom
+    keep_num/keep_den" without a full per-source sort, selecting the
+    identical keep set as ``percent_rank >= keep_num/keep_den``
+    (test-pinned at salts 1/4/32, including the percent-rank edge
+    cases).
+
+    Rank math is all-integer, replaying the percent_rank contract
+    exactly: with ranks r = 1..n by (quality ASC, doc_id ASC), keep iff
+    (r-1)·den ≥ (n-1)·num — so the per-source keep count is
+    k = n − ceil((n−1)·num/den), and a SINGLETON source is dropped
+    (Spark defines percent_rank = 0.0 at n = 1, and 0 ≥ num/den is
+    false) — the one place the integer form must special-case.
+
+    Scale shape: one map-side-combined count per source (broadcast),
+    then the :func:`domain_cap_topk` two-stage salted top-k with a
+    PER-SOURCE k — stage 1 never sorts more than ~1/salts of a source
+    on one task; sound because a doc in a source's global top-k is in
+    its salt group's top-k. Output: KEPT rows only
+    (``doc_id, source, quality``)."""
+    from pyspark.sql import Window as _W
+
+    counts = stats.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    # k = n - ceil((n-1)*num/den), exact integer ceil; singleton → 0
+    k_expr = F.when(F.col("__n") == 1, F.lit(0)).otherwise(
+        F.col("__n")
+        - F.expr(
+            f"CAST(((__n - 1) * {keep_num} + {keep_den} - 1) "
+            f"DIV {keep_den} AS BIGINT)"
+        )
+    )
+    ks = counts.select("source", k_expr.alias("__k"))
+    salted = stats.join(F.broadcast(ks), "source").withColumn(
+        "__salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)).cast("int")
+    )
+    w1 = _W.partitionBy("source", "__salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("__k"))
+        .drop("__salt", "__r1")
+    )
+    w2 = _W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("__k"))
+        .select("doc_id", "source", "quality")
     )
 
 

@@ -956,6 +956,62 @@ def test_composites_read_materialized_cluster_table(spark, tmp_path):
         spark.conf.unset(tq.CLUSTERS_PATH_CONF)
 
 
+def test_quality_keep_topfrac_matches_percent_rank(spark):
+    """The implemented skew hatch for quality_calibrated: identical keep
+    set to percent_rank >= 0.2, at salts 1/4/32, on the real corpus."""
+    from healthcare_aws_data_engineering_spark.operators import text as TT
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        _docs as _load_docs,
+        q_quality_calibrated,
+        quality_keep_topfrac,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.doc_id for r in q_quality_calibrated(spark, sf).collect() if r.keep
+    }
+    stats = TT.text_stats(_load_docs(spark, sf)).select(
+        "doc_id", "source", "quality"
+    )
+    for salts in (1, 4, 32):
+        got = {r.doc_id for r in quality_keep_topfrac(stats, salts=salts).collect()}
+        assert got == exact, salts
+
+
+def test_quality_keep_topfrac_integer_rank_edges(spark):
+    """Percent-rank boundary fixture: source sizes 1 (singleton —
+    DROPPED, Spark's pct=0.0 convention), 2, 5, 6 (exact (n-1)/5
+    integer boundary), 11 — the salted form must agree with the
+    percent_rank window on every one."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        QUALITY_KEEP_PCT,
+        quality_keep_topfrac,
+    )
+
+    rows = []
+    did = 0
+    for src, n in [("s1", 1), ("s2", 2), ("s5", 5), ("s6", 6), ("s11", 11)]:
+        for j in range(n):
+            rows.append(Row(doc_id=did, source=src, quality=(j % 7) / 7.0))
+            did += 1
+    stats = spark.createDataFrame(rows)
+    w = _W.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    exact = {
+        r.doc_id
+        for r in stats.withColumn("p", F.percent_rank().over(w))
+        .filter(F.col("p") >= QUALITY_KEEP_PCT)
+        .collect()
+    }
+    got = {r.doc_id for r in quality_keep_topfrac(stats, salts=4).collect()}
+    assert got == exact
+    assert not any(r.doc_id in got for r in rows if r.source == "s1")
+
+
 def test_domain_cap_topk_matches_exact_window(spark):
     """The salted two-stage top-k (the hot-domain escape hatch) must
     select exactly the docs the exact per-source window keeps, with the
