@@ -106,3 +106,66 @@ def test_text_expression_surface_agrees_across_engines(spark):
                  (ws, n, fp, punct, stop))
             )
     assert not diverged, diverged[:5]
+
+
+# ------------------------------------------------------------------------
+# Datetime expression surface (the F16-F19 family): CAST→DATE, month
+# truncation, day diffs, ISO rendering — Spark vs DuckDB on boundary
+# timestamps (epoch edges, leap day, month ends, pre-1970 where
+# truncate-toward-zero vs floor would diverge, century boundaries).
+# ------------------------------------------------------------------------
+
+TS_GAUNTLET = [
+    "1970-01-01 00:00:00",
+    "1969-12-31 23:59:59",      # pre-epoch: floor-vs-trunc seam if any
+    "1969-07-20 20:17:40",
+    "2024-02-29 12:00:00",      # leap day
+    "2024-02-29 23:59:59",
+    "2023-02-28 23:59:59",
+    "2024-01-31 23:59:59",      # month end into a shorter month
+    "2024-03-31 00:00:00",
+    "2024-12-31 23:59:59",      # year boundary
+    "2025-01-01 00:00:00",
+    "1900-02-28 12:00:00",      # non-leap century year
+    "2000-02-29 00:00:00",      # leap century year
+    "1582-10-15 00:00:00",      # Gregorian adoption edge (proleptic both)
+    "0987-06-05 04:03:02",      # sub-1000 year: %Y padding
+    "2262-04-11 23:47:16",      # int64-nanosecond horizon
+]
+
+
+def test_datetime_expression_surface_agrees_across_engines(spark):
+    rows = [(i, s) for i, s in enumerate(TS_GAUNTLET)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    ts = F.to_timestamp(F.col("s"))
+    anchor = F.lit("2024-01-01").cast("date")
+    got = {
+        r.i: (r.d, r.m, r.dd, r.day, r.iso)
+        for r in df.select(
+            "i",
+            ts.cast("date").cast("string").alias("d"),
+            F.date_trunc("month", ts).cast("date").cast("string").alias("m"),
+            F.datediff(ts.cast("date"), anchor).cast("long").alias("dd"),
+            F.date_format(ts, "yyyy-MM-dd").alias("day"),
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.execute(
+        """
+        SELECT i,
+               CAST(CAST(CAST(s AS TIMESTAMP) AS DATE) AS VARCHAR) AS d,
+               CAST(CAST(date_trunc('month', CAST(s AS TIMESTAMP)) AS DATE) AS VARCHAR) AS m,
+               CAST(datediff('day', DATE '2024-01-01', CAST(CAST(s AS TIMESTAMP) AS DATE)) AS BIGINT) AS dd,
+               strftime(CAST(s AS TIMESTAMP), '%Y-%m-%d') AS day,
+               strftime(CAST(s AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso
+        FROM t
+        """
+    ).fetchall()
+    diverged = []
+    for i, d, m, dd, day, iso in duck:
+        if (d, m, dd, day, iso) != got[i]:
+            diverged.append((TS_GAUNTLET[i], got[i], (d, m, dd, day, iso)))
+    assert not diverged, diverged
