@@ -16,6 +16,18 @@ def _dsum(expr: str, scale: int = 6) -> str:
     sits far closer to that 6-dp value than to any rounding midpoint, so both
     engines' double→decimal casts agree. (Higher scales run into the engines'
     differing shortest-repr vs exact-binary cast digits.)
+
+    That midpoint clause is LOAD-BEARING, measured in
+    tests/test_cross_engine_fuzz.py: on a TRUE grid tie (an odd multiple
+    of 2^-7 — decimal expansion ends ...5 exactly at digit 7) Spark's
+    cast is HALF_UP at every magnitude while DuckDB's cast switches
+    rounding paths around |x| ≈ 100 (123456.0390625 → .039063 in Spark,
+    .039062 in DuckDB; round(x, 6) agrees everywhere, ties included).
+    So never feed a tie-ABLE expression (binary-fraction inputs like
+    2^-k factors) to a bare decimal cast in an oracle — pre-round with
+    round(expr, 6) on both sides, or keep inputs in this exact-decimal
+    class. A canary test pins the divergence so a DuckDB behavior
+    change resurfaces the audit.
     """
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
 

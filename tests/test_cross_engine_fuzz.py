@@ -169,3 +169,89 @@ def test_datetime_expression_surface_agrees_across_engines(spark):
         if (d, m, dd, day, iso) != got[i]:
             diverged.append((TS_GAUNTLET[i], got[i], (d, m, dd, day, iso)))
     assert not diverged, diverged
+
+
+# ------------------------------------------------------------------------
+# Decimal-grid rounding — the repo's cross-engine float discipline
+# (per-row double math → CAST(x AS DECIMAL(p,6)) → exact SUM) rests on
+# the casts agreeing. This fuzz established the precise contract:
+#
+#   * round(x, 6) agrees EVERYWHERE, ties included (half-away on both);
+#   * the bare double→DECIMAL cast agrees on every NON-tie — and on the
+#     repo's entire input class (products of ≤3 two-decimal factors are
+#     exact ≤6-dp values whose doubles sit ~2^-45 of a grid cell away
+#     from any midpoint, per sqlsum.py's argument);
+#   * but a TRUE tie (odd multiple of 2^-7: decimal expansion ends ...5
+#     exactly at digit 7) casts DIFFERENTLY once |x| ≳ 100 — Spark is
+#     HALF_UP at every magnitude, DuckDB's cast switches rounding paths
+#     with magnitude. The canary below pins the divergence so a DuckDB
+#     behavior change (or an oracle that feeds a tie-able expression to
+#     a bare cast) surfaces here instead of as a gate mystery.
+# ------------------------------------------------------------------------
+
+
+def test_decimal_grid_cast_agrees_on_the_safe_class(spark):
+    """Exact ≤6-dp values (the _dsum input class) across magnitudes —
+    bare casts and round() must agree between engines on all of them."""
+    vals = [
+        round(m * f, 6)
+        for m in (0.01, 0.25, 0.07, 123.45, 9999.99)
+        for f in (1, -1, 100, 10000, 0.0001)
+    ] + [0.0, 1e-6, -1e-6, 999999.999999]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    got = {
+        r.i: (str(r.c), r.r)
+        for r in df.select(
+            "i",
+            F.col("x").cast("decimal(18,6)").alias("c"),
+            F.round("x", 6).alias("r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.execute(
+        "SELECT i, CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR), round(x, 6) FROM t"
+    ).fetchall()
+    for i, c, r in duck:
+        s_c, s_r = got[i]
+        assert float(c) == float(s_c) and r == s_r, (vals[i], (s_c, s_r), (c, r))
+
+
+def test_decimal_grid_tie_contract_and_canary(spark):
+    """Ties: round(x, 6) agrees everywhere; the bare cast diverges at
+    |x| ≳ 100 (the measured DuckDB magnitude threshold). If this canary
+    ever flips, the _dsum safety argument must be re-audited."""
+    ties = [2**-7, 3 * 2**-7, 1 + 2**-7, 123456 + 5 * 2**-7, -(123456 + 5 * 2**-7)]
+    rows = [(i, v) for i, v in enumerate(ties)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    got = {
+        r.i: (str(r.c), r.r)
+        for r in df.select(
+            "i",
+            F.col("x").cast("decimal(18,6)").alias("c"),
+            F.round("x", 6).alias("r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        i: (c, r)
+        for i, c, r in con.execute(
+            "SELECT i, CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR), round(x, 6) FROM t"
+        ).fetchall()
+    }
+    # round(): identical on every tie, both engines half-away
+    for i in duck:
+        assert duck[i][1] == got[i][1], (ties[i], got[i], duck[i])
+    assert got[0][1] == 0.007813 and got[4][1] == -123456.039063
+    # small-magnitude ties: the casts agree too
+    for i in (0, 1, 2):
+        assert float(duck[i][0]) == float(got[i][0])
+    # CANARY: large-magnitude tie casts diverge (Spark HALF_UP .039063,
+    # DuckDB .039062) — expected, documented, and must stay visible
+    assert float(got[3][0]) == 123456.039063  # Spark HALF_UP
+    assert float(duck[3][0]) == 123456.039062  # DuckDB's magnitude path
+    assert float(duck[4][0]) == -123456.039062
