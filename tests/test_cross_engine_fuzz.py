@@ -255,3 +255,58 @@ def test_decimal_grid_tie_contract_and_canary(spark):
     assert float(got[3][0]) == 123456.039063  # Spark HALF_UP
     assert float(duck[3][0]) == 123456.039062  # DuckDB's magnitude path
     assert float(duck[4][0]) == -123456.039062
+
+
+# ------------------------------------------------------------------------
+# String→number parse path (the r6 XGB float-literal bug's family):
+# TRY_CAST semantics measured precisely.
+#   * string→DOUBLE agrees on every clean numeric literal — plain,
+#     signed, leading zeros, scientific, whitespace-padded, ±inf/nan
+#     spellings, overflow-to-inf, subnormals — EXCEPT DuckDB accepts
+#     underscore digit separators ('1_000') that Spark rejects;
+#   * string→BIGINT is NOT a shared surface at all: DuckDB parses any
+#     numeric and ROUNDS ('1.5'→2, '1e-3'→0, '0x10'→16) where Spark
+#     yields NULL for every non-integer literal. Oracles must only
+#     TRY_CAST provably-integer strings (digit-only regex extracts) to
+#     integer types — canaries below keep the divergence visible.
+# ------------------------------------------------------------------------
+
+
+def test_try_cast_parse_contract(spark):
+    agree_double = [
+        "1.5", " 1.5", "1.5 ", "  1.5  ", "+5", "-0", ".5", "5.",
+        "1e3", "1E3", "1e-3", "1e999", "-1e999", "NaN", "nan",
+        "Infinity", "-Infinity", "inf", "", " ", "12.34.56", "1,000",
+        "0.30000000000000004", "9007199254740993",
+        "1.7976931348623157e308", "5e-324", "00123", "0x10",
+    ]
+    rows = [(i, s) for i, s in enumerate(agree_double)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", F.col("s").try_cast("double").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    import math
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is b is None
+        return (math.isnan(a) and math.isnan(b)) or a == b
+
+    for i, d in con.execute("SELECT i, TRY_CAST(s AS DOUBLE) FROM t").fetchall():
+        assert eq(d, got[i]), (agree_double[i], got[i], d)
+
+    # canaries: the two divergent surfaces stay visible
+    assert df.sparkSession.sql(
+        "SELECT try_cast('1_000' AS DOUBLE) d, try_cast('1.5' AS BIGINT) l"
+    ).collect()[0].asDict() == {"d": None, "l": None}
+    dk = con.execute(
+        "SELECT TRY_CAST('1_000' AS DOUBLE), TRY_CAST('1.5' AS BIGINT), "
+        "TRY_CAST('1e-3' AS BIGINT)"
+    ).fetchone()
+    assert dk == (1000.0, 2, 0)  # DuckDB: separators + parse-and-round
