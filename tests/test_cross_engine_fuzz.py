@@ -1,15 +1,24 @@
-"""Deterministic cross-engine expression fuzz — Spark (Java regex) vs
-DuckDB (RE2) over the repo's shared text-expression surface: the
-tokenizer, the fingerprint normalization chain, the punctuation class
-and the stopword word-boundary patterns.
+"""Deterministic cross-engine expression contracts — Spark vs DuckDB
+over every shared expression family the oracles ride:
 
-The r6 float-literal find and the r7 vertical-tab find were both
-LATENT engine divergences the gate corpus couldn't trigger; this fuzz
-feeds the expression layer ~400 adversarial strings (whitespace runs,
-every ASCII whitespace char, punctuation, unicode letters, an astral
-emoji, empties) in ONE batch per engine, so any future drift in these
-expression families fails a test instead of waiting for real data.
-Seeded RNG → reproducible, no hypothesis shrink loops through the JVM.
+* text (tokenizer, fingerprint normalization, punctuation class,
+  stopword boundaries) — found and closed FOUR seams: Java's \\s
+  includes vertical tab where RE2's doesn't; DuckDB's one-arg trim
+  strips unicode whitespace where Spark's is ASCII-space-only; Java's
+  \\b is unicode-aware where RE2's is ASCII; DuckDB's
+  array_to_string([]) is NULL where Spark's array_join([]) is '';
+* datetime (cast→date, month trunc, day diffs, ISO rendering) — clean
+  across every boundary timestamp probed;
+* decimal grid — round(x, 6) agrees everywhere incl. true ties; the
+  bare double→DECIMAL cast diverges on large-magnitude ties (canaried);
+* string→number parse — DOUBLE agrees on clean literals; integer
+  TRY_CAST is not a shared surface (DuckDB parses-and-rounds, canaried).
+
+The r6 float-literal find and these r7 finds were all LATENT engine
+divergences the gate corpus couldn't trigger; each family runs its
+adversarial gauntlet in ONE batch per engine, so future drift fails a
+test instead of waiting for real data. Seeded RNG → reproducible, no
+hypothesis shrink loops through the JVM.
 """
 
 from __future__ import annotations
