@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.chunking import CHUNK_STRIDE, CHUNK_WINDOW, chunk_documents, chunk_sql
-from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_heavy_hitters, cms_sql
+from ..operators.sketch import cms_heavy_hitters, cms_sql
 from ..operators.spans import (
     SPAN_TOKENS,
     repeated_spans,

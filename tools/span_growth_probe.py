@@ -26,7 +26,7 @@ from healthcare_aws_data_engineering_spark.session import get_spark
 from healthcare_aws_data_engineering_spark.sources.tables import load_table
 
 sys.path.insert(0, "tools")
-from scale_probe import ID_STRIDE, replicate  # noqa: E402
+from scale_probe import replicate  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
