@@ -958,7 +958,9 @@ def test_composites_read_materialized_cluster_table(spark, tmp_path):
 
 def test_quality_keep_topfrac_matches_percent_rank(spark):
     """The implemented skew hatch for quality_calibrated: identical keep
-    set to percent_rank >= 0.2, at salts 1/4/32, on the real corpus."""
+    set to percent_rank >= 0.2 at coarse/default/fine bucket grids —
+    coarse grids pile many rows into the boundary bucket, so exactness
+    must not depend on bucket granularity."""
     from healthcare_aws_data_engineering_spark.operators import text as TT
     from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
         _docs as _load_docs,
@@ -973,9 +975,23 @@ def test_quality_keep_topfrac_matches_percent_rank(spark):
     stats = TT.text_stats(_load_docs(spark, sf)).select(
         "doc_id", "source", "quality"
     )
-    for salts in (1, 4, 32):
-        got = {r.doc_id for r in quality_keep_topfrac(stats, salts=salts).collect()}
-        assert got == exact, salts
+    for nb in (4, 256, 1024):
+        got = {
+            r.doc_id
+            for r in quality_keep_topfrac(stats, n_buckets=nb).collect()
+        }
+        assert got == exact, nb
+    # minority-keep fraction exercises a different boundary position
+    w_exact = {
+        r.doc_id
+        for r in q_quality_calibrated(spark, sf).collect()
+        if r.pct_in_source >= 0.8
+    }
+    got = {
+        r.doc_id
+        for r in quality_keep_topfrac(stats, keep_num=4, keep_den=5).collect()
+    }
+    assert got == w_exact
 
 
 def test_quality_keep_topfrac_integer_rank_edges(spark):
@@ -997,6 +1013,16 @@ def test_quality_keep_topfrac_integer_rank_edges(spark):
         for j in range(n):
             rows.append(Row(doc_id=did, source=src, quality=(j % 7) / 7.0))
             did += 1
+    # dense-tie source: every doc the SAME quality, so the keep boundary
+    # falls INSIDE a tie run and only the doc_id tiebreak decides — the
+    # shape that exposed the (quality DESC, doc_id ASC) reversal bug
+    for j in range(10):
+        rows.append(Row(doc_id=did, source="tied", quality=0.5))
+        did += 1
+    # and a source tying only AT the boundary
+    for j, q in enumerate([0.1, 0.3, 0.3, 0.3, 0.9]):
+        rows.append(Row(doc_id=did, source="edge", quality=q))
+        did += 1
     stats = spark.createDataFrame(rows)
     w = _W.partitionBy("source").orderBy(
         F.col("quality").asc(), F.col("doc_id").asc()
@@ -1007,9 +1033,41 @@ def test_quality_keep_topfrac_integer_rank_edges(spark):
         .filter(F.col("p") >= QUALITY_KEEP_PCT)
         .collect()
     }
-    got = {r.doc_id for r in quality_keep_topfrac(stats, salts=4).collect()}
+    got = {r.doc_id for r in quality_keep_topfrac(stats, n_buckets=4).collect()}
     assert got == exact
     assert not any(r.doc_id in got for r in rows if r.source == "s1")
+
+
+def test_quality_keep_topfrac_degenerate_quality_fails_loudly(spark):
+    """A source massed on ONE quality value concentrates the boundary
+    bucket — the in-plan guard must raise rather than silently sort the
+    whole source on one task; the same data passes when the guard
+    admits it (and still matches percent_rank exactly)."""
+    import pytest as _pytest
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
+        QUALITY_KEEP_PCT,
+        quality_keep_topfrac,
+    )
+
+    rows = [Row(doc_id=i, source="mono", quality=0.75) for i in range(300)]
+    stats = spark.createDataFrame(rows)
+    bad = quality_keep_topfrac(stats, max_bucket_rows=100)
+    with _pytest.raises(Exception, match="quality_keep_topfrac: quality bucket"):
+        bad.collect()
+    w = _W.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    exact = {
+        r.doc_id
+        for r in stats.withColumn("p", F.percent_rank().over(w))
+        .filter(F.col("p") >= QUALITY_KEEP_PCT)
+        .collect()
+    }
+    ok = quality_keep_topfrac(stats, max_bucket_rows=300)
+    assert {r.doc_id for r in ok.collect()} == exact
 
 
 def test_domain_cap_topk_matches_exact_window(spark):
