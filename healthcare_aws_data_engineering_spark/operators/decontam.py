@@ -280,7 +280,7 @@ def decontaminate_sql(
     return rf"""
 WITH
   w AS (
-    SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws,
+    SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws,
            CAST(('0x' || substr(md5('{DECON_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 100 AS bucket
     FROM {table}

@@ -119,8 +119,8 @@ def incremental_dedup_sql(
             # omits \x0B and DuckDB's one-arg trim strips unicode
             # whitespace (see operators/text.py engine-seam notes)
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
-            "'[^\\w \\t\\n\\v\\f\\r]', '', 'g'), "
-            "'[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' '))"
+            "'[^\\w \\t\\n\\x0B\\f\\r]', '', 'g'), "
+            "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))"
         ),
     }[key]
     return f"""

@@ -113,8 +113,8 @@ def bm25_sql(
     return rf"""
 WITH
   base AS (
-    SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws,
-           len(string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+')) AS dl
+    SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws,
+           len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+')) AS dl
     FROM {table}
   ),
   stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),

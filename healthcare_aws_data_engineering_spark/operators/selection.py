@@ -170,7 +170,7 @@ def dsir_sql(
     return f"""
 WITH
   w AS (SELECT doc_id, {target_col},
-               string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+') AS ws
+               string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS ws
         FROM {table}),
   uni AS (
     SELECT doc_id, {target_col}, ws[i] AS f

@@ -333,9 +333,10 @@ def scrub_repeated(
             ~((F.col("doc_id") == F.col("__d0")) & (F.col("pos") == F.col("__p0")))
         )
         .select("doc_id", "pos")
-        # distinct: two different repeated hashes can mark the same
-        # (doc, pos) start; islands only need each start once
-        .distinct()
+        # No distinct needed (r7 advice): each (doc_id, pos) carries
+        # exactly ONE window hash, and rep/first_pos are one row per
+        # hash, so the two equi-joins cannot duplicate a (doc_id, pos)
+        # — a distinct here would be a pure no-op shuffle.
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + window).over(
@@ -426,7 +427,9 @@ firstpos AS (
   GROUP BY w.h
 ),
 marked AS (
-  SELECT DISTINCT w.doc_id, w.pos
+  -- no DISTINCT: one hash per (doc_id, pos), one row per hash in
+  -- rep/firstpos — the joins cannot duplicate (mirrors the Spark side)
+  SELECT w.doc_id, w.pos
   FROM wins w
   JOIN rep r ON w.h = r.h
   JOIN firstpos f ON w.h = f.h

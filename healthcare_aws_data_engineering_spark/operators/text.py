@@ -31,9 +31,16 @@ WORD_SPLIT_RE = r"\s+"
 # therefore spell the Java class explicitly instead of writing '\s';
 # same for the negated punctuation class. Unicode whitespace (nbsp &c.)
 # is a non-issue: neither engine's \s matches it.
-WORD_SPLIT_RE_SQL = r"[ \t\n\v\f\r]+"
+#
+# The vertical tab is spelled \x0B, NEVER \v (r7 advice): RE2 reads
+# in-class \v as the vertical-tab CHARACTER, but Java reads it as the
+# vertical-whitespace CLASS (\n \x0B \f \r U+0085 U+2028 U+2029). \x0B
+# means the single character in BOTH engines, so these literals are safe
+# to copy into either side verbatim (canaried in
+# tests/test_cross_engine_fuzz.py).
+WORD_SPLIT_RE_SQL = r"[ \t\n\x0B\f\r]+"
 PUNCT_RE = r"[^\w\s]"
-PUNCT_RE_SQL = r"[^\w \t\n\v\f\r]"
+PUNCT_RE_SQL = r"[^\w \t\n\x0B\f\r]"
 
 # Two more engine seams the expression fuzz pinned down
 # (tests/test_cross_engine_fuzz.py):
@@ -83,8 +90,9 @@ def token_count(text: Column) -> Column:
 def tokens_sql(col: str = "text") -> str:
     """DuckDB oracle twin of :func:`tokens` — render THIS into every oracle
     that tokenizes, so the split regex can never drift between engines
-    (the class literal matches Java's \\s INCLUDING vertical tab, which
-    RE2's \\s omits — see WORD_SPLIT_RE_SQL).
+    (the explicit class denotes the same set as Java's \\s — including
+    vertical tab, spelled \\x0B so the literal reads identically in RE2
+    and Java — see WORD_SPLIT_RE_SQL).
 
     Same caveat as the Spark side: both engines yield ``['']`` (length 1)
     for empty/whitespace-only text, so COUNTS must go through

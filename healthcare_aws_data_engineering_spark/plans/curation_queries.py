@@ -119,7 +119,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_SCORE_SQL = rf"""
 WITH
-  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
   tok AS (
     SELECT doc_id, ws[i] AS w
     FROM w, unnest(generate_series(1, len(ws))) AS t(i)
@@ -341,7 +341,7 @@ FROM r
 
 _REPETITION_SQL = r"""
 WITH
-  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
   tok AS (
     SELECT doc_id, ws[i] AS w
     FROM w, unnest(generate_series(1, len(ws))) AS t(i)

@@ -331,7 +331,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_TOPK_SQL = r"""
 WITH
-  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id,
            CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -555,7 +555,7 @@ _PACK_SEQUENCES_SQL = f"""
 WITH t AS (
   SELECT source, doc_id,
     CASE WHEN length(trim(text, ' ')) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+')) END AS n_tok
+         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tok
   FROM documents
 ),
 nz AS (SELECT * FROM t WHERE n_tok > 0),

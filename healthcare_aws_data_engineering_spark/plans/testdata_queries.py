@@ -45,8 +45,12 @@ EVENTS_T2D_URINE_KEYS = ("view", "error")
 # normalization of Athena_queries_for_reports.sql:106-108,134-140).
 # \s* would diverge on a vertical tab between ':' and the digits —
 # Java's \s includes \x0B, RE2's doesn't (see operators/text.py). The
-# explicit class keeps both engines on the identical set.
-_K_REGEX = r'"k":[ \t\n\v\f\r]*(\d+)'
+# explicit class keeps both engines on the identical set. The vertical
+# tab is spelled \x0B, never \v: inside a Java character class \v is the
+# vertical-whitespace CLASS (\n \x0B \f \r U+0085 U+2028 U+2029), so a literal
+# '\v' here would silently re-admit U+0085/U+2028/U+2029 on the Spark
+# side only (r7 advice; canaried in tests/test_cross_engine_fuzz.py).
+_K_REGEX = r'"k":[ \t\n\x0B\f\r]*(\d+)'
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,9 +72,9 @@ def _qualitative_value_string(props) -> F.Column:
 
 
 _QUAL_SQL = r"""CASE
-      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 25 THEN 'Negative'
-      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 50 THEN '  Trace '
-      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\v\f\r]*(\d+)', 1) AS INT) < 75 THEN 'POSITIVE'
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\x0B\f\r]*(\d+)', 1) AS INT) < 25 THEN 'Negative'
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\x0B\f\r]*(\d+)', 1) AS INT) < 50 THEN '  Trace '
+      WHEN TRY_CAST(regexp_extract(props, '"k":[ \t\n\x0B\f\r]*(\d+)', 1) AS INT) < 75 THEN 'POSITIVE'
       ELSE 'neg' END"""
 
 
@@ -1021,47 +1025,29 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r7 rotation (r6 verdict ask #1): after r6
-# the freshness map is r6×50 / r5×46 / r4×31 — the checked prefix is
-#   1. all 31 queries whose latest driver verdict is r4 (3 rounds stale
-#      after r7 otherwise — exactly r6's _CHECK_NEXT plus its head);
-#   2. the queries CHANGED this round, which need fresh verdicts on the
-#      new semantics: the tokenizer unification (r6 verdict ask #5 —
-#      every word-level query now rides operators/text.py
-#      tokens()/tokens_sql(): mix_weights, source_overlap,
-#      heavy_hitters, word_bigrams, dup_ngrams, shingle_novelty,
-#      source_terms, length_buckets, dataset_card, ppjoin_pairs,
-#      quality_classifier; vocab_topk/shard_manifest/incremental_dedup
-#      are already in set 1), the derived-B + in-plan guard prefix sum
-#      (token_budget_fill, ask #2), and the eager-released eval cache
-#      (bloom_decontam, ask #4);
-#   3. the 6 oldest r5-green rows fill the remaining slots.
-# _CHECK_NEXT holds the rest of the r5-green set (34 rows) — the whole
-# of it is due in the r8 prefix, so no entry's verdict goes 3 rounds
+# most need a fresh verdict. r8 rotation (r7 verdict ask #1 + r7 advice
+# item 2): after r7 the freshness map is r7×50 / r6×43 / r5×36 — the
+# checked prefix is
+#   1. all 36 queries whose latest driver verdict is r5 (3 rounds stale
+#      after r8 otherwise — exactly r7's _CHECK_NEXT);
+#   2. the 7 queries whose plans or oracles CHANGED in r7 but fell
+#      outside r7's checked prefix (the r7 advice rotation-gap):
+#      dsir_select and zipf_slope (oracle tokenizer fix),
+#      dup_clusters / dedup_weighted / cluster_split / corpus_curation /
+#      domain_cap (shared materialized-staging refactor; corpus_curation
+#      oracle SQL also changed) — their r6 verdicts predate the current
+#      semantics;
+#   3. queries NEW or changed in r8: media_decode (the real-bytes codec
+#      leg of the multimodal family) and span_scrub (the no-op distinct
+#      dropped from scrub_repeated's plan AND its oracle — r7 advice);
+#   4. the remaining slots fill with r6-green rows (the ETL family +
+#      wellness_monthly) so the r9 prefix burden shrinks below its
+#      36-row r6 tail.
+# _CHECK_NEXT holds the rest of the r6-green set (30 rows) — the whole
+# of it is due in the r9 prefix, so no entry's verdict goes 3 rounds
 # stale.
 _CHECK_FIRST = [
-    # (1) latest verdict r4 — positions 1-31
-    "asof_join", "basket_pairs", "bm25_search", "decontaminate",
-    "dedup_simhash", "disease_confidence", "distinct_sketch", "forecast",
-    "funnel", "gap_fill", "height_weight_bmi", "hist_quantiles",
-    "incremental_dedup", "lm_score", "media_stats", "ngram_jaccard",
-    "pack_sequences", "profile_columns", "range_join",
-    "repetition_filter", "rolling_avg", "semi_anti_join", "sessionize",
-    "set_ops", "severity_topk", "shard_manifest", "split_assign",
-    "stratified_sample", "time_rollup", "unpivot_wide", "vocab_topk",
-    # (2) changed in r7 — positions 32-44
-    "mix_weights", "source_overlap", "heavy_hitters", "word_bigrams",
-    "dup_ngrams", "shingle_novelty", "source_terms", "length_buckets",
-    "dataset_card", "ppjoin_pairs", "quality_classifier",
-    "token_budget_fill", "bloom_decontam",
-    # (3) NEW in r7 — need their first verdicts
-    "repeated_spans", "span_scrub",
-    # (4) oldest r5-green fills — positions 47-50
-    "ann_multiprobe_topk", "bpe_pair_counts", "rrf_fusion",
-    "hard_negatives",
-]
-# the r5-green queries not in the prefix: the whole r8 prefix head.
-_CHECK_NEXT = [
+    # (1) latest verdict r5 — positions 1-36
     "quality_calibrated", "etl_obs_choice",
     "ann_pq_topk", "attribution", "between_filter", "cohort_retention",
     "cube_summary", "curriculum_stages", "daily_latest",
@@ -1072,6 +1058,26 @@ _CHECK_NEXT = [
     "linear_trend", "media_features", "pricing_summary", "rank_windows",
     "revenue_by_nation", "rfm_segments", "scd2_history",
     "semantic_dedup", "span_dedup", "text_stats", "top3_per_group",
+    # (2) changed in r7, unverified since — positions 37-43
+    "dsir_select", "zipf_slope", "dup_clusters", "dedup_weighted",
+    "cluster_split", "corpus_curation", "domain_cap",
+    # (3) NEW or changed in r8 — positions 44-45
+    "media_decode", "span_scrub",
+    # (4) r6-green fills — positions 46-50
+    "etl_patients", "etl_observations", "etl_encounters",
+    "etl_conditions", "wellness_monthly",
+]
+# the r6-green queries not in the prefix: the whole r9 prefix head.
+_CHECK_NEXT = [
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "bracket_revenue",
+    "dedup_minhash_lsh", "dist_summary", "doc_attributes", "doc_chunks",
+    "dormant_customers", "embedding_near_dup", "graph_pagerank",
+    "importance_sample", "json_props", "knn_graph", "large_orders",
+    "ml_features", "ml_preprocess", "ml_risk_scores", "nation_trade",
+    "order_priority",
+    "pii_redact", "promo_revenue", "report_cvd", "report_prediabetes",
+    "returned_items", "revenue_share", "salted_agg", "shipping_priority",
+    "skew_audit", "training_order", "zscore_outliers",
 ]
 _CHECK_LAST: list[str] = []
 

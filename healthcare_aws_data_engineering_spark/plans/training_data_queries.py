@@ -26,7 +26,7 @@ from .pipeline_queries import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, with_split
 # Shared SQL fragments -------------------------------------------------------
 
 _SHINGLES_SQL = r"""
-  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws FROM documents),
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
   sh AS (
     SELECT DISTINCT doc_id,
            CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -132,8 +132,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_EXACT_SQL = """
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w \\t\\n\\v\\f\\r]', '', 'g'),
-                               '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' ')) AS content_hash,
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g'),
+                               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS content_hash,
        min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1
 """
@@ -384,9 +384,9 @@ losers AS (
 tb AS (
   SELECT doc_id, lang, source, text,
     CASE WHEN length(trim(text, ' ')) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+')) END AS n_tokens,
-    string_split_regex(trim(text, ' '), '[ \\t\\n\\v\\f\\r]+') AS ws,
-    len(regexp_extract_all(text, '[^\\w \\t\\n\\v\\f\\r]')) AS n_punct,
+         ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
+    string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS ws,
+    len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS n_punct,
     len(regexp_extract_all(lower(text),
         '\\b(the|and|of|to|a|in|is|that)\\b')) AS hits_en
   FROM documents
@@ -709,7 +709,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAIRS_SQL = r"""
 WITH words AS (
   SELECT w AS word, COUNT(*) AS n
-  FROM (SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\v\f\r]+')) AS w
+  FROM (SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS w
         FROM documents)
   WHERE w <> ''
   GROUP BY 1
@@ -893,9 +893,9 @@ base AS (
   SELECT doc_id, lang, source, n_chars, text,
     length(text) AS n_chars_actual,
     CASE WHEN length(trim(text, ' ')) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+')) END AS n_tokens,
-    string_split_regex(trim(text, ' '), '[ \t\n\v\f\r]+') AS ws,
-    len(regexp_extract_all(text, '[^\w \t\n\v\f\r]')) AS n_punct,
+         ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
+    string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws,
+    len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) AS n_punct,
     len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS hits_en,
     len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS hits_de,
     len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b')) AS hits_fr,
@@ -934,8 +934,8 @@ SELECT doc_id, lang, source, n_chars, n_chars_actual, n_tokens,
        ELSE 'und' END AS lang_guess,
   {_QUALITY_EXPR_SQL}
     AS quality,
-  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-                          '[ \t\n\v\f\r]+', ' ', 'g'), ' ')) AS fingerprint
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\x0B\f\r]', '', 'g'),
+                          '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS fingerprint
 FROM d
 """
 
@@ -1029,8 +1029,8 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_chars_actual, d.n_tokens,
        ELSE 'und' END AS lang_guess,
   {_QUALITY_EXPR_SQL}
     AS quality,
-  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-                          '[ \t\n\v\f\r]+', ' ', 'g'), ' ')) AS fingerprint,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\x0B\f\r]', '', 'g'),
+                          '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS fingerprint,
   CAST(a1.nd AS BIGINT) AS n_distinct,
   CAST(CAST(round(a1.nd / CAST(greatest(d.n_tokens, 1) AS DOUBLE), 6)
        AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
@@ -1176,6 +1176,18 @@ def quality_keep_topfrac(
     ``max_bucket_rows`` or max(1M, n/16)). Output: KEPT rows only
     (``doc_id, source, quality``)."""
     from pyspark.sql import Window as _W
+
+    # r8 guard (r7 advice): keep_num == 0 means "drop nothing", but the
+    # two-phase below would compute d = 0, find NO boundary bucket, and
+    # the inner join on the empty boundary table would drop EVERY row —
+    # the exact opposite of percent_rank >= 0. Refuse the degenerate
+    # domain instead of silently inverting it.
+    if keep_num < 1 or keep_den < 1:
+        raise ValueError(
+            f"quality_keep_topfrac requires keep_num >= 1 and keep_den >= 1 "
+            f"(got {keep_num}/{keep_den}); keep_num == 0 (keep everything) "
+            f"is the identity — just don't call the filter"
+        )
 
     staged = stats.withColumn(
         "__b",
@@ -1470,8 +1482,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOC_FINGERPRINT_SQL = r"""
 WITH n AS (
   SELECT doc_id,
-    trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\v\f\r]', '', 'g'),
-         '[ \t\n\v\f\r]+', ' ', 'g'), ' ') AS norm
+    trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\x0B\f\r]', '', 'g'),
+         '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm
   FROM documents
 )
 SELECT doc_id, md5(norm) AS fingerprint,
@@ -1613,6 +1625,52 @@ FROM n, unnest(generate_series(0, nf - 1)) AS t(i)
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-bytes multimodal leg (r8; r7 verdict ask #4): documents →
+    real uncompressed containers (binary PPM / 24-bpp BMP / PCM16 WAV)
+    encoded entirely in JVM expressions → Arrow-batched ``struct``-only
+    decode (``operators/media_codecs.py``) that parses headers, un-pads
+    and flips BMP rows, and recovers the payload. ``payload_md5`` digests
+    the recovered payload's hex, so ANY decoder offset/flip/padding bug
+    breaks the oracle match; the oracle rebuilds the expected payload
+    from the md5 chain without ever parsing a container."""
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
+    return M.decode_media_stats(media)
+
+
+_MEDIA_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'bmp' END AS container,
+    CAST(doc_id % 13 + 4 AS INT) AS w,
+    CAST(doc_id % 11 + 4 AS INT) AS h,
+    CAST(doc_id % 200 + 50 AS INT) AS ns,
+    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+    text
+  FROM documents
+), sz AS (
+  SELECT *, CASE WHEN container = 'wav' THEN ns * 2 ELSE w * h * 3 END AS n FROM p
+), chain AS (
+  SELECT *, substr(
+      list_reduce(
+        list_transform(range(CAST((n + 15) // 16 AS BIGINT)),
+                       b -> md5(text || '#px:' || CAST(b AS VARCHAR))),
+        (a, x) -> a || x),
+      1, 2 * n) AS hx
+  FROM sz
+)
+SELECT doc_id AS media_id, container,
+  CASE WHEN container = 'wav' THEN NULL ELSE w END AS width,
+  CASE WHEN container = 'wav' THEN NULL ELSE h END AS height,
+  CASE WHEN container = 'wav' THEN rate ELSE NULL END AS sample_rate,
+  CAST(n AS BIGINT) AS n_payload,
+  md5(hx) AS payload_md5,
+  CAST(list_sum(list_transform(range(CAST(n AS BIGINT)),
+       i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT))) AS DOUBLE) / n AS byte_mean
+FROM chain
+"""
+
+
 _PQ_BOOKS: dict[str, list] = {}
 
 
@@ -1700,6 +1758,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "media_decode": q_media_decode,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -1729,4 +1788,5 @@ TRAINING_ORACLE: dict[str, str] = {
     "media_stats": _MEDIA_STATS_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
+    "media_decode": _MEDIA_DECODE_SQL,
 }

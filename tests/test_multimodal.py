@@ -1,13 +1,22 @@
-"""Multimodal operator tests: the codec is a deterministic stub, so these
-pin the REAL parts — schemas, meta propagation, Arrow batch plumbing,
-1→N frame fan-out, early binary-drop — plus stub determinism.
+"""Multimodal operator tests.
+
+Two codec legs (r8): the deterministic md5-fake stub (schemas, meta
+propagation, Arrow batch plumbing, 1→N frame fan-out, early binary-drop,
+stub determinism) AND the real-bytes leg — pure-Python PPM/BMP/WAV
+codecs, the JVM-expression container encoder pinned byte-for-byte
+against them, and the decode stage that recovers payloads from real
+headers/padding/row order.
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
 import pytest
 from pyspark.sql import Row
 
+from healthcare_aws_data_engineering_spark.operators import media_codecs as C
 from healthcare_aws_data_engineering_spark.operators import multimodal as M
 
 
@@ -48,9 +57,160 @@ def test_media_features_keep_content(media):
     assert "content" in out.columns
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        M._decode_bytes(b"x", 4, deterministic_fake=False)
+def test_decode_real_rejects_unknown_container():
+    # the real leg decodes PPM/BMP/WAV; anything needing an external
+    # codec library (or garbage) is a ValueError, not a wrong answer
+    with pytest.raises(ValueError, match="unsupported container"):
+        M._decode_bytes(b"\xff\xd8\xff\xe0jpeg", 4, deterministic_fake=False)
+    with pytest.raises(ValueError, match="empty"):
+        M._decode_bytes(b"", 4, deterministic_fake=False)
+
+
+# ---------------------------------------------------------------------------
+# real codecs (r8): pure-Python round trips
+# ---------------------------------------------------------------------------
+
+
+def _pattern(n: int) -> bytes:
+    return bytes(i * 7 % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("w,h", [(4, 4), (5, 3), (6, 2), (7, 5)])  # pads 0..3
+def test_ppm_and_bmp_round_trip_all_pad_residues(w, h):
+    rgb = _pattern(w * h * 3)
+    for enc, fmt in [(C.encode_ppm, "ppm"), (C.encode_bmp, "bmp")]:
+        d = C.decode_media(enc(w, h, rgb))
+        assert (d.format, d.width, d.height) == (fmt, w, h)
+        assert d.payload == rgb  # BMP: un-padded AND flipped back top-down
+
+
+def test_bmp_storage_is_really_bottom_up_and_padded():
+    w, h = 5, 2  # row 15 bytes → 1 pad byte
+    rgb = _pattern(w * h * 3)
+    data = C.encode_bmp(w, h, rgb)
+    assert data[54:54 + 15] == rgb[15:30]  # first stored row = LAST logical row
+    assert data[54 + 15] == 0  # the pad byte
+    assert len(data) == 54 + 16 * h
+
+
+def test_bmp_negative_height_topdown():
+    w, h = 4, 3
+    rgb = _pattern(w * h * 3)
+    data = bytearray(C.encode_bmp(w, h, rgb))
+    # rewrite height as -h (top-down) and re-order rows to match
+    struct.pack_into("<i", data, 22, -h)
+    row = w * 3
+    rows = [rgb[r * row:(r + 1) * row] for r in range(h)]
+    data[54:] = b"".join(rows)  # stored top-down, no pad needed (row%4==0)
+    d = C.decode_bmp(bytes(data))
+    assert d.height == h and d.payload == rgb
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = _pattern(2 * 2 * 3)
+    data = b"P6\n# a comment\n 2\t2 \n255\n" + rgb
+    d = C.decode_ppm(data)
+    assert (d.width, d.height, d.payload) == (2, 2, rgb)
+
+
+def test_wav_round_trip_and_chunk_walk():
+    pcm = _pattern(200)
+    d = C.decode_media(C.encode_wav(16000, pcm))
+    assert (d.format, d.sample_rate, d.payload) == ("wav", 16000, pcm)
+    # an unknown odd-sized chunk before 'data' must be word-align skipped
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    raw = C.encode_wav(8000, pcm)
+    raw = raw[:12] + extra + raw[12:]
+    d2 = C.decode_wav(raw)
+    assert d2.sample_rate == 8000 and d2.payload == pcm
+
+
+def test_codec_rejections():
+    with pytest.raises(ValueError, match="only 8-bit"):
+        C.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="24-bpp"):
+        # flip bpp to 8 in a valid header
+        data = bytearray(C.encode_bmp(4, 4, _pattern(48)))
+        struct.pack_into("<H", data, 28, 8)
+        C.decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        data = bytearray(C.encode_wav(8000, _pattern(8)))
+        struct.pack_into("<H", data, 22, 2)  # stereo
+        C.decode_wav(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# real leg through Spark: JVM encoder ≡ Python encoders, decode stage
+# ---------------------------------------------------------------------------
+
+
+def _payload_chain(text: str, n: int) -> bytes:
+    out, b = b"", 0
+    while len(out) < n:
+        out += hashlib.md5((text + f"#px:{b}").encode()).digest()
+        b += 1
+    return out[:n]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"document body {i} " * (i + 1), lang="en",
+                source="s", n_chars=0)
+            for i in range(24)  # ≥2 full cycles of every %-derived knob
+        ]
+    )
+
+
+def test_jvm_encoder_matches_python_encoders_byte_for_byte(docs):
+    enc = {r.media_id: r for r in M.encoded_media_from_documents(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, r in enc.items():
+        w, h = did % 13 + 4, did % 11 + 4
+        ns, rate = did % 200 + 50, 8000 + (did % 4) * 4000
+        text = texts[did]
+        if r.meta.format == "ppm":
+            expected = C.encode_ppm(w, h, _payload_chain(text, w * h * 3))
+        elif r.meta.format == "bmp":
+            expected = C.encode_bmp(w, h, _payload_chain(text, w * h * 3))
+        else:
+            expected = C.encode_wav(rate, _payload_chain(text, ns * 2))
+        assert bytes(r.content) == expected, (did, r.meta.format)
+
+
+def test_decode_media_stats_round_trip(docs):
+    media = M.encoded_media_from_documents(docs)
+    stats = {r.media_id: r for r in M.decode_media_stats(media).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(stats) == 24
+    for did, r in stats.items():
+        n = (did % 200 + 50) * 2 if r.container == "wav" \
+            else (did % 13 + 4) * (did % 11 + 4) * 3
+        payload = _payload_chain(texts[did], n)
+        assert r.n_payload == n
+        assert r.payload_md5 == hashlib.md5(payload.hex().encode()).hexdigest()
+        assert r.byte_mean == sum(payload) / n
+        if r.container == "wav":
+            assert r.width is None and r.sample_rate == 8000 + (did % 4) * 4000
+        else:
+            assert (r.width, r.height) == (did % 13 + 4, did % 11 + 4)
+
+
+def test_media_features_real_leg(docs):
+    media = M.encoded_media_from_documents(docs)
+    out = {r.media_id: r for r in
+           M.media_features(media, dim=8, deterministic_fake=False).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, r in out.items():
+        n = (did % 200 + 50) * 2 if r.meta.format == "wav" \
+            else (did % 13 + 4) * (did % 11 + 4) * 3
+        payload = _payload_chain(texts[did], n)
+        assert len(r.features) == 8
+        assert r.features[0] == pytest.approx(sum(payload) / n / 255.0, rel=1e-6)
+        assert r.features[1] == pytest.approx(payload[0] / 255.0, rel=1e-6)
 
 
 def test_resize_updates_meta_only_for_images(spark, media):

@@ -101,13 +101,27 @@ def test_no_oracle_uses_backslash_s():
     (DuckDB) does not — so ANY '\s' in oracle SQL is a latent
     cross-engine divergence waiting for the first \x0B in a document
     (empirically mapped in tests/test_tokenizer.py). Oracles must spell
-    the Java class explicitly: [ \t\n\v\f\r] (see
+    the Java class explicitly: [ \t\n\x0B\f\r] (see
     operators/text.py::WORD_SPLIT_RE_SQL / PUNCT_RE_SQL)."""
     import re
 
     _, oracle, _, _ = _registry()
     bad = sorted(k for k, sql in oracle.items() if re.search(r"\\s", sql))
     assert not bad, f"oracles containing a bare \\s regex class: {bad}"
+
+
+def test_no_oracle_uses_backslash_v():
+    r"""r8 lint (r7 advice): '\v' inside a character class is the
+    vertical-tab CHARACTER in RE2 but the vertical-whitespace CLASS
+    (\n \x0B \f \r U+0085 U+2028 U+2029) in Java — a literal that reads
+    differently depending on which engine it lands in. The repo-wide
+    spelling is \x0B, identical in both. Any '\v' in an oracle is a
+    copy-unsafe literal waiting to be pasted into the Spark side."""
+    import re
+
+    _, oracle, _, _ = _registry()
+    bad = sorted(k for k, sql in oracle.items() if re.search(r"\\v", sql))
+    assert not bad, f"oracles containing a \\v escape (use \\x0B): {bad}"
 
 
 def test_no_oracle_uses_one_arg_trim():
