@@ -1043,9 +1043,11 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #   4. the remaining slots fill with r6-green rows (the ETL family +
 #      wellness_monthly) so the r9 prefix burden shrinks below its
 #      36-row r6 tail.
-# _CHECK_NEXT holds the rest of the r6-green set (30 rows) — the whole
+# _CHECK_NEXT holds the rest of the r6-green set (31 rows) — the whole
 # of it is due in the r9 prefix, so no entry's verdict goes 3 rounds
-# stale.
+# stale. (Row counts here are asserted by
+# tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
+# which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
     # (1) latest verdict r5 — positions 1-36
     "quality_calibrated", "etl_obs_choice",

@@ -12,9 +12,17 @@ over every shared expression family the oracles ride:
 * decimal grid — round(x, 6) agrees everywhere incl. true ties; the
   bare double→DECIMAL cast diverges on large-magnitude ties (canaried);
 * string→number parse — DOUBLE agrees on clean literals; integer
-  TRY_CAST is not a shared surface (DuckDB parses-and-rounds, canaried).
+  TRY_CAST is not a shared surface (DuckDB parses-and-rounds, canaried);
+* array/HOF (r8) — transform/filter/slice/element_at agree under the
+  documented translations; found TWO new seams: sequence(a, b) with
+  a > b DESCENDS in Spark (implicit -1 step) where generate_series
+  returns [] (audited: every repo sequence() site is guarded or
+  structurally a <= b), and array_to_string is NULL for ALL-NULL lists
+  (generalizing the r7 empty-list find) where array_join is '';
+  list_reduce([]) errors, list_sum skips nulls where aggregate(+)
+  poisons — all canaried below.
 
-The r6 float-literal find and these r7 finds were all LATENT engine
+The r6 float-literal find and these r7/r8 finds were all LATENT engine
 divergences the gate corpus couldn't trigger; each family runs its
 adversarial gauntlet in ONE batch per engine, so future drift fails a
 test instead of waiting for real data. Seeded RNG → reproducible, no
@@ -26,6 +34,7 @@ from __future__ import annotations
 import random
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from healthcare_aws_data_engineering_spark.operators.text import (
@@ -319,3 +328,193 @@ def test_try_cast_parse_contract(spark):
         "TRY_CAST('1e-3' AS BIGINT)"
     ).fetchone()
     assert dk == (1000.0, 2, 0)  # DuckDB: separators + parse-and-round
+
+
+# ------------------------------------------------------------------------
+# Array / higher-order-function family (r8, r7 verdict ask #6): the
+# list surfaces the oracles ride — array_join/array_to_string,
+# transform/list_transform, filter/list_filter, aggregate/list_sum,
+# sequence/generate_series, slice/list_slice, element_at/list_extract —
+# gauntleted on empty lists, null elements, out-of-range and negative
+# indexes. Contract measured empirically (Spark 4.1.2 / DuckDB 1.x):
+#
+#   AGREE (the safe translation set):
+#   * array_join(arr, sep) ≡ array_to_string(l, sep) on lists with AT
+#     LEAST ONE NON-NULL element — both silently skip NULL elements;
+#   * transform(arr, x -> f) ≡ list_transform(l, x -> f) (no index);
+#   * filter ≡ list_filter (a NULL predicate result drops the element
+#     in both);
+#   * sequence(a, b, step) ≡ generate_series(a, b, step) with an
+#     EXPLICIT step whose sign matches;
+#   * slice(arr, s, n) ≡ list_slice(l, s, s+n-1) for s ≥ 1, including
+#     beyond-end truncation;
+#   * element_at(arr, -k) ≡ list_extract(l, -k) (from the end), and
+#     try_element_at(arr, k) ≡ list_extract(l, k) out of range (NULL);
+#   * size(NULL) IS NULL ≡ len(NULL) IS NULL.
+#
+#   DIVERGE (canaried, never translate blindly):
+#   * sequence(a, b) with a > b: Spark defaults step to -1 and yields
+#     the DESCENDING range; generate_series(a, b) yields []. Oracles
+#     must guarantee a <= b or spell the step;
+#   * array_to_string is NULL whenever NO non-null element remains —
+#     empty list OR all-null list — where array_join is '' (this
+#     gauntlet found the all-null generalization of the r7 span_scrub
+#     empty-list find; COALESCE the DuckDB side when '' semantics are
+#     load-bearing);
+#   * aggregate([], init, f) returns init; list_reduce([]) ERRORS —
+#     list_reduce is only safe on provably non-empty lists (the
+#     media_decode oracle's block count is ≥ 1 by construction);
+#   * aggregate(+) over a NULL element is NULL; list_sum SKIPS nulls;
+#   * lambda index: transform((x, i) -> i) is 0-based, list_transform
+#     1-based (the span_scrub oracle subtracts 1);
+#   * element_at(arr, 0) and slice(arr, 0, n) ERROR in Spark; DuckDB
+#     returns NULL / treats 0 as 1;
+#   * in-class \v: Java reads the vertical-whitespace CLASS
+#     (matches U+2028), RE2 reads the vertical-tab CHAR — the repo
+#     spells \x0B, which is the single char in BOTH (r7 advice).
+# ------------------------------------------------------------------------
+
+
+def _list_gauntlet() -> list[tuple[int, list[int | None]]]:
+    rng = random.Random(11)
+    edges: list[list[int | None]] = [
+        [], [0], [None], [1, None, 2], [None, None], [-5, 5],
+        [2147483647, -2147483648], list(range(20)),
+    ]
+    rows = [(i, l) for i, l in enumerate(edges)]
+    for i in range(len(edges), 120):
+        rows.append(
+            (i, [rng.randint(-99, 99) if rng.random() > 0.2 else None
+                 for _ in range(rng.randint(0, 9))])
+        )
+    return rows
+
+
+def test_array_hof_surface_agrees_across_engines(spark):
+    rows = _list_gauntlet()
+    df = spark.createDataFrame(rows, "i long, l array<int>")
+    got = {
+        r.i: (r.j, r.t, r.f, r.s, r.e_neg, r.e_try, r.sl)
+        for r in df.select(
+            "i",
+            F.when(
+                F.size(F.filter("l", lambda x: x.isNotNull())) > 0,
+                F.array_join(F.transform("l", lambda x: x.cast("string")), ","),
+            ).alias("j"),
+            # arithmetic in BIGINT: ANSI Spark errors on INT overflow at
+            # the ±2^31 edge rows (the repo's oracles widen the same way)
+            F.transform("l", lambda x: x.cast("long") * 2 + 1).alias("t"),
+            F.filter("l", lambda x: x % 3 == 0).alias("f"),
+            F.aggregate(
+                F.filter("l", lambda x: x.isNotNull()),
+                F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("s"),
+            F.when(F.size("l") > 0, F.element_at("l", -1)).alias("e_neg"),
+            F.try_element_at("l", F.lit(5)).alias("e_try"),
+            F.slice("l", 2, 3).alias("sl"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, l INT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.execute(
+        """
+        SELECT i,
+          CASE WHEN len(list_filter(l, x -> x IS NOT NULL)) > 0 THEN
+            array_to_string(list_transform(l, x -> CAST(x AS VARCHAR)), ',')
+          END AS j,
+          list_transform(l, x -> CAST(x AS BIGINT) * 2 + 1) AS t,
+          list_filter(l, x -> x % 3 = 0) AS f,
+          CAST(COALESCE(list_sum(list_filter(l, x -> x IS NOT NULL)), 0)
+               AS BIGINT) AS s,
+          CASE WHEN len(l) > 0 THEN list_extract(l, -1) END AS e_neg,
+          list_extract(l, 5) AS e_try,
+          list_slice(l, 2, 4) AS sl
+        FROM t
+        """
+    ).fetchall()
+    diverged = []
+    for i, j, t, f, s, e_neg, e_try, sl in duck:
+        if (j, t, f, s, e_neg, e_try, sl) != got[i]:
+            diverged.append((rows[i][1], got[i], (j, t, f, s, e_neg, e_try, sl)))
+    assert not diverged, diverged[:5]
+
+
+def test_sequence_vs_generate_series_contract(spark):
+    """Explicit-step ranges agree; the a > b default-step case is the
+    new r8 seam — Spark descends, DuckDB returns empty."""
+    cases = [(1, 5, 1), (5, 1, -1), (5, 1, -2), (0, 0, 1), (-3, 3, 2)]
+    for a, b, step in cases:
+        sp = spark.sql(f"SELECT sequence({a}, {b}, {step})").collect()[0][0]
+        dk = duckdb.sql(f"SELECT generate_series({a}, {b}, {step})").fetchone()[0]
+        assert sp == dk, (a, b, step, sp, dk)
+    # CANARY: implicit step with a > b
+    assert spark.sql("SELECT sequence(3, 1)").collect()[0][0] == [3, 2, 1]
+    assert duckdb.sql("SELECT generate_series(3, 1)").fetchone()[0] == []
+    # and DuckDB's range() is end-EXCLUSIVE — never a sequence() twin
+    assert duckdb.sql("SELECT range(1, 3)").fetchone()[0] == [1, 2]
+
+
+def test_array_hof_divergence_canaries(spark):
+    # no-non-null-element join: '' vs NULL (r7 find + the all-null
+    # generalization this family's gauntlet surfaced)
+    assert spark.sql("SELECT array_join(array(), ',')").collect()[0][0] == ""
+    assert duckdb.sql("SELECT array_to_string([], ',')").fetchone()[0] is None
+    assert spark.sql(
+        "SELECT array_join(array(CAST(NULL AS STRING)), ',')"
+    ).collect()[0][0] == ""
+    assert duckdb.sql(
+        "SELECT array_to_string(CAST([NULL] AS VARCHAR[]), ',')"
+    ).fetchone()[0] is None
+    # empty-list reduce: init vs error
+    assert spark.sql(
+        "SELECT aggregate(cast(array() as array<int>), 0, (a, x) -> a + x)"
+    ).collect()[0][0] == 0
+    with pytest.raises(duckdb.Error, match="empty"):
+        duckdb.sql(
+            "SELECT list_reduce(CAST([] AS INT[]), (a, x) -> a + x)"
+        ).fetchone()
+    # null-element sum: NULL-poisoning vs skip
+    assert spark.sql(
+        "SELECT aggregate(array(1, NULL, 2), 0, (a, x) -> a + x)"
+    ).collect()[0][0] is None
+    assert duckdb.sql("SELECT list_sum([1, NULL, 2])").fetchone()[0] == 3
+    # lambda index base: 0 vs 1
+    assert spark.sql(
+        "SELECT transform(array('a','b'), (x, i) -> i)"
+    ).collect()[0][0] == [0, 1]
+    assert duckdb.sql(
+        "SELECT list_transform(['a','b'], (x, i) -> i)"
+    ).fetchone()[0] == [1, 2]
+    # index 0: error vs NULL/1-clamp
+    with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO"):
+        spark.sql("SELECT element_at(array(1,2,3), 0)").collect()
+    assert duckdb.sql("SELECT list_extract([1,2,3], 0)").fetchone()[0] is None
+    assert duckdb.sql("SELECT list_slice([1,2,3], 0, 2)").fetchone()[0] == [1, 2]
+
+
+def test_vertical_tab_class_canary(spark):
+    r"""The r7-advice regex seam, pinned empirically: inside a character
+    class Java's \v is the vertical-whitespace CLASS (U+2028 matches!),
+    RE2's \v is the vertical-tab CHARACTER. \x0B is the single char in
+    both — the only safe spelling for a literal that may be rendered
+    into either engine (operators/text.py, plans/testdata_queries.py)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(ls=chr(0x2028), vt=chr(11))])
+    r = df.select(
+        F.regexp_count("ls", F.lit(r"[\v]")).alias("java_v_ls"),
+        F.regexp_count("vt", F.lit(r"[\v]")).alias("java_v_vt"),
+        F.regexp_count("ls", F.lit(r"[\x0B]")).alias("java_x_ls"),
+        F.regexp_count("vt", F.lit(r"[\x0B]")).alias("java_x_vt"),
+    ).collect()[0]
+    # Java: [\v] admits U+2028 (the class); [\x0B] does not (the char)
+    assert (r.java_v_ls, r.java_v_vt, r.java_x_ls, r.java_x_vt) == (1, 1, 0, 1)
+    dk = duckdb.sql(
+        r"""SELECT len(regexp_extract_all(chr(8232), '[\v]')),
+                   len(regexp_extract_all(chr(11), '[\v]')),
+                   len(regexp_extract_all(chr(8232), '[\x0B]')),
+                   len(regexp_extract_all(chr(11), '[\x0B]'))"""
+    ).fetchone()
+    # RE2: [\v] and [\x0B] are BOTH just the vertical-tab char
+    assert dk == (0, 1, 0, 1)
