@@ -195,6 +195,40 @@ def test_fast_path_matches_parity(spark):
             assert rp[f"risk_{d}"] == rf[f"risk_{d}"]
 
 
+def test_fast_path_matches_parity_on_bench_inputs(spark):
+    """r8 (r7 verdict optional #9): the SAME pin as above, but over the
+    exact inputs bench.py's unoracled ``ml_preprocess_fast`` /
+    ``ml_risk_scores_fast`` rows run on — the driver-testdata feature
+    frame at sf0.001 — so the benched fast rows are verified against the
+    oracled parity path on their real inputs, not just synthetic rows.
+    Identity modulo rounding: clusters and risk bands exact,
+    probabilities to 1e-9, z to the parity grid's quantization bound."""
+    from healthcare_aws_data_engineering_spark.plans.ml_queries import _features
+
+    df = _features(spark, "/root/testdata/sf0.001").cache()
+    try:
+        zp = {r.patient_id: r for r in I.preprocess(df, parity=True).collect()}
+        zf = {r.patient_id: r for r in I.preprocess(df, parity=False).collect()}
+        assert zp and set(zp) == set(zf)
+        znames = [
+            f"z{j}" for j in range(len(P.sklearn_pipeline()["pca"]["components"]))
+        ]
+        for pid, rp in zp.items():
+            rf = zf[pid]
+            assert rp.cluster == rf.cluster
+            for z in znames:
+                assert abs(rp[z] - rf[z]) < 2e-5, (pid, z)
+        sp = {r.patient_id: r for r in I.predict_diseases(df, parity=True).collect()}
+        sf = {r.patient_id: r for r in I.predict_diseases(df, parity=False).collect()}
+        for pid, rp in sp.items():
+            rf = sf[pid]
+            for d in I.DISEASES:
+                assert abs(rp[f"prob_{d}"] - rf[f"prob_{d}"]) < 1e-9, (pid, d)
+                assert rp[f"risk_{d}"] == rf[f"risk_{d}"]
+    finally:
+        df.unpersist()
+
+
 def test_float_literal_forces_double_parse_path():
     """DuckDB parses a bare 16-digit literal as DECIMAL, and its
     DECIMAL->DOUBLE conversion is not correctly rounded (bare
