@@ -470,6 +470,72 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(do, schema=DECODE_STATS_SCHEMA)
 
 
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def media_channel_stats(media: DataFrame) -> DataFrame:
+    """Decoded-SAMPLE feature extraction (r8) — the step past
+    ``decode_media_stats``' digest proof: interpret the recovered
+    payload as typed samples and compute per-channel statistics.
+
+    Images (PPM/BMP): the payload is interleaved RGB — per-channel mean
+    byte value (stride-3 walk over the real pixel order the decoder
+    recovered, so a BMP row-flip bug shifts bytes between channels and
+    breaks the oracle match).
+
+    Audio (WAV): samples are signed little-endian int16 — RMS amplitude
+    sqrt(sum(v²)/n). The sum of squares is exact integer math; the one
+    division and sqrt are correctly-rounded double ops, bit-identical
+    across engines.
+    """
+    import math
+    import struct as _struct
+
+    import pandas as pd
+
+    from .media_codecs import decode_media
+
+    cols = [f.name for f in CHANNEL_STATS_SCHEMA.fields]
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_media(bytes(content))
+                payload = d.payload
+                if d.format == "wav":
+                    n = len(payload) // 2
+                    vals = _struct.unpack(f"<{n}h", payload)
+                    # math.sqrt, not ** 0.5: IEEE sqrt is correctly
+                    # rounded (matches DuckDB's sqrt bit-for-bit); pow
+                    # carries no such guarantee
+                    rms = math.sqrt(sum(v * v for v in vals) / n)
+                    rows.append(
+                        (media_id, d.format, None, None, None, n, rms)
+                    )
+                else:
+                    n_px = len(payload) // 3
+                    means = [
+                        sum(payload[c::3]) / n_px for c in range(3)
+                    ]
+                    rows.append(
+                        (media_id, d.format, *means, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(do, schema=CHANNEL_STATS_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata/stats projection over the binary column (no UDF):
     sizes, content hash, meta fields — the cheap pre-filter stage before

@@ -1671,6 +1671,65 @@ FROM chain
 """
 
 
+def q_media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-SAMPLE feature extraction over the real containers (r8):
+    per-channel pixel means for images (stride-3 walk over the payload
+    the decoder recovered — a BMP row-flip or padding bug shifts bytes
+    between channels and breaks the match) and signed-int16 RMS for
+    audio. Exact integer sums; one double divide + IEEE sqrt, identical
+    in both engines."""
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
+    return M.media_channel_stats(media)
+
+
+_MEDIA_CHANNEL_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'bmp' END AS container,
+    CAST(doc_id % 13 + 4 AS INT) AS w,
+    CAST(doc_id % 11 + 4 AS INT) AS h,
+    CAST(doc_id % 200 + 50 AS INT) AS ns,
+    text
+  FROM documents
+), sz AS (
+  SELECT *, CASE WHEN container = 'wav' THEN ns * 2 ELSE w * h * 3 END AS n FROM p
+), chain AS (
+  SELECT *, substr(
+      list_reduce(
+        list_transform(range(CAST((n + 15) // 16 AS BIGINT)),
+                       b -> md5(text || '#px:' || CAST(b AS VARCHAR))),
+        (a, x) -> a || x),
+      1, 2 * n) AS hx
+  FROM sz
+), bytes AS (
+  SELECT *, list_transform(range(CAST(n AS BIGINT)),
+       i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bs
+  FROM chain
+)
+SELECT doc_id AS media_id, container,
+  CASE WHEN container = 'wav' THEN NULL ELSE
+    CAST(list_sum(list_transform(range(CAST(w*h AS BIGINT)), i -> bs[CAST(3*i+1 AS INT)]))
+         AS DOUBLE) / (w*h) END AS mean_r,
+  CASE WHEN container = 'wav' THEN NULL ELSE
+    CAST(list_sum(list_transform(range(CAST(w*h AS BIGINT)), i -> bs[CAST(3*i+2 AS INT)]))
+         AS DOUBLE) / (w*h) END AS mean_g,
+  CASE WHEN container = 'wav' THEN NULL ELSE
+    CAST(list_sum(list_transform(range(CAST(w*h AS BIGINT)), i -> bs[CAST(3*i+3 AS INT)]))
+         AS DOUBLE) / (w*h) END AS mean_b,
+  CASE WHEN container = 'wav' THEN CAST(ns AS BIGINT) END AS n_samples,
+  CASE WHEN container = 'wav' THEN
+    sqrt(CAST(list_sum(list_transform(range(CAST(ns AS BIGINT)), i ->
+      CAST(CASE WHEN bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] >= 32768
+                THEN bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] - 65536
+                ELSE bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] END AS BIGINT)
+      * CAST(CASE WHEN bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] >= 32768
+                  THEN bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] - 65536
+                  ELSE bs[CAST(2*i+1 AS INT)] + 256 * bs[CAST(2*i+2 AS INT)] END AS BIGINT)))
+      AS DOUBLE) / ns) END AS rms
+FROM bytes
+"""
+
+
 _PQ_BOOKS: dict[str, list] = {}
 
 
@@ -1759,6 +1818,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "media_decode": q_media_decode,
+    "media_channel_stats": q_media_channel_stats,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -1789,4 +1849,5 @@ TRAINING_ORACLE: dict[str, str] = {
     "media_features": _MEDIA_FEATURES_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "media_decode": _MEDIA_DECODE_SQL,
+    "media_channel_stats": _MEDIA_CHANNEL_SQL,
 }

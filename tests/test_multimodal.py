@@ -199,6 +199,32 @@ def test_decode_media_stats_round_trip(docs):
             assert (r.width, r.height) == (did % 13 + 4, did % 11 + 4)
 
 
+def test_media_channel_stats_real_samples(docs):
+    """Per-channel pixel means and int16 RMS computed from the REAL
+    decoded payloads, cross-checked against a direct computation on the
+    expected payload chain."""
+    import math
+    import struct as _struct
+
+    media = M.encoded_media_from_documents(docs)
+    out = {r.media_id: r for r in M.media_channel_stats(media).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == 24
+    for did, r in out.items():
+        if r.container == "wav":
+            ns = did % 200 + 50
+            payload = _payload_chain(texts[did], ns * 2)
+            vals = _struct.unpack(f"<{ns}h", payload)
+            assert r.n_samples == ns and r.mean_r is None
+            assert r.rms == math.sqrt(sum(v * v for v in vals) / ns)
+        else:
+            w, h = did % 13 + 4, did % 11 + 4
+            payload = _payload_chain(texts[did], w * h * 3)
+            assert r.n_samples is None and r.rms is None
+            for col, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                assert r[col] == sum(payload[c::3]) / (w * h), (did, col)
+
+
 def test_media_features_real_leg(docs):
     media = M.encoded_media_from_documents(docs)
     out = {r.media_id: r for r in
