@@ -178,7 +178,9 @@ def resize_images(
     media: DataFrame, width: int, height: int, deterministic_fake: bool = True
 ) -> DataFrame:
     """Stub resize: content re-derived at the target size, meta updated.
-    Non-image rows pass through unchanged."""
+    Non-image rows pass through unchanged. (With deterministic_fake=False
+    the DECODE leg is real — media_codecs — but the resample itself
+    remains the md5 fake: real interpolation is a codec library's job.)"""
     import pandas as pd
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,14 +247,20 @@ def sample_frames(
                     ids.append(media_id)
                     idxs.append(i)
                     mss.append(i * every_ms)
+                    if not deterministic_fake:
+                        # no uncompressed VIDEO container in
+                        # media_codecs (images/audio only) — real frame
+                        # extraction needs an external codec library
+                        raise ValueError(
+                            "real frame sampling requires a video codec; "
+                            "media_codecs covers PPM/BMP/WAV only"
+                        )
                     # md5 + ASCII salt (not raw-byte salts): the DuckDB
                     # oracle rebuilds this as md5(text || '#frame:' || i)
                     frames.append(
                         hashlib.md5(
                             (content or b"") + f"#frame:{i}".encode()
                         ).digest()
-                        if deterministic_fake
-                        else _decode_bytes(content, 1, False)  # raises
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame": frames}
