@@ -20,7 +20,13 @@ over every shared expression family the oracles ride:
   structurally a <= b), and array_to_string is NULL for ALL-NULL lists
   (generalizing the r7 empty-list find) where array_join is '';
   list_reduce([]) errors, list_sum skips nulls where aggregate(+)
-  poisons — all canaried below.
+  poisons — all canaried below;
+* string slicing (r8) — substr/lpad/rpad/repeat/left/right/instr/
+  split_part agree across the whole edge battery EXCEPT: substr at
+  position 0 (Spark clamps to 1 and returns n chars, DuckDB returns
+  n-1 — the silent cliff under any computed index that underflows),
+  and left/right with negative n ('' vs drop-from-other-end). The
+  media oracles' hex-chain slicing rides exactly this surface.
 
 The r6 float-literal find and these r7/r8 finds were all LATENT engine
 divergences the gate corpus couldn't trigger; each family runs its
@@ -491,6 +497,100 @@ def test_array_hof_divergence_canaries(spark):
         spark.sql("SELECT element_at(array(1,2,3), 0)").collect()
     assert duckdb.sql("SELECT list_extract([1,2,3], 0)").fetchone()[0] is None
     assert duckdb.sql("SELECT list_slice([1,2,3], 0, 2)").fetchone()[0] == [1, 2]
+
+
+# ------------------------------------------------------------------------
+# String-slicing family (r8): substr with COMPUTED indexes is
+# load-bearing in every media oracle (hex-chain slicing `substr(hx,
+# 2*i+1, 2)` on both engines) and in lpad'd hex rendering. Contract:
+#
+#   AGREE: substr on every 1-based in-range position, negative
+#   (from-end) positions, beyond-end positions (''), zero/oversized
+#   lengths, unicode codepoint indexing; lpad/rpad incl. truncation and
+#   zero width; repeat; left/right with n >= 0; instr; reverse;
+#   translate; replace; split_part incl. negative index; hex/unhex
+#   round trips (DuckDB unhex accepts Spark's uppercase hex output).
+#
+#   DIVERGE (canaried):
+#   * substr(s, 0, n): Spark clamps position 0 to 1 and returns n
+#     chars; DuckDB starts the window BEFORE the first char and returns
+#     n-1. An index computation that underflows to 0 silently yields
+#     different strings — the media oracles' 2*i+1 is >= 1 by
+#     construction, and this canary keeps the cliff visible;
+#   * left/right with NEGATIVE n: Spark returns ''; DuckDB drops |n|
+#     from the other end;
+#   * strpos exists only in DuckDB — use instr on both.
+# ------------------------------------------------------------------------
+
+
+def test_string_slicing_surface_agrees_across_engines(spark):
+    strs = ["abcdef", "", "a", "héllo wörld", "0a0b0c0d", "xx" * 40]
+    rng = random.Random(13)
+    rows = []
+    i = 0
+    for s in strs:
+        for pos in [1, 2, len(s) or 1, len(s) + 1, len(s) + 99, -1, -2,
+                    -(len(s) or 1), -99]:
+            for ln in [0, 1, 2, 99]:
+                rows.append((i, s, pos, ln))
+                i += 1
+    for _ in range(100):
+        rows.append(
+            (i, rng.choice(strs), rng.randint(1, 20), rng.randint(0, 20))
+        )
+        i += 1
+    df = spark.createDataFrame(rows, "i long, s string, p int, l int")
+    got = {
+        r.i: (r.sub, r.lp, r.rp, r.rep, r.lft, r.rgt, r.ins, r.spl)
+        for r in df.selectExpr(
+            "i",
+            "substr(s, p, l) AS sub",
+            "lpad(s, l, '0') AS lp",
+            "rpad(s, l, 'xy') AS rp",
+            "repeat(s, l % 4) AS rep",
+            "left(s, l) AS lft",
+            "right(s, l) AS rgt",
+            "instr(s, 'b') AS ins",
+            "split_part(s, 'b', 2) AS spl",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR, p INT, l INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    duck = con.execute(
+        """
+        SELECT i, substr(s, p, l), lpad(s, l, '0'), rpad(s, l, 'xy'),
+               repeat(s, l % 4), left(s, l), right(s, l),
+               CAST(instr(s, 'b') AS BIGINT), split_part(s, 'b', 2)
+        FROM t
+        """
+    ).fetchall()
+    diverged = [
+        (rows[i][1:], got[i], vals)
+        for i, *vals in duck
+        if tuple(vals) != got[i]
+    ]
+    assert not diverged, diverged[:5]
+
+
+def test_string_slicing_divergence_canaries(spark):
+    # substr position 0: Spark clamps to 1 (full n), DuckDB eats one
+    assert spark.sql("SELECT substr('abcdef', 0, 3)").collect()[0][0] == "abc"
+    assert duckdb.sql("SELECT substr('abcdef', 0, 3)").fetchone()[0] == "ab"
+    # negative left/right: '' vs drop-from-other-end
+    assert spark.sql(
+        "SELECT left('abcdef', -2), right('abcdef', -2)"
+    ).collect()[0][0:2] == ("", "")
+    assert duckdb.sql(
+        "SELECT left('abcdef', -2), right('abcdef', -2)"
+    ).fetchone() == ("abcd", "cdef")
+    # hex case: Spark hex() is UPPERCASE, DuckDB's unhex accepts it
+    # (the media encoder unhexes its own mixed-case concat) — and
+    # DuckDB md5() output is lowercase, matching Spark's F.md5
+    assert spark.sql("SELECT hex('ab')").collect()[0][0] == "6162"
+    assert duckdb.sql("SELECT unhex('6A6B')").fetchone()[0] == b"jk"
+    assert duckdb.sql("SELECT md5('x')").fetchone()[0] == \
+        spark.sql("SELECT md5('x')").collect()[0][0]
 
 
 def test_vertical_tab_class_canary(spark):

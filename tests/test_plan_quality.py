@@ -71,6 +71,18 @@ def test_text_stats_is_projection_only(spark):
     assert _n_exchanges(plan) == 0, plan
 
 
+def test_media_decode_zero_exchange(spark):
+    """The real-codec legs (r8) must stay Scan → Project (JVM container
+    encode, scan-fused) → MapInPandas: ZERO exchanges — the binary
+    column is produced and consumed inside one stage and never
+    shuffles. A regression that shuffles MB-scale media bytes is the
+    single worst thing that can happen to this family at 100 TB."""
+    for name in ("media_decode", "media_channel_stats"):
+        plan = _plan(spark, name)
+        assert _n_exchanges(plan) == 0, (name, plan)
+        assert "MapInPandas" in plan, (name, plan)
+
+
 def test_ml_preprocess_join_then_rowwise_math(spark):
     """Impute→scale→PCA→cluster is per-row math: the only exchanges
     allowed are the upstream feature-pivot aggregate and the demo-side
