@@ -515,3 +515,39 @@ def test_windowed_counts_drops_late_rows(spark, tmp_path):
     assert rows[13] == (1, 1.0)
     assert rows[14] == (1, 1.0)
     assert 16 not in rows
+
+
+def test_media_decode_stream_equals_batch(spark, tmp_path):
+    """r8: the real-codec decode is a stateless mapInPandas projection,
+    so it must run UNCHANGED on an availableNow stream of document
+    files — the shape a continuously-ingesting media pipeline has (new
+    parquet drops decoded incrementally, no shuffle, no state). Stream
+    output must equal the batch run row-for-row."""
+    from healthcare_aws_data_engineering_spark.operators import multimodal as M
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    src_dir = str(tmp_path / "docs_src")
+    # two files → two availableNow micro-batches
+    docs.repartition(2).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    decoded = M.decode_media_stats(M.encoded_media_from_documents(stream))
+    assert decoded.isStreaming
+    run_available_now_to_memory(
+        decoded, "media_stream", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {
+        r.media_id: (r.container, r.n_payload, r.payload_md5, r.byte_mean)
+        for r in spark.sql("SELECT * FROM media_stream").collect()
+    }
+    expected = {
+        r.media_id: (r.container, r.n_payload, r.payload_md5, r.byte_mean)
+        for r in M.decode_media_stats(
+            M.encoded_media_from_documents(spark.read.parquet(src_dir))
+        ).collect()
+    }
+    assert got == expected and len(got) == 60
