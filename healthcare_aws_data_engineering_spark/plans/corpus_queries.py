@@ -140,6 +140,156 @@ FROM w, t
 """
 
 
+# ------------------------------------------------------------ mixture_draw --
+# Materialize the training mixture mix_weights only PLANS (r8): the
+# epoch-aware upsampled draw LLM pipelines actually feed the trainer —
+# source s with target T_s docs and population n_s contributes
+# floor(T_s/n_s) full epochs of every doc plus one PARTIAL epoch where
+# each doc survives iff its 48-bit md5 draw key falls under a
+# per-source threshold ≈ frac·2^48.
+#
+# Scale shape — deliberately ZERO windows and zero per-source sorts:
+# map-side-combined counts by source (bounded; the factor lineage pays
+# two slim projection scans, same trade as q_mix_weights, because the
+# per-source table feeds both the total and the factors), the tiny
+# factor table broadcast back, then explode over sequence(0,
+# ceil(T/n)-1) and a hash-threshold filter — the DOC side is pure
+# projection+filter with no shuffle at all, so the draw is
+# embarrassingly parallel and replayable (same snapshot + same targets
+# → byte-identical draw, the property a resumable training run needs).
+# Output size is bounded by construction: Σ_s ceil-epoch rows ≈ Σ T_s =
+# the epoch budget, NOT corpus × factor. The partial-epoch count is
+# binomial around frac·n_s (a deterministic hash has no coupon-
+# collector guarantee) — the trade every hash-threshold sampler makes;
+# an exact-count draw would need the per-source rank the boundary-
+# bucket hatch exists for.
+#
+# The threshold is floor(frac_num/n · 2^48) computed with one double
+# divide+multiply+floor on identical integers — identical in both
+# engines (the integer-only form frac_num·2^48 DIV n would overflow
+# BIGINT past n = 2^15).
+MIXTURE_DRAW_EPOCH_DOCS = 2_000
+_HASH48 = float(2**48)
+
+
+def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", token_count(F.col("text")).cast("long").alias("__t")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tok"))
+        .withColumn(
+            "__w",
+            F.round(F.sqrt(F.col("__tok").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    total = per_source.agg(F.sum("__w").alias("__total"))
+    factors = (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__share",
+            F.round(
+                F.lit(1e6) * (F.col("__w").cast("double") / F.col("__total").cast("double"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "__target",
+            F.expr(f"CAST(({MIXTURE_DRAW_EPOCH_DOCS} * __share) DIV 1000000 AS BIGINT)"),
+        )
+        .withColumn("__full", F.expr("__target DIV __n"))
+        .withColumn(
+            "__thr",
+            F.floor(
+                (F.col("__target") % F.col("__n")).cast("double")
+                / F.col("__n").cast("double")
+                * F.lit(_HASH48)
+            ).cast("long"),
+        )
+        .select("source", "__n", "__full", "__thr")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ep:"), F.col("epoch").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    # greatest(…, 0): a target-0 source would otherwise
+                    # hit sequence(0, -1), which DESCENDS in Spark (the
+                    # r8 fuzz seam) and leaks epoch -1 past the filter;
+                    # clamped to [0] the filter drops it on both engines
+                    F.greatest(
+                        F.when(F.col("__thr") > 0, F.col("__full"))
+                        .otherwise(F.col("__full") - 1),
+                        F.lit(0),
+                    ).cast("int"),
+                )
+            ).alias("epoch"),
+            "__full",
+            "__thr",
+        )
+        .withColumn("__key", key)
+        .filter((F.col("epoch") < F.col("__full")) | (F.col("__key") < F.col("__thr")))
+        .select(
+            "doc_id",
+            "source",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.lower(F.format_string("%012x", F.col("__key"))).alias("draw_key"),
+        )
+    )
+
+
+_MIXTURE_DRAW_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n,
+         SUM({token_count_sql('text')}) AS tok
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(round(sqrt(CAST(tok AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wu
+  FROM per_source
+),
+t AS (SELECT SUM(wu) AS total FROM w),
+f AS (
+  SELECT source, n,
+    CAST(({MIXTURE_DRAW_EPOCH_DOCS} * CAST(round(CAST(1000000 AS DOUBLE)
+        * (CAST(wu AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)) // 1000000
+        AS BIGINT) AS target
+  FROM w, t
+),
+f2 AS (
+  SELECT source, n, target // n AS full,
+         CAST(floor(CAST(target % n AS DOUBLE) / CAST(n AS DOUBLE)
+              * {_HASH48!r}::DOUBLE) AS BIGINT) AS thr
+  FROM f
+),
+drawn AS (
+  SELECT d.doc_id, d.source, CAST(e AS INT) AS epoch,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#ep:' || CAST(e AS VARCHAR)), 1, 12)) AS BIGINT) AS key
+  FROM documents d
+  JOIN f2 ON f2.source = d.source,
+  unnest(generate_series(0, CASE WHEN f2.thr > 0 THEN f2.full ELSE f2.full - 1 END)) AS s(e)
+)
+SELECT d.doc_id, d.source, d.epoch,
+       lower(substr(md5(CAST(d.doc_id AS VARCHAR) || '#ep:' || CAST(d.epoch AS VARCHAR)), 1, 12)) AS draw_key
+FROM drawn d JOIN f2 ON f2.source = d.source
+WHERE d.epoch < f2.full OR d.key < f2.thr
+"""
+
+
 # ---------------------------------------------------------- source_overlap --
 # Cross-source contamination audit: how many documents share a leading-
 # 16-token fingerprint across each pair of sources. Prefix fingerprints
@@ -671,6 +821,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_scrub": q_span_scrub,
     "doc_chunks": q_doc_chunks,
     "mix_weights": q_mix_weights,
+    "mixture_draw": q_mixture_draw,
     "source_overlap": q_source_overlap,
     "json_props": q_json_props,
     "heavy_hitters": q_heavy_hitters,
@@ -689,6 +840,7 @@ CORPUS_ORACLE: dict[str, str] = {
     "span_scrub": scrub_repeated_sql(),
     "doc_chunks": chunk_sql(),
     "mix_weights": _MIX_WEIGHTS_SQL,
+    "mixture_draw": _MIXTURE_DRAW_SQL,
     "source_overlap": _SOURCE_OVERLAP_SQL,
     "json_props": _JSON_PROPS_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,

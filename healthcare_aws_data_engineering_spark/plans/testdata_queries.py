@@ -1038,12 +1038,13 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #      oracle SQL also changed) — their r6 verdicts predate the current
 #      semantics;
 #   3. queries NEW or changed in r8: media_decode + media_channel_stats
-#      (the real-bytes codec leg of the multimodal family) and
+#      (the real-bytes codec leg of the multimodal family),
+#      mixture_draw (the epoch-upsampled training-mixture draw), and
 #      span_scrub (the no-op distinct dropped from scrub_repeated's
 #      plan AND its oracle — r7 advice);
-#   4. the remaining slots fill with r6-green rows (the ETL family) so
-#      the r9 prefix burden shrinks below its 36-row r6 tail.
-# _CHECK_NEXT holds the rest of the r6-green set (32 rows) — the whole
+#   4. the remaining slots fill with r6-green rows (most of the ETL
+#      family) so the r9 prefix burden shrinks below its 36-row r6 tail.
+# _CHECK_NEXT holds the rest of the r6-green set (33 rows) — the whole
 # of it is due in the r9 prefix, so no entry's verdict goes 3 rounds
 # stale. (Row counts here are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
@@ -1063,15 +1064,14 @@ _CHECK_FIRST = [
     # (2) changed in r7, unverified since — positions 37-43
     "dsir_select", "zipf_slope", "dup_clusters", "dedup_weighted",
     "cluster_split", "corpus_curation", "domain_cap",
-    # (3) NEW or changed in r8 — positions 44-46
-    "media_decode", "media_channel_stats", "span_scrub",
-    # (4) r6-green fills — positions 47-50
+    # (3) NEW or changed in r8 — positions 44-47
+    "media_decode", "media_channel_stats", "mixture_draw", "span_scrub",
+    # (4) r6-green fills — positions 48-50
     "etl_patients", "etl_observations", "etl_encounters",
-    "etl_conditions",
 ]
 # the r6-green queries not in the prefix: the whole r9 prefix head.
 _CHECK_NEXT = [
-    "wellness_monthly",
+    "wellness_monthly", "etl_conditions",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "bracket_revenue",
     "dedup_minhash_lsh", "dist_summary", "doc_attributes", "doc_chunks",
     "dormant_customers", "embedding_near_dup", "graph_pagerank",

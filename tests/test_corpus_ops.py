@@ -556,3 +556,61 @@ def test_span_scrub_consistent_with_repeated_spans(spark):
         assert n_rem <= reported.get(doc_id, 0)
     # and something survives keep-first that pure reporting marks
     assert sum(removed.values()) < sum(reported.values())
+
+
+# ------------------------------------------------------------ mixture_draw --
+
+
+def test_mixture_draw_epoch_structure(spark):
+    """Full epochs are EXACT (every doc of source s appears at epochs
+    0..full-1), the partial epoch only ever adds epoch == full, the draw
+    is deterministic, and per-source totals sit near their targets."""
+    out = cq.q_mixture_draw(spark, SF).collect()
+    again = cq.q_mixture_draw(spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # replayable
+
+    by_doc = collections.defaultdict(list)
+    by_source = collections.Counter()
+    for r in out:
+        by_doc[(r.source, r.doc_id)].append(r.epoch)
+        by_source[r.source] += 1
+    # within one source every doc has the same floor(T/n) full epochs:
+    # its epoch list is exactly range(full) or range(full+1)
+    for (source, _doc), epochs in by_doc.items():
+        es = sorted(epochs)
+        assert es == list(range(len(es))), (source, es)
+    full_by_source = {
+        s: min(len(v) for (s2, _), v in by_doc.items() if s2 == s)
+        for s in by_source
+    }
+    for (source, _doc), epochs in by_doc.items():
+        assert len(epochs) - full_by_source[source] in (0, 1)
+
+
+def test_mixture_draw_target_zero_source_emits_nothing(spark):
+    """A source whose share rounds its target to 0 docs must contribute
+    ZERO rows — this is the guard against Spark's descending
+    sequence(0, -1) (the r8 fuzz seam), which would otherwise leak every
+    doc of that source at epoch -1 past the epoch < full filter."""
+    # 30 heavy sources (weight sqrt(40000)·1e6 = 200e6 each) vs one
+    # 1-token source: share_tiny = 1/6001 → share_e6 ≈ 167 →
+    # target = (2000·167) DIV 1e6 = 0. EXACTLY the degenerate domain.
+    rows = [(0, "solo", "tiny")] + [
+        (1 + s * 10 + d, "w " * 4000, f"b{s:02d}")
+        for s in range(30)
+        for d in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    import healthcare_aws_data_engineering_spark.plans.corpus_queries as m
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, _n: docs
+        out = m.q_mixture_draw(spark, SF).collect()
+    finally:
+        m.load_table = orig
+    tiny_rows = [r for r in out if r.source == "tiny"]
+    assert not tiny_rows, f"target-0 source leaked {len(tiny_rows)} rows"
+    assert out, "heavy sources must draw"
+    assert all(r.epoch >= 0 for r in out), "negative epoch leaked"
