@@ -119,6 +119,8 @@ def encode_bmp(width: int, height: int, rgb_topdown: bytes) -> bytes:
 def decode_bmp(data: bytes) -> DecodedMedia:
     if data[:2] != b"BM":
         raise ValueError("not a BMP file")
+    if len(data) < 54:
+        raise ValueError("BMP truncated: header is 54 bytes")
     (offset,) = struct.unpack_from("<I", data, 10)
     header_size, width, height = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
@@ -166,6 +168,8 @@ def decode_wav(data: bytes) -> DecodedMedia:
         chunk_id, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError(
