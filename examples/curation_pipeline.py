@@ -17,7 +17,10 @@ shows how they compose as a library):
 4. **Token budget** — fill half the surviving token mass in quality
    order with the two-phase global prefix sum (no single-partition
    window; `plans.training_data_queries.two_phase_cum_tokens`).
-5. **Epoch order** — deterministic per-epoch shuffle manifest:
+5. **Mixture draw** — epoch-upsample the curated set to sqrt-temperature
+   source shares (`plans.corpus_queries.mixture_draw`: full epochs +
+   one hash-threshold partial epoch, zero windows).
+6. **Epoch order** — deterministic per-epoch shuffle manifest:
    (shard, pos) permutation from one bounded-key shuffle.
 
 Run from the repo root:
@@ -37,6 +40,7 @@ from pyspark.sql import Window, functions as F
 from healthcare_aws_data_engineering_spark.operators import dedup as D
 from healthcare_aws_data_engineering_spark.operators import graph as G
 from healthcare_aws_data_engineering_spark.operators.text import doc_attributes
+from healthcare_aws_data_engineering_spark.plans.corpus_queries import mixture_draw
 from healthcare_aws_data_engineering_spark.plans.training_data_queries import (
     DOMAIN_CAP,
     DUP_CLUSTER_JACCARD,
@@ -98,23 +102,37 @@ def curate(spark, sf_dir: str):
     final = selected.join(kept, "doc_id")
     stats["after_token_budget"] = final.count()
 
-    # 5. deterministic epoch order (inline twin of q_training_order)
+    # 5. epoch-upsampled mixture draw: re-balance the curated set to
+    # sqrt-temperature source shares (one row per (doc, epoch) copy —
+    # the trainer-facing draw; uses the precomputed n_tokens so the
+    # text is never re-scanned)
+    draw = mixture_draw(
+        final.select("doc_id", "source", "n_tokens"),
+        epoch_docs=stats["after_token_budget"],
+        n_tokens_col="n_tokens",
+    )
+    drawn = final.join(draw.select("doc_id", "epoch"), "doc_id")
+    stats["mixture_rows"] = drawn.count()
+
+    # 6. deterministic epoch order (inline twin of q_training_order;
+    # the epoch index salts the key so every epoch reshuffles)
     okey = F.md5(
-        F.concat(F.lit("epoch0#"), F.col("doc_id").cast("string")).cast(
-            "binary"
-        )
+        F.concat(
+            F.lit("ep"), F.col("epoch").cast("string"), F.lit("#"),
+            F.col("doc_id").cast("string"),
+        ).cast("binary")
     )
     shard = (F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % 64).cast(
         "int"
     )
-    ordered = final.select(
-        "doc_id", "source", "quality", "n_tokens", "weight",
+    ordered = drawn.select(
+        "doc_id", "source", "quality", "n_tokens", "weight", "epoch",
         shard.alias("shard"), okey.alias("__k"),
     )
     w = Window.partitionBy("shard").orderBy("__k", "doc_id")
     manifest = ordered.select(
-        "doc_id", "source", "quality", "n_tokens", "weight", "shard",
-        F.row_number().over(w).alias("pos"),
+        "doc_id", "source", "quality", "n_tokens", "weight", "epoch",
+        "shard", F.row_number().over(w).alias("pos"),
     )
     return manifest, stats
 

@@ -172,12 +172,21 @@ MIXTURE_DRAW_EPOCH_DOCS = 2_000
 _HASH48 = float(2**48)
 
 
-def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def mixture_draw(
+    docs: DataFrame, epoch_docs: int, n_tokens_col: str | None = None
+) -> DataFrame:
+    """Library form (used by examples/curation_pipeline.py): draw an
+    epoch of ``epoch_docs`` documents from any frame with (doc_id,
+    source) — sqrt-temperature weights from ``n_tokens_col`` if given,
+    else tokenized from ``text``. Output: (doc_id, source, epoch,
+    draw_key)."""
+    tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(F.col("text")).cast("long")
+    )
     per_source = (
-        docs.select(
-            "source", token_count(F.col("text")).cast("long").alias("__t")
-        )
+        docs.select("source", tok.alias("__t"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tok"))
         .withColumn(
@@ -196,7 +205,7 @@ def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "__target",
-            F.expr(f"CAST(({MIXTURE_DRAW_EPOCH_DOCS} * __share) DIV 1000000 AS BIGINT)"),
+            F.expr(f"CAST(({epoch_docs} * __share) DIV 1000000 AS BIGINT)"),
         )
         .withColumn("__full", F.expr("__target DIV __n"))
         .withColumn(
@@ -248,6 +257,12 @@ def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch").cast("int").alias("epoch"),
             F.lower(F.format_string("%012x", F.col("__key"))).alias("draw_key"),
         )
+    )
+
+
+def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_draw(
+        load_table(spark, sf_dir, "documents"), MIXTURE_DRAW_EPOCH_DOCS
     )
 
 

@@ -116,11 +116,16 @@ def test_curation_pipeline_example(spark):
     manifest, stats = mod.curate(spark, "/root/testdata/sf0.001")
     rows = manifest.collect()
     assert stats["corpus_docs"] >= stats["after_domain_cap"] >= stats["after_token_budget"]
-    assert len(rows) == stats["after_token_budget"] > 0
-    assert len({r.doc_id for r in rows}) == len(rows)
+    # r8: the mixture draw upsamples (doc, epoch) copies around the
+    # epoch budget (hash-threshold partial epochs are binomial, so the
+    # draw sits NEAR after_token_budget, not exactly on it)
+    assert len(rows) == stats["mixture_rows"] > 0
+    budget = stats["after_token_budget"]
+    assert abs(len(rows) - budget) <= max(10, budget // 5)
+    assert len({(r.doc_id, r.epoch) for r in rows}) == len(rows)
     by_shard = {}
     for r in rows:
-        assert 0.0 < r.weight <= 1.0
+        assert 0.0 < r.weight <= 1.0 and r.epoch >= 0
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
