@@ -26,7 +26,12 @@ over every shared expression family the oracles ride:
   position 0 (Spark clamps to 1 and returns n chars, DuckDB returns
   n-1 — the silent cliff under any computed index that underflows),
   and left/right with negative n ('' vs drop-from-other-end). The
-  media oracles' hex-chain slicing rides exactly this surface.
+  media oracles' hex-chain slicing rides exactly this surface;
+* NULL ordering (r8) — default ORDER BY placement diverges (Spark
+  sorts nulls smallest: NULLS FIRST asc / LAST desc; DuckDB defaults
+  NULLS LAST both directions), so ranking over a nullable order column
+  needs EXPLICIT placement on both sides; with it spelled, agreement is
+  total, and raw string collation is shared codepoint order.
 
 The r6 float-literal find and these r7/r8 finds were all LATENT engine
 divergences the gate corpus couldn't trigger; each family runs its
@@ -591,6 +596,76 @@ def test_string_slicing_divergence_canaries(spark):
     assert duckdb.sql("SELECT unhex('6A6B')").fetchone()[0] == b"jk"
     assert duckdb.sql("SELECT md5('x')").fetchone()[0] == \
         spark.sql("SELECT md5('x')").collect()[0][0]
+
+
+# ------------------------------------------------------------------------
+# NULL-ordering family (r8): default NULL placement in ORDER BY (sorts
+# AND window frames) is a silent rank-shifter —
+#   Spark:  ASC → NULLS FIRST, DESC → NULLS LAST (nulls sort "smallest")
+#   DuckDB: NULLS LAST for BOTH directions (its default_null_order)
+# so any ROW_NUMBER/rank/top-k over a NULLABLE order column diverges
+# between an oracle and its Spark twin unless NULLS FIRST/LAST is
+# spelled EXPLICITLY on both sides. Audited: every current oracle
+# either orders by non-null-by-construction columns (ids, counts,
+# md5 keys) or filters nulls before ranking — this family exists so
+# the FIRST nullable order column added to a query fails a test here
+# instead of hash-mismatching at the gate. With explicit placement the
+# engines agree everywhere, including multi-key orders; raw byte
+# collation of strings (codepoint order) also agrees.
+# ------------------------------------------------------------------------
+
+
+def test_null_ordering_divergence_canary_and_explicit_agreement(spark):
+    sp = spark.sql(
+        "SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) rn_asc,"
+        " ROW_NUMBER() OVER (ORDER BY v DESC) rn_desc"
+        " FROM (VALUES (1),(CAST(NULL AS INT)),(2)) t(v)"
+    ).collect()
+    sp_by_v = {r.v: (r.rn_asc, r.rn_desc) for r in sp}
+    dk = duckdb.sql(
+        "SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) rn_asc,"
+        " ROW_NUMBER() OVER (ORDER BY v DESC) rn_desc"
+        " FROM (VALUES (1),(NULL),(2)) t(v)"
+    ).fetchall()
+    dk_by_v = {v: (a, d) for v, a, d in dk}
+    # CANARY: the defaults disagree on where the NULL ranks ASC
+    assert sp_by_v[None] == (1, 3)  # Spark: nulls smallest
+    assert dk_by_v[None] == (3, 3)  # DuckDB: nulls last both ways
+    assert sp_by_v[1] == (2, 2) and dk_by_v[1] == (1, 2)
+
+    # EXPLICIT placement restores agreement in every combination
+    for place in ("NULLS FIRST", "NULLS LAST"):
+        for direction in ("ASC", "DESC"):
+            q = (
+                f"SELECT v, ROW_NUMBER() OVER (ORDER BY v {direction} "
+                f"{place}) rn FROM (VALUES (1),({{null}}),(2)) t(v)"
+            )
+            sp2 = {
+                r.v: r.rn
+                for r in spark.sql(
+                    q.format(null="CAST(NULL AS INT)")
+                ).collect()
+            }
+            dk2 = {
+                v: rn
+                for v, rn in duckdb.sql(q.format(null="NULL")).fetchall()
+            }
+            assert sp2 == dk2, (direction, place, sp2, dk2)
+
+
+def test_string_byte_collation_agrees(spark):
+    """Raw codepoint ordering of strings (digits < uppercase < '_' <
+    lowercase < accented) is identical — no locale collation sneaks into
+    either engine's default ORDER BY."""
+    vals = ["a", "B", "á", "Z", "_", "0", "", " ", "zz", "Z9", "é́"]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    sp = [r.s for r in df.orderBy("s", "i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dk = [r[0] for r in con.execute("SELECT s FROM t ORDER BY s, i").fetchall()]
+    assert sp == dk
 
 
 def test_vertical_tab_class_canary(spark):
