@@ -77,6 +77,10 @@ def decode_ppm(data: bytes) -> DecodedMedia:
     width, height, maxval = (int(t) for t in tokens)
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    if width < 1 or height < 1:
+        # degenerate dims would decode to an empty payload, which the
+        # downstream stats stages (mean = sum/len) cannot divide by
+        raise ValueError(f"PPM dimensions must be positive (w={width}, h={height})")
     n = width * height * 3
     payload = data[pos : pos + n]
     if len(payload) != n:
@@ -131,6 +135,11 @@ def decode_bmp(data: bytes) -> DecodedMedia:
         )
     topdown = height < 0  # negative height = rows already top-down
     height = abs(height)
+    if width < 1 or height < 1:
+        # width<=0 would otherwise yield an empty payload (w=0) or a
+        # misleading "BMP truncated" (w<0, negative row size); height==0
+        # is the same empty-payload degenerate. Reject at the header.
+        raise ValueError(f"BMP dimensions must be positive (w={width}, h={height})")
     row, pad = _bmp_row_bytes(width)
     stored = data[offset : offset + (row + pad) * height]
     if len(stored) != (row + pad) * height:
@@ -178,10 +187,23 @@ def decode_wav(data: bytes) -> DecodedMedia:
                 )
             sample_rate = rate
         elif chunk_id == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"WAV truncated: data chunk declares {size} bytes, "
+                    f"have {len(body)}"
+                )
             payload = body
         pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
     if sample_rate is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(payload) == 0 or len(payload) % 2:
+        # PCM16 frames are 2 bytes each; a zero-size or odd-size data
+        # chunk would crash the sample-unpack stage (struct.unpack
+        # '<{n}h') or the RMS division instead of raising here
+        raise ValueError(
+            f"WAV PCM16 data chunk must be a positive even size "
+            f"(got {len(payload)})"
+        )
     return DecodedMedia("wav", None, None, sample_rate, payload)
 
 

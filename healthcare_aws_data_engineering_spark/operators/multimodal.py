@@ -460,6 +460,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 d = decode_media(bytes(content))
+                # decode_media guarantees a non-empty payload (degenerate
+                # dims / zero-size data chunks raise ValueError at the
+                # header), so the mean's divisor is always >= 1
                 payload = d.payload
                 rows.append(
                     (
@@ -522,6 +525,8 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
                 d = decode_media(bytes(content))
                 payload = d.payload
                 if d.format == "wav":
+                    # decode_wav rejects zero/odd data-chunk sizes, so
+                    # n >= 1 and len(payload) == 2*n exactly here
                     n = len(payload) // 2
                     vals = _struct.unpack(f"<{n}h", payload)
                     # math.sqrt, not ** 0.5: IEEE sqrt is correctly

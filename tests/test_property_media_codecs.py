@@ -98,3 +98,73 @@ def test_decode_media_never_misdispatches_junk(junk):
     assert d.format in ("ppm", "bmp", "wav")
     magic = {b"P6": "ppm", b"BM": "bmp", b"RI": "wav"}
     assert d.format == magic[junk[:2]]
+
+
+# ---------------------------------------------------------------------------
+# degenerate-payload guards (r9 advice): empty/odd payloads must be
+# rejected at the header, not crash the downstream stats stages with
+# ZeroDivisionError / struct.error
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+def _wav_with_data_chunk(size: int, body: bytes) -> bytes:
+    """Hand-rolled RIFF with an arbitrary declared data-chunk size."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    payload = (
+        struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", size)
+        + body
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+
+
+def test_wav_zero_size_data_chunk_rejected():
+    with pytest.raises(ValueError, match="positive even size"):
+        C.decode_media(_wav_with_data_chunk(0, b""))
+
+
+def test_wav_odd_size_data_chunk_rejected():
+    with pytest.raises(ValueError, match="positive even size"):
+        C.decode_media(_wav_with_data_chunk(3, b"abc\x00"))  # +pad byte
+
+
+def test_wav_truncated_data_chunk_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_media(_wav_with_data_chunk(100, b"ab"))
+
+
+def _bmp_with_dims(width: int, height: int) -> bytes:
+    file_header = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    return file_header + info_header
+
+
+@pytest.mark.parametrize("w,h", [(0, 4), (-3, 4), (4, 0), (0, 0)])
+def test_bmp_degenerate_dims_rejected(w, h):
+    with pytest.raises(ValueError, match="dimensions must be positive"):
+        C.decode_media(_bmp_with_dims(w, h))
+
+
+def test_bmp_negative_height_still_means_topdown():
+    # height < 0 is the legal top-down flag, NOT a degenerate dim
+    rgb = bytes(range(2 * 2 * 3))
+    enc = bytearray(C.encode_bmp(2, 2, rgb))
+    h = struct.unpack_from("<i", enc, 22)[0]
+    struct.pack_into("<i", enc, 22, -h)
+    # stored rows were bottom-up for +h; flag says top-down now, so the
+    # decoder must return them in STORED order (i.e. logically flipped)
+    d = C.decode_media(bytes(enc))
+    assert (d.width, d.height) == (2, 2)
+    row = 2 * 3
+    assert d.payload == rgb[row:] + rgb[:row]
+
+
+@pytest.mark.parametrize("w,h", [(0, 4), (4, 0)])
+def test_ppm_degenerate_dims_rejected(w, h):
+    with pytest.raises(ValueError, match="dimensions must be positive"):
+        C.decode_media(f"P6\n{w} {h}\n255\n".encode())
