@@ -173,13 +173,40 @@ _HASH48 = float(2**48)
 
 
 def mixture_draw(
-    docs: DataFrame, epoch_docs: int, n_tokens_col: str | None = None
+    docs: DataFrame,
+    epoch_docs: int,
+    n_tokens_col: str | None = None,
+    exact: bool = False,
+    n_key_buckets: int = 4096,
 ) -> DataFrame:
     """Library form (used by examples/curation_pipeline.py): draw an
     epoch of ``epoch_docs`` documents from any frame with (doc_id,
     source) — sqrt-temperature weights from ``n_tokens_col`` if given,
     else tokenized from ``text``. Output: (doc_id, source, epoch,
-    draw_key)."""
+    draw_key).
+
+    ``exact=False`` (default, the oracle-pinned semantics): the partial
+    epoch keeps docs whose 48-bit hash key falls under a per-source
+    threshold — binomial around the target, zero shuffles on the doc
+    side.
+
+    ``exact=True``: the partial epoch keeps EXACTLY ``target % n`` docs
+    per source — the ``target % n`` SMALLEST draw keys, so the kept set
+    is a prefix of the same hash order the approximate path thresholds
+    (one draw is always a prefix of the other, test-pinned). Shape is
+    the boundary-bucket two-phase (the :func:`quality_keep_topfrac`
+    recipe applied to the key space, which needs no skew guard because
+    md5 keys are uniform by construction — a bucket is ~n/B rows unlike
+    a quality mass): bucket the 48-bit keys into ``n_key_buckets``
+    ranges, count per (source, bucket) map-side, find each source's
+    boundary bucket on the tiny bucket table, keep sub-boundary buckets
+    wholesale and rank-decide ONLY the boundary bucket's ~n/B rows
+    inside (source, bucket) windows. Costs one slim-row shuffle of the
+    partial-epoch leg (keys + ids, never text) plus extra slim
+    projection scans (full-epoch leg, bucket-count pass) — the same
+    cheap-rescan trade q_mix_weights makes; cache ``docs`` upstream if
+    the input is itself expensive lineage. No source is ever sorted
+    whole on one task."""
     tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
@@ -216,7 +243,8 @@ def mixture_draw(
                 * F.lit(_HASH48)
             ).cast("long"),
         )
-        .select("source", "__n", "__full", "__thr")
+        .withColumn("__r", F.expr("__target % __n"))
+        .select("source", "__n", "__full", "__thr", "__r")
     )
     key = F.conv(
         F.substring(
@@ -227,6 +255,8 @@ def mixture_draw(
         16,
         10,
     ).cast("long")
+    if exact:
+        return _mixture_draw_exact(docs, factors, key, n_key_buckets)
     return (
         docs.join(F.broadcast(factors), "source")
         .select(
@@ -260,9 +290,91 @@ def mixture_draw(
     )
 
 
+def _mixture_draw_exact(
+    docs: DataFrame, factors: DataFrame, key, n_key_buckets: int
+) -> DataFrame:
+    """The exact-count partial-epoch draw (see :func:`mixture_draw`
+    docstring). ``factors`` carries (source, __n, __full, __thr, __r);
+    ``key`` is the 48-bit draw-key Column referencing an ``epoch``
+    column."""
+    from pyspark.sql import Window as _W
+
+    out = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        "source",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.lower(F.format_string("%012x", F.col("__key"))).alias("draw_key"),
+    )
+    keyed = docs.join(F.broadcast(factors), "source")
+    # full epochs: every doc survives epochs 0..__full-1 wholesale. The
+    # __full >= 1 filter runs BEFORE the explode so sequence(0, -1) —
+    # which DESCENDS in Spark (the r8 fuzz seam) — is never constructed.
+    full_rows = out(
+        keyed.filter(F.col("__full") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("__full") - 1).cast("int"))
+            ).alias("epoch"),
+        )
+        .withColumn("__key", key)
+    )
+    # partial epoch: exactly one candidate row per doc (epoch = __full);
+    # keep the __r smallest keys per source via boundary buckets.
+    width = (2**48) // n_key_buckets
+    partial = (
+        keyed.filter(F.col("__r") > 0)
+        .select(
+            "doc_id", "source", F.col("__full").cast("int").alias("epoch")
+        )
+        .withColumn("__key", key)
+        .withColumn("__b", F.expr(f"CAST(__key DIV {width} AS INT)"))
+    )
+    per_bucket = partial.groupBy("source", "__b").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_cum = (
+        _W.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    # __take NULL = keep the whole bucket; else rank-decide its ~n/B rows
+    marks = (
+        per_bucket.withColumn("__cum", F.sum("__bn").over(w_cum))
+        .withColumn("__prev", F.col("__cum") - F.col("__bn"))
+        .join(F.broadcast(factors.select("source", "__r")), "source")
+        .filter(F.col("__prev") < F.col("__r"))
+        .select(
+            "source",
+            "__b",
+            F.when(
+                F.col("__cum") <= F.col("__r"), F.lit(None).cast("long")
+            ).otherwise(F.col("__r") - F.col("__prev")).alias("__take"),
+        )
+    )
+    w_rank = _W.partitionBy("source", "__b").orderBy(
+        F.col("__key").asc(), F.col("doc_id").asc()
+    )
+    kept_partial = out(
+        partial.join(F.broadcast(marks), ["source", "__b"])
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__take").isNull() | (F.col("__rk") <= F.col("__take")))
+    )
+    return full_rows.unionByName(kept_partial)
+
+
 def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_draw(
         load_table(spark, sf_dir, "documents"), MIXTURE_DRAW_EPOCH_DOCS
+    )
+
+
+def q_mixture_draw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_draw(
+        load_table(spark, sf_dir, "documents"),
+        MIXTURE_DRAW_EPOCH_DOCS,
+        exact=True,
     )
 
 
@@ -302,6 +414,56 @@ SELECT d.doc_id, d.source, d.epoch,
        lower(substr(md5(CAST(d.doc_id AS VARCHAR) || '#ep:' || CAST(d.epoch AS VARCHAR)), 1, 12)) AS draw_key
 FROM drawn d JOIN f2 ON f2.source = d.source
 WHERE d.epoch < f2.full OR d.key < f2.thr
+"""
+
+# Exact variant: the partial epoch is the target%n SMALLEST draw keys
+# per source — in SQL a plain per-source ROW_NUMBER over the key order
+# (the oracle may sort whole sources; the Spark plan must not, hence
+# the boundary-bucket implementation it verifies).
+_MIXTURE_DRAW_EXACT_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n,
+         SUM({token_count_sql('text')}) AS tok
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(round(sqrt(CAST(tok AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wu
+  FROM per_source
+),
+t AS (SELECT SUM(wu) AS total FROM w),
+f AS (
+  SELECT source, n,
+    CAST(({MIXTURE_DRAW_EPOCH_DOCS} * CAST(round(CAST(1000000 AS DOUBLE)
+        * (CAST(wu AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)) // 1000000
+        AS BIGINT) AS target
+  FROM w, t
+),
+f2 AS (SELECT source, n, target // n AS full, target % n AS r FROM f),
+full_rows AS (
+  SELECT d.doc_id, d.source, CAST(e AS INT) AS epoch
+  FROM documents d
+  JOIN f2 ON f2.source = d.source AND f2.full >= 1,
+  unnest(generate_series(0, f2.full - 1)) AS s(e)
+),
+ranked AS (
+  SELECT d.doc_id, d.source, CAST(f2.full AS INT) AS epoch, f2.r,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                    || '#ep:' || CAST(f2.full AS VARCHAR)), 1, 12)) AS BIGINT),
+                    d.doc_id) AS rk
+  FROM documents d JOIN f2 ON f2.source = d.source AND f2.r > 0
+),
+all_rows AS (
+  SELECT doc_id, source, epoch FROM full_rows
+  UNION ALL
+  SELECT doc_id, source, epoch FROM ranked WHERE rk <= r
+)
+SELECT doc_id, source, epoch,
+       lower(substr(md5(CAST(doc_id AS VARCHAR) || '#ep:'
+             || CAST(epoch AS VARCHAR)), 1, 12)) AS draw_key
+FROM all_rows
 """
 
 
@@ -837,6 +999,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "mix_weights": q_mix_weights,
     "mixture_draw": q_mixture_draw,
+    "mixture_draw_exact": q_mixture_draw_exact,
     "source_overlap": q_source_overlap,
     "json_props": q_json_props,
     "heavy_hitters": q_heavy_hitters,
@@ -856,6 +1019,7 @@ CORPUS_ORACLE: dict[str, str] = {
     "doc_chunks": chunk_sql(),
     "mix_weights": _MIX_WEIGHTS_SQL,
     "mixture_draw": _MIXTURE_DRAW_SQL,
+    "mixture_draw_exact": _MIXTURE_DRAW_EXACT_SQL,
     "source_overlap": _SOURCE_OVERLAP_SQL,
     "json_props": _JSON_PROPS_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,

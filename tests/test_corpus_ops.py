@@ -614,3 +614,72 @@ def test_mixture_draw_target_zero_source_emits_nothing(spark):
     assert not tiny_rows, f"target-0 source leaked {len(tiny_rows)} rows"
     assert out, "heavy sources must draw"
     assert all(r.epoch >= 0 for r in out), "negative epoch leaked"
+
+
+def test_mixture_draw_exact_hits_targets_exactly(spark):
+    """exact=True per-source totals equal full·n + target%n EXACTLY (no
+    binomial slack), and the kept partial set is a PREFIX of the hash
+    order — so whichever of exact/approximate keeps fewer partial rows,
+    its kept set is contained in the other's."""
+    import pyspark.sql.functions as F
+    from healthcare_aws_data_engineering_spark.operators.text import token_count
+    from healthcare_aws_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    # independent target model: replicate the share arithmetic in Python
+    per = (
+        docs.select("source", token_count(F.col("text")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("t").alias("tok"))
+        .collect()
+    )
+    import math
+
+    wu = {r.source: round(math.sqrt(r.tok) * 1e6) for r in per}
+    n_by = {r.source: r.n for r in per}
+    total = sum(wu.values())
+    target = {
+        s: (cq.MIXTURE_DRAW_EPOCH_DOCS * round(1e6 * (w / total))) // 10**6
+        for s, w in wu.items()
+    }
+
+    exact = cq.q_mixture_draw_exact(spark, SF).collect()
+    counts = collections.Counter(r.source for r in exact)
+    for s, t in target.items():
+        assert counts.get(s, 0) == t, (s, counts.get(s, 0), t)
+
+    # prefix property on the partial epoch (epoch == full)
+    approx = cq.q_mixture_draw(spark, SF).collect()
+    full = {s: target[s] // n_by[s] for s in target}
+    part_e = {
+        s: sorted(
+            (r.draw_key, r.doc_id) for r in exact
+            if r.source == s and r.epoch == full[s]
+        )
+        for s in target
+    }
+    part_a = {
+        s: sorted(
+            (r.draw_key, r.doc_id) for r in approx
+            if r.source == s and r.epoch == full[s]
+        )
+        for s in target
+    }
+    assert any(part_e[s] for s in target)  # partial epochs exist at this SF
+    for s in target:
+        lo, hi = sorted((part_e[s], part_a[s]), key=len)
+        assert hi[: len(lo)] == lo, s
+        # exact partial count is exactly target % n
+        assert len(part_e[s]) == target[s] % n_by[s], s
+
+
+def test_mixture_draw_exact_replayable_and_no_global_sort(spark):
+    out = cq.q_mixture_draw_exact(spark, SF)
+    a = out.collect()
+    b = out.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the plan must not sort a whole source on one task: no Sort over a
+    # source-only partitioning (windows are (source, __b) or the tiny
+    # bucket table); also no cartesian and no global (non-partial) Sort
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
