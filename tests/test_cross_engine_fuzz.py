@@ -27,6 +27,15 @@ over every shared expression family the oracles ride:
   n-1 — the silent cliff under any computed index that underflows),
   and left/right with negative n ('' vs drop-from-other-end). The
   media oracles' hex-chain slicing rides exactly this surface;
+* hex/conv (r9) — the draw-key primitive conv(substr(md5,1,12),16,10)
+  vs the oracle's '0x' cast: identical on every 1..15-digit hex string
+  (any case, leading zeros) and through the %012x round-trip, so the
+  48-bit key budget has a 4096x agreement margin; DIVERGES past it —
+  [2^63,2^64) agrees only modulo try_cast, 17+ digits RAISES in ANSI
+  Spark vs NULL in DuckDB, invalid digits parse as a prefix in Spark
+  ('1g'->1) vs NULL, conv trims whitespace and wraps '-1' unsigned,
+  and negative keys render two's-complement vs signed under the
+  formatters — all canaried;
 * NULL ordering (r8) — default ORDER BY placement diverges (Spark
   sorts nulls smallest: NULLS FIRST asc / LAST desc; DuckDB defaults
   NULLS LAST both directions), so ranking over a nullable order column
@@ -693,3 +702,157 @@ def test_vertical_tab_class_canary(spark):
     ).fetchone()
     # RE2: [\v] and [\x0B] are BOTH just the vertical-tab char
     assert dk == (0, 1, 0, 1)
+
+
+# ------------------------------------------------------------------------
+# hex/conv family (r9): conv(substring(md5(x),1,12),16,10) is THE
+# draw-key/split-assign primitive (mixture_draw, split_assign,
+# eval_draw, stratified_sample, importance_sample, ...) and every
+# oracle replays it as CAST(('0x' || substr(md5(x),1,12)) AS BIGINT).
+# Contract, pinned empirically below:
+#
+#   AGREE (the load-bearing class): any hex string of 1..15 digits —
+#   i.e. every value < 2^60, which covers the 48-bit (12-digit) keys
+#   with a 4096x margin — parses to the same BIGINT regardless of
+#   case or leading zeros; lower(format_string('%012x', k)) ==
+#   format('{:012x}', k) round-trips every non-negative 48-bit value;
+#   hex()/to_hex() are BOTH uppercase; md5() is lowercase in both; the
+#   full md5→substr→parse→reformat chain is the identity on both
+#   engines; try_cast of the empty string is NULL in both.
+#
+#   DIVERGE (canaried — why 12 digits is a hard budget, not a habit):
+#   * 16 hex digits >= '8...' (values in [2^63, 2^64)): Spark conv
+#     returns the UNSIGNED decimal string (cast to BIGINT then fails /
+#     try_cast NULLs), DuckDB's '0x' cast NULLs directly — agreement
+#     survives only modulo try_cast, and the intermediate strings
+#     differ;
+#   * 17+ hex digits: Spark conv RAISES ARITHMETIC_OVERFLOW under ANSI
+#     (constant-folding included) where DuckDB try_cast returns NULL —
+#     an oracle pair that drifts past 64 bits fails loudly on one side
+#     and silently on the other;
+#   * invalid digits: Spark conv parses the longest valid PREFIX
+#     ('1g' -> 1, 'xyz' -> 0) where DuckDB NULLs — a corrupted key
+#     column silently becomes zeros in Spark only;
+#   * surrounding whitespace: Spark conv trims (' ab ' -> 171), DuckDB
+#     NULLs;
+#   * '-1': Spark conv wraps to 2^64-1 (unsigned), DuckDB NULLs;
+#   * negative format: Spark '%012x' renders two's complement
+#     ('ffffffffffffffff'), DuckDB format('{:012x}') renders a SIGNED
+#     '-00000000001' — never format a possibly-negative key.
+# ------------------------------------------------------------------------
+
+
+def test_conv_hex_surface_agrees_across_engines(spark):
+    rng = random.Random(9)
+    hexes = []
+    for ln in range(1, 16):  # 1..15 digits: strictly under 2^60
+        for _ in range(12):
+            h = "".join(rng.choice("0123456789abcdef") for _ in range(ln))
+            hexes.append(h)
+            hexes.append(h.upper())
+            hexes.append(h.rjust(12, "0"))  # leading zeros, key width
+    rows = [(i, h) for i, h in enumerate(hexes)]
+    df = spark.createDataFrame(rows, "i long, h string")
+    got = {
+        r.i: (r.v, r.rt)
+        for r in df.selectExpr(
+            "i",
+            "CAST(conv(h, 16, 10) AS BIGINT) AS v",
+            # round-trip through the %012x renderer (12+ digit inputs
+            # with leading zeros must reproduce themselves lowercased)
+            "lower(format_string('%012x', CAST(conv(h, 16, 10) AS BIGINT))) AS rt",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.execute(
+        """
+        SELECT i, CAST(('0x' || h) AS BIGINT),
+               format('{:012x}', CAST(('0x' || h) AS BIGINT))
+        FROM t
+        """
+    ).fetchall()
+    diverged = [
+        (hexes[i], got[i], (v, rt)) for i, v, rt in duck if (v, rt) != got[i]
+    ]
+    assert not diverged, diverged[:5]
+    # every parsed value equals Python's int(h, 16)
+    for i, h in rows:
+        assert got[i][0] == int(h, 16), (h, got[i])
+
+    # the full draw-key chain over arbitrary strings is identical
+    strs = [(i, s) for i, s in enumerate(
+        ["", "a", "doc#42", "héllo", "7#ep:3", " ", "0" * 40]
+        + [f"{rng.randrange(10**9)}#ep:{rng.randrange(8)}" for _ in range(60)]
+    )]
+    df2 = spark.createDataFrame(strs, "i long, s string")
+    sp = {
+        r.i: r.k
+        for r in df2.selectExpr(
+            "i", "CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT) AS k"
+        ).collect()
+    }
+    con.execute("CREATE TABLE u (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", strs)
+    dk = dict(con.execute(
+        "SELECT i, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) FROM u"
+    ).fetchall())
+    assert sp == dk
+    assert all(0 <= v < 2**48 for v in sp.values())
+
+
+def test_conv_hex_divergence_canaries(spark):
+    import pyspark.errors
+
+    # [2^63, 2^64): Spark conv emits the unsigned DECIMAL STRING;
+    # BIGINT agreement survives only modulo try_cast (both NULL)
+    assert spark.sql(
+        "SELECT conv('8000000000000000', 16, 10)"
+    ).collect()[0][0] == "9223372036854775808"
+    assert spark.sql(
+        "SELECT TRY_CAST(conv('ffffffffffffffff', 16, 10) AS BIGINT)"
+    ).collect()[0][0] is None
+    assert duckdb.sql(
+        "SELECT TRY_CAST('0xffffffffffffffff' AS BIGINT)"
+    ).fetchone()[0] is None
+    # 2^63-1 is the last agreeing value
+    assert spark.sql(
+        "SELECT CAST(conv('7fffffffffffffff', 16, 10) AS BIGINT)"
+    ).collect()[0][0] == 2**63 - 1 == duckdb.sql(
+        "SELECT CAST('0x7fffffffffffffff' AS BIGINT)"
+    ).fetchone()[0]
+
+    # 17 digits: ANSI Spark RAISES where DuckDB try_cast NULLs
+    with pytest.raises(pyspark.errors.PySparkException):
+        spark.sql("SELECT conv('10000000000000000', 16, 10)").collect()
+    assert duckdb.sql(
+        "SELECT TRY_CAST('0x10000000000000000' AS BIGINT)"
+    ).fetchone()[0] is None
+
+    # invalid digits: Spark parses the valid PREFIX, DuckDB NULLs
+    assert spark.sql("SELECT conv('1g', 16, 10)").collect()[0][0] == "1"
+    assert spark.sql("SELECT conv('xyz', 16, 10)").collect()[0][0] == "0"
+    assert duckdb.sql("SELECT TRY_CAST('0x1g' AS BIGINT)").fetchone()[0] is None
+
+    # whitespace: Spark conv trims, DuckDB NULLs
+    assert spark.sql("SELECT conv(' ab ', 16, 10)").collect()[0][0] == "171"
+    assert duckdb.sql("SELECT TRY_CAST('0x ab ' AS BIGINT)").fetchone()[0] is None
+
+    # '-1': Spark wraps unsigned to 2^64-1, DuckDB NULLs
+    assert spark.sql(
+        "SELECT conv('-1', 16, 10)"
+    ).collect()[0][0] == "18446744073709551615"
+    assert duckdb.sql("SELECT TRY_CAST('0x-1' AS BIGINT)").fetchone()[0] is None
+
+    # negative values under the formatter: two's complement vs signed
+    assert spark.sql(
+        "SELECT format_string('%012x', -1L)"
+    ).collect()[0][0] == "ffffffffffffffff"
+    assert duckdb.sql("SELECT format('{:012x}', -1)").fetchone()[0] == "-00000000001"
+
+    # shared case conventions: hex()/to_hex() UPPER, md5() lower
+    assert spark.sql("SELECT hex('ab')").collect()[0][0] == "6162"
+    assert duckdb.sql("SELECT to_hex(24930)").fetchone()[0] == "6162"
+    assert spark.sql("SELECT conv('', 16, 10)").collect()[0][0] is None
+    assert duckdb.sql("SELECT TRY_CAST('0x' AS BIGINT)").fetchone()[0] is None
