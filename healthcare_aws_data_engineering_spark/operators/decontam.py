@@ -94,13 +94,30 @@ def decontaminate(
 # ------------------------------------------------------------ bloom path --
 # Spark 4.1 does not register bloom_filter_agg/might_contain as public
 # SQL functions, so the bitset is built from public primitives: k
-# xxhash64 positions per shingle, bit_or-folded into 64-bit words, then
-# densified IN-PLAN (map_from_entries + transform(sequence(...))) into a
-# single array<long> row that broadcasts as a fixed-size scalar. The
-# ASSEMBLY is distributed (two bounded aggregations); the finished
-# one-row bitset is then fetched to the driver — the identical bytes the
-# broadcast ships from the driver regardless — so the eval-shingle cache
-# can be released eagerly instead of leaking per call.
+# xxhash64 positions per shingle, bit_or-folded into per-BYTE groups by
+# a distributed aggregation (≤ m/8 fixed-width rows), assembled on the
+# driver into bytes and carried into the probe plan as ONE BINARY
+# LITERAL. The probe reads byte p DIV 8 with a byte-addressed
+# substr(…, 1) + hex + 2-digit conv (the surface the hex/conv fuzz
+# family pins safe) and tests bit p % 8 with shiftleft/AND.
+#
+# Why a binary literal: the r9 crossover probe caught THREE "obvious"
+# shapes collapsing as the eval set grows (micro-benchmark over a fixed
+# 1M-shingle probe side, bitsets sized for 16k/240k/2.4M eval
+# shingles):
+#   * broadcast-joined one-row array<long> column: the array is COPIED
+#     into every joined output row — 3.05 / 5.78 / 86.4 s (linear in m
+#     PER ROW);
+#   * F.lit(list-of-words): builds a CreateArray with m/64 CHILD
+#     EXPRESSIONS (40k py4j literals took 21 s to construct; per-row
+#     array materialization ground single-threaded);
+#   * hex STRING literal + substr: UTF8String.substring counts chars
+#     from the START, so each probe is O(position) — quadratic-in-m
+#     scans (127 s at gate scale).
+# A BinaryType literal is a single plan constant; substr on binary is
+# byte-addressed (O(1) slice) — 1.18 / 0.57 / 2.93 s on the same
+# benchmark, flat in m. It ships once per task, exactly the bytes a
+# broadcast would ship.
 BLOOM_FPP = 0.01
 
 
@@ -125,55 +142,55 @@ def _bloom_positions(shingle: Column, m: int, k: int) -> Column:
     )
 
 
-def bloom_bitset(shingles: DataFrame, m: int, k: int) -> DataFrame:
-    """ONE-row DataFrame ``bitset: array<long>`` (m/64 words) over the
-    distinct ``shingle`` column — built with two bounded aggregations
-    (≤m/64 groups), densified in-plan."""
-    words = (
+def bloom_bitset_bytes(shingles: DataFrame, m: int, k: int) -> bytes:
+    """Bitset bytes (m/8 of them) over the distinct ``shingle`` column.
+    Distributed: one map-side-combined aggregation into ≤ m/8
+    (byte_idx, bits) rows; only those fixed-width rows reach the
+    driver, where the bytearray assembly is O(m/8). Byte layout: bit p
+    lives in byte p DIV 8 at weight 1 << (p % 8)."""
+    pairs = (
         shingles.select(
             F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")
         )
         .select(
-            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            (F.col("pos") / 8).cast("int").alias("byte_idx"),
             F.call_function(
                 "shiftleft",
-                F.lit(1).cast("long"),
-                (F.col("pos") % 64).cast("int"),
+                F.lit(1),
+                (F.col("pos") % 8).cast("int"),
             ).alias("bit"),
         )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("word"))
+        .groupBy("byte_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
     )
-    n_words = m // 64
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
-        ).alias("wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at("wm", i.cast("int")), F.lit(0).cast("long")
-            ),
-        ).alias("bitset")
-    )
+    buf = bytearray(m // 8)
+    for r in pairs:
+        buf[r.byte_idx] = r.bits
+    return bytes(buf)
 
 
 def _might_contain(shingle: Column, bitset: Column, m: int, k: int) -> Column:
     """True iff every one of the shingle's k bits is set — the standard
-    no-false-negative bloom probe, pure built-in HOFs."""
-    return F.forall(
-        _bloom_positions(shingle, m, k),
-        lambda pos: (
-            F.element_at(bitset, (pos / 64).cast("int") + 1)
-            .bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-                )
+    no-false-negative bloom probe. ``bitset`` is the (typically
+    literal) BINARY column from :func:`bloom_bitset_bytes`; each probe
+    is a byte-addressed 1-byte substr + hex + conv(…,16,10) read —
+    O(1) per probe regardless of m (see module header)."""
+
+    def bit_set(pos: Column) -> Column:
+        byte = F.conv(
+            F.hex(bitset.substr((pos / 8).cast("int") + 1, F.lit(1))),
+            16,
+            10,
+        ).cast("int")
+        return (
+            byte.bitwiseAND(
+                F.call_function("shiftleft", F.lit(1), (pos % 8).cast("int"))
             )
             != 0
-        ),
-    )
+        )
+
+    return F.forall(_bloom_positions(shingle, m, k), bit_set)
 
 
 def bloom_decontaminate(
@@ -218,26 +235,27 @@ def bloom_decontaminate(
     # bounded driver scalar: eval sets are benchmarks, never corpus-scale
     n_eval = eval_shingles.count()
     m, k = _bloom_geometry(n_eval, fpp)
-    # Materialize the one-row bitset NOW (m/64 longs — the exact bytes the
-    # broadcast ships from the driver anyway, so collecting it first adds
-    # no new driver liability), then drop the eval cache. The verification
-    # join below recomputes the eval slice once, lazily — one benchmark-
-    # sized pass, noise next to the corpus-side scan it guards.
-    bitset_plan = bloom_bitset(eval_shingles, m, k)
-    bitset = docs.sparkSession.createDataFrame(
-        bitset_plan.collect(), bitset_plan.schema
-    )
+    # Materialize the bitset NOW (m/8 bytes via ≤ m/8 fixed-width agg
+    # rows — the exact bytes a broadcast would ship from the driver
+    # anyway, so collecting them first adds no new driver liability),
+    # then drop the eval cache. The verification join below recomputes
+    # the eval slice once, lazily — one benchmark-sized pass, noise next
+    # to the corpus-side scan it guards.
+    bitset = bloom_bitset_bytes(eval_shingles, m, k)
     eval_shingles.unpersist()
 
     train = base.filter(F.col("bucket") >= eval_pct).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    marked = train.crossJoin(F.broadcast(bitset)).select(
+    # ONE binary literal in the plan (see module header for why neither
+    # a broadcast-joined array column, F.lit(list), nor a hex-string
+    # literal survives scale).
+    marked = train.select(
         "doc_id",
         "shingle",
-        _might_contain(F.col("shingle"), F.col("bitset"), m, k).alias(
-            "__might"
-        ),
+        _might_contain(
+            F.col("shingle"), F.lit(bitset), m, k
+        ).alias("__might"),
     )
     # ONE left join whose condition is equality AND the bloom verdict:
     # candidates get exact verification (kills bloom false positives),

@@ -549,6 +549,83 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(do, schema=CHANNEL_STATS_SCHEMA)
 
 
+ENTROPY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("n_payload", LongType()),
+        StructField("n_distinct_bytes", IntegerType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("zero_crossings", LongType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def media_entropy(media: DataFrame) -> DataFrame:
+    """Decoded-domain information measures (r9) — the second real-bytes
+    feature leg past :func:`media_channel_stats`: per-file Shannon
+    entropy of the decoded payload's byte histogram (all containers;
+    the standard compressibility screen for media dedup/filtering) and
+    zero-crossing rate for audio (the classic voiced/unvoiced feature,
+    sign changes / (n-1); sign of an int16 sample is just its high
+    byte >= 0x80, which is how the oracle replays it byte-wise).
+
+    Cross-engine float contract: zero_crossings and the histogram are
+    exact integers; entropy is computed as
+    ``log2(n) - sum(c*log2(c))/n`` with the sum taken in ascending
+    byte-value order on BOTH engines (Python ``math.log2`` here and
+    DuckDB ``log2`` bottom out in the same platform libm), and the
+    driver query snaps it to the DECIMAL(18,6) grid — same residual
+    knife-edge class the decimal-tie fuzz family documents.
+
+    Same zero-exchange shape as the other decode legs: Arrow-batched
+    mapInPandas, binary column consumed here, scalars out."""
+    import collections
+    import math
+    import struct as _struct
+
+    import pandas as pd
+
+    from .media_codecs import decode_media
+
+    cols = [f.name for f in ENTROPY_SCHEMA.fields]
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_media(bytes(content))
+                payload = d.payload
+                n = len(payload)  # >= 1: codec guard rejects empties
+                counts = collections.Counter(payload)
+                ent = (
+                    math.log2(n)
+                    - sum(
+                        c * math.log2(c)
+                        for _, c in sorted(counts.items())
+                    )
+                    / n
+                )
+                if d.format == "wav":
+                    ns = n // 2
+                    vals = _struct.unpack(f"<{ns}h", payload)
+                    zc = sum(
+                        1
+                        for a, b in zip(vals, vals[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                    zrow = (zc, zc / (ns - 1) if ns > 1 else None)
+                else:
+                    zrow = (None, None)
+                rows.append(
+                    (media_id, d.format, n, len(counts), ent, *zrow)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(do, schema=ENTROPY_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata/stats projection over the binary column (no UDF):
     sizes, content hash, meta fields — the cheap pre-filter stage before

@@ -1025,52 +1025,26 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r8 rotation (r7 verdict ask #1 + r7 advice
-# item 2): after r7 the freshness map is r7×50 / r6×43 / r5×36 — the
-# checked prefix is
-#   1. all 36 queries whose latest driver verdict is r5 (3 rounds stale
-#      after r8 otherwise — exactly r7's _CHECK_NEXT);
-#   2. the 7 queries whose plans or oracles CHANGED in r7 but fell
-#      outside r7's checked prefix (the r7 advice rotation-gap):
-#      dsir_select and zipf_slope (oracle tokenizer fix),
-#      dup_clusters / dedup_weighted / cluster_split / corpus_curation /
-#      domain_cap (shared materialized-staging refactor; corpus_curation
-#      oracle SQL also changed) — their r6 verdicts predate the current
-#      semantics;
-#   3. queries NEW or changed in r8: media_decode + media_channel_stats
-#      (the real-bytes codec leg of the multimodal family),
-#      mixture_draw (the epoch-upsampled training-mixture draw), and
-#      span_scrub (the no-op distinct dropped from scrub_repeated's
-#      plan AND its oracle — r7 advice);
-#   4. the remaining slots fill with r6-green rows (most of the ETL
-#      family) so the r9 prefix burden shrinks below its 36-row r6 tail.
-# _CHECK_NEXT holds the rest of the r6-green set (33 rows) — the whole
-# of it is due in the r9 prefix, so no entry's verdict goes 3 rounds
-# stale. (Row counts here are asserted by
+# most need a fresh verdict. r9 rotation (r8 verdict ask #1): after r8
+# the freshness map is r8x50 / r7x49 / r6x33 — the checked prefix is
+#   1. all 33 queries whose latest driver verdict is r6 (3 rounds stale
+#      after r9 otherwise — exactly r8's _CHECK_NEXT, staged for this);
+#   2. queries NEW or changed in r9: mixture_draw (exact=True plumbing
+#      touches its factor table) + the new mixture_draw_exact;
+#      media_decode / media_channel_stats / media_features /
+#      frame_sample (the codec degenerate-payload guards — r8 advice —
+#      sit under all four decode legs) + the new media_entropy;
+#   3. the remaining 10 slots fill with r7-green rows, oldest-heaviest
+#      first (media_stats rides with its family; bloom_decontam +
+#      decontaminate bracket the r9 crossover probe; the dedup/spans
+#      heavies complete the set) so the r10 prefix burden stays at 39.
+# _CHECK_NEXT holds the rest of the r7-green set (39 rows) — due in the
+# r10 prefix, so no entry's verdict goes 3 rounds stale. (Row counts
+# are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # (1) latest verdict r5 — positions 1-36
-    "quality_calibrated", "etl_obs_choice",
-    "ann_pq_topk", "attribution", "between_filter", "cohort_retention",
-    "cube_summary", "curriculum_stages", "daily_latest",
-    "debounce_events", "dedup_exact", "doc_fingerprint", "drift_monitor",
-    "eval_draw", "event_paths", "filtered_count", "first_last_delta",
-    "frame_sample", "frequency_count", "fuzzy_match", "int8_quantize",
-    "isin_filter", "k_anonymity", "keyed_dedup", "latest_per_key",
-    "linear_trend", "media_features", "pricing_summary", "rank_windows",
-    "revenue_by_nation", "rfm_segments", "scd2_history",
-    "semantic_dedup", "span_dedup", "text_stats", "top3_per_group",
-    # (2) changed in r7, unverified since — positions 37-43
-    "dsir_select", "zipf_slope", "dup_clusters", "dedup_weighted",
-    "cluster_split", "corpus_curation", "domain_cap",
-    # (3) NEW or changed in r8 — positions 44-47
-    "media_decode", "media_channel_stats", "mixture_draw", "span_scrub",
-    # (4) r6-green fills — positions 48-50
-    "etl_patients", "etl_observations", "etl_encounters",
-]
-# the r6-green queries not in the prefix: the whole r9 prefix head.
-_CHECK_NEXT = [
+    # (1) latest verdict r6 — positions 1-33
     "wellness_monthly", "etl_conditions",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "bracket_revenue",
     "dedup_minhash_lsh", "dist_summary", "doc_attributes", "doc_chunks",
@@ -1081,6 +1055,28 @@ _CHECK_NEXT = [
     "pii_redact", "promo_revenue", "report_cvd", "report_prediabetes",
     "returned_items", "revenue_share", "salted_agg", "shipping_priority",
     "skew_audit", "training_order", "zscore_outliers",
+    # (2) NEW or changed in r9 — positions 34-40
+    "mixture_draw", "mixture_draw_exact", "media_decode",
+    "media_channel_stats", "media_features", "frame_sample",
+    "media_entropy",
+    # (3) r7-green fills — positions 41-50
+    "media_stats", "bloom_decontam", "decontaminate", "dedup_simhash",
+    "ngram_jaccard", "ppjoin_pairs", "repeated_spans", "pack_sequences",
+    "disease_confidence", "forecast",
+]
+# the r7-green queries not in the prefix: the whole r10 prefix head.
+_CHECK_NEXT = [
+    "ann_multiprobe_topk", "asof_join", "basket_pairs", "bm25_search",
+    "bpe_pair_counts", "dataset_card", "distinct_sketch", "dup_ngrams",
+    "funnel", "gap_fill", "hard_negatives", "heavy_hitters",
+    "height_weight_bmi", "hist_quantiles", "incremental_dedup",
+    "length_buckets", "lm_score", "mix_weights", "profile_columns",
+    "quality_classifier", "range_join", "repetition_filter",
+    "rolling_avg", "rrf_fusion", "semi_anti_join", "sessionize",
+    "set_ops", "severity_topk", "shard_manifest", "shingle_novelty",
+    "source_overlap", "source_terms", "split_assign",
+    "stratified_sample", "time_rollup", "token_budget_fill",
+    "unpivot_wide", "vocab_topk", "word_bigrams",
 ]
 _CHECK_LAST: list[str] = []
 

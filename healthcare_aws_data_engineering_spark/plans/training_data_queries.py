@@ -1730,6 +1730,83 @@ FROM bytes
 """
 
 
+def q_media_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-domain information measures over the real containers
+    (r9): byte-histogram Shannon entropy for every file + zero-crossing
+    count/rate for audio. The oracle rebuilds the payload from the md5
+    chain and replays the histogram/ZCR byte-wise — an int16 sample is
+    negative iff its high byte >= 0x80, so the sign test never needs the
+    reassembled sample. Entropy sums run in ascending byte-value order
+    on both engines and land on the DECIMAL(18,6) grid."""
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
+    ent = M.media_entropy(media)
+
+    def dec6(c):
+        return F.round(c, 6).cast("decimal(18,6)").cast("double")
+
+    return ent.select(
+        "media_id",
+        "container",
+        "n_payload",
+        "n_distinct_bytes",
+        dec6(F.col("byte_entropy")).alias("byte_entropy"),
+        "zero_crossings",
+        dec6(F.col("zcr")).alias("zcr"),
+    )
+
+
+_MEDIA_ENTROPY_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'bmp' END AS container,
+    CAST(doc_id % 13 + 4 AS INT) AS w,
+    CAST(doc_id % 11 + 4 AS INT) AS h,
+    CAST(doc_id % 200 + 50 AS INT) AS ns,
+    text
+  FROM documents
+), sz AS (
+  SELECT *, CASE WHEN container = 'wav' THEN ns * 2 ELSE w * h * 3 END AS n FROM p
+), chain AS (
+  SELECT *, substr(
+      list_reduce(
+        list_transform(range(CAST((n + 15) // 16 AS BIGINT)),
+                       b -> md5(text || '#px:' || CAST(b AS VARCHAR))),
+        (a, x) -> a || x),
+      1, 2 * n) AS hx
+  FROM sz
+), bytes AS (
+  SELECT *, list_transform(range(CAST(n AS BIGINT)),
+       i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bs
+  FROM chain
+), hist AS (
+  SELECT doc_id, container, n, ns, v, COUNT(*) AS c
+  FROM (SELECT doc_id, container, n, ns, unnest(bs) AS v FROM bytes)
+  GROUP BY doc_id, container, n, ns, v
+), ent AS (
+  SELECT doc_id, container, n, ns,
+         CAST(COUNT(*) AS INT) AS nd,
+         log2(CAST(n AS DOUBLE))
+           - list_sum(list_transform(list(c ORDER BY v),
+               c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))) / n AS H
+  FROM hist GROUP BY doc_id, container, n, ns
+), zc AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(CAST(ns - 1 AS BIGINT)),
+           i -> CASE WHEN (bs[CAST(2*i+2 AS INT)] >= 128)
+                       <> (bs[CAST(2*i+4 AS INT)] >= 128)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS z
+  FROM bytes WHERE container = 'wav'
+)
+SELECT e.doc_id AS media_id, e.container,
+  CAST(e.n AS BIGINT) AS n_payload,
+  e.nd AS n_distinct_bytes,
+  CAST(CAST(round(e.H, 6) AS DECIMAL(18,6)) AS DOUBLE) AS byte_entropy,
+  zc.z AS zero_crossings,
+  CAST(CAST(round(CAST(zc.z AS DOUBLE) / (e.ns - 1), 6) AS DECIMAL(18,6)) AS DOUBLE) AS zcr
+FROM ent e LEFT JOIN zc ON zc.doc_id = e.doc_id
+"""
+
+
 _PQ_BOOKS: dict[str, list] = {}
 
 
@@ -1819,6 +1896,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "media_decode": q_media_decode,
     "media_channel_stats": q_media_channel_stats,
+    "media_entropy": q_media_entropy,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -1850,4 +1928,5 @@ TRAINING_ORACLE: dict[str, str] = {
     "frame_sample": _FRAME_SAMPLE_SQL,
     "media_decode": _MEDIA_DECODE_SQL,
     "media_channel_stats": _MEDIA_CHANNEL_SQL,
+    "media_entropy": _MEDIA_ENTROPY_SQL,
 }

@@ -648,20 +648,18 @@ def test_bloom_bitset_has_no_false_negatives(spark):
     from healthcare_aws_data_engineering_spark.operators.decontam import (
         _bloom_geometry,
         _might_contain,
-        bloom_bitset,
+        bloom_bitset_bytes,
     )
 
-    def members():
-        # fresh lineage each time: probing the SAME DataFrame the bitset
-        # was built from trips Spark's self-join attribute dedup
-        return spark.range(500).select(
-            F.concat(F.lit("shingle "), F.col("id")).alias("shingle")
-        )
+    members = spark.range(500).select(
+        F.concat(F.lit("shingle "), F.col("id")).alias("shingle")
+    )
 
     m, k = _bloom_geometry(500, 0.01)
-    bs = bloom_bitset(members(), m, k)
-    probed = members().crossJoin(F.broadcast(bs)).select(
-        _might_contain(F.col("shingle"), F.col("bitset"), m, k).alias("hit")
+    bs = bloom_bitset_bytes(members, m, k)
+    assert len(bs) == m // 8
+    probed = members.select(
+        _might_contain(F.col("shingle"), F.lit(bs), m, k).alias("hit")
     )
     assert probed.filter(~F.col("hit")).count() == 0
 
@@ -674,7 +672,7 @@ def test_bloom_bitset_false_positive_rate_near_target(spark):
     from healthcare_aws_data_engineering_spark.operators.decontam import (
         _bloom_geometry,
         _might_contain,
-        bloom_bitset,
+        bloom_bitset_bytes,
     )
 
     members = spark.range(2000).select(
@@ -684,11 +682,10 @@ def test_bloom_bitset_false_positive_rate_near_target(spark):
         F.concat(F.lit("out "), F.col("id")).alias("shingle")
     )
     m, k = _bloom_geometry(2000, 0.01)
-    bs = bloom_bitset(members, m, k)
+    bs = bloom_bitset_bytes(members, m, k)
     fp = (
-        outsiders.crossJoin(F.broadcast(bs))
-        .select(
-            _might_contain(F.col("shingle"), F.col("bitset"), m, k).alias("hit")
+        outsiders.select(
+            _might_contain(F.col("shingle"), F.lit(bs), m, k).alias("hit")
         )
         .filter("hit")
         .count()
