@@ -599,13 +599,18 @@ def media_entropy(media: DataFrame) -> DataFrame:
                 payload = d.payload
                 n = len(payload)  # >= 1: codec guard rejects empties
                 counts = collections.Counter(payload)
-                ent = (
+                # max(0, ·): the all-same-byte case leaves a -1 ulp
+                # residue (log2(n) - (n*log2(n))/n rounds twice);
+                # entropy is definitionally non-negative, and the clamp
+                # kills the -0.0 class on both engines
+                ent = max(
+                    0.0,
                     math.log2(n)
                     - sum(
                         c * math.log2(c)
                         for _, c in sorted(counts.items())
                     )
-                    / n
+                    / n,
                 )
                 if d.format == "wav":
                     ns = n // 2

@@ -1785,9 +1785,9 @@ WITH p AS (
 ), ent AS (
   SELECT doc_id, container, n, ns,
          CAST(COUNT(*) AS INT) AS nd,
-         log2(CAST(n AS DOUBLE))
+         greatest(0, log2(CAST(n AS DOUBLE))
            - list_sum(list_transform(list(c ORDER BY v),
-               c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))) / n AS H
+               c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))) / n) AS H
   FROM hist GROUP BY doc_id, container, n, ns
 ), zc AS (
   SELECT doc_id,

@@ -271,3 +271,78 @@ def test_media_stats_pure_projection(spark, media):
     for mid, s in stats.items():
         assert s.n_bytes == len(bytes(raw[mid].content))
         assert s.n_pixels == s.width * s.height
+
+
+def test_media_entropy_matches_python_model(docs):
+    """Byte-histogram entropy + audio zero-crossing rate from the REAL
+    decoded payloads, cross-checked against a direct computation on the
+    expected payload chain (same summation order: ascending byte
+    value)."""
+    import collections
+    import math
+    import struct as _struct
+
+    media = M.encoded_media_from_documents(docs)
+    out = {r.media_id: r for r in M.media_entropy(media).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == 24
+    for did, r in out.items():
+        n = (
+            (did % 200 + 50) * 2
+            if r.container == "wav"
+            else (did % 13 + 4) * (did % 11 + 4) * 3
+        )
+        payload = _payload_chain(texts[did], n)
+        counts = collections.Counter(payload)
+        exp = max(
+            0.0,
+            math.log2(n)
+            - sum(c * math.log2(c) for _, c in sorted(counts.items())) / n,
+        )
+        assert r.n_payload == n
+        assert r.n_distinct_bytes == len(counts)
+        assert r.byte_entropy == exp, (did, r.byte_entropy, exp)
+        if r.container == "wav":
+            ns = n // 2
+            vals = _struct.unpack(f"<{ns}h", payload)
+            zc = sum(
+                1 for a, b in zip(vals, vals[1:]) if (a >= 0) != (b >= 0)
+            )
+            assert r.zero_crossings == zc
+            assert r.zcr == zc / (ns - 1)
+        else:
+            assert r.zero_crossings is None and r.zcr is None
+
+
+def test_media_entropy_analytic_edges(spark):
+    """Hand-built containers pin the analytic edges: an all-same-byte
+    image has entropy EXACTLY 0.0; a 256-cycle payload covering every
+    byte value equally has entropy EXACTLY 8.0; a full-swing square
+    wave's ZCR counts every sample boundary."""
+    rows = [
+        Row(media_id=1, content=C.encode_ppm(4, 4, b"\x7f" * 48)),
+        # 512 samples of int16 square wave +1000/-1000 → 1024 bytes;
+        # every adjacent pair flips sign → zc = 511, zcr = 1.0
+        Row(
+            media_id=2,
+            content=C.encode_wav(
+                16000,
+                struct.pack(
+                    "<512h", *[1000 if i % 2 == 0 else -1000 for i in range(512)]
+                ),
+            ),
+        ),
+        # every byte value exactly 3 times: entropy exactly 8 bits
+        Row(
+            media_id=3,
+            content=C.encode_ppm(16, 16, bytes(range(256)) * 3),
+        ),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.media_id: r for r in M.media_entropy(df).collect()}
+    assert out[1].byte_entropy == 0.0 and out[1].n_distinct_bytes == 1
+    assert out[2].zero_crossings == 511 and out[2].zcr == 1.0
+    # raw operator value carries summation ulps (the driver query's
+    # DECIMAL(18,6) grid snaps it to exactly 8.000000)
+    assert abs(out[3].byte_entropy - 8.0) < 1e-12
+    assert out[3].n_distinct_bytes == 256

@@ -77,7 +77,7 @@ def test_media_decode_zero_exchange(spark):
     column is produced and consumed inside one stage and never
     shuffles. A regression that shuffles MB-scale media bytes is the
     single worst thing that can happen to this family at 100 TB."""
-    for name in ("media_decode", "media_channel_stats"):
+    for name in ("media_decode", "media_channel_stats", "media_entropy"):
         plan = _plan(spark, name)
         assert _n_exchanges(plan) == 0, (name, plan)
         assert "MapInPandas" in plan, (name, plan)
