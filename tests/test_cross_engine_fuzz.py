@@ -40,7 +40,12 @@ over every shared expression family the oracles ride:
   sorts nulls smallest: NULLS FIRST asc / LAST desc; DuckDB defaults
   NULLS LAST both directions), so ranking over a nullable order column
   needs EXPLICIT placement on both sides; with it spelled, agreement is
-  total, and raw string collation is shared codepoint order.
+  total, and raw string collation is shared codepoint order;
+* libm (r9) — media_entropy computes entropy with PYTHON math.log2
+  (inside its decode UDF) against DuckDB's log2: pinned bit-identical
+  over counts, extreme magnitudes, and exact powers of two — the
+  shared-platform-libm assumption fails HERE, not as a 1-ulp hash
+  mismatch at the gate.
 
 The r6 float-literal find and these r7/r8 finds were all LATENT engine
 divergences the gate corpus couldn't trigger; each family runs its
@@ -856,3 +861,36 @@ def test_conv_hex_divergence_canaries(spark):
     assert duckdb.sql("SELECT to_hex(24930)").fetchone()[0] == "6162"
     assert spark.sql("SELECT conv('', 16, 10)").collect()[0][0] is None
     assert duckdb.sql("SELECT TRY_CAST('0x' AS BIGINT)").fetchone()[0] is None
+
+
+# ------------------------------------------------------------------------
+# libm family (r9): media_entropy's Shannon entropy is computed with
+# PYTHON math.log2 (inside the Arrow-batched decode UDF) and replayed
+# with DuckDB's log2 — the cross-engine contract there is "both bottom
+# out in the same platform libm". Pin that assumption directly: if a
+# DuckDB build ever ships its own log2 (or the platform libm changes
+# rounding), this fails here instead of as a 1-ulp entropy hash
+# mismatch at the gate. No Spark needed — the Spark side of that
+# contract IS CPython's math.log2.
+# ------------------------------------------------------------------------
+
+
+def test_python_log2_matches_duckdb_log2_bitwise():
+    import math
+
+    rng = random.Random(42)
+    vals = (
+        [float(i) for i in range(1, 2000)]            # histogram counts
+        + [rng.uniform(1e-300, 1e300) for _ in range(2000)]
+        + [2.0**e for e in range(-1000, 1000, 7)]     # exact powers
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    dk = dict(con.execute("SELECT i, log2(v) FROM t").fetchall())
+    diverged = [
+        (vals[i], math.log2(vals[i]), dk[i])
+        for i in range(len(vals))
+        if math.log2(vals[i]) != dk[i]
+    ]
+    assert not diverged, diverged[:5]
