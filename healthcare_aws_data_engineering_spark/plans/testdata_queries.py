@@ -1038,7 +1038,7 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #      first (media_stats rides with its family; bloom_decontam +
 #      decontaminate bracket the r9 crossover probe; the dedup/spans
 #      heavies complete the set) so the r10 prefix burden stays at 39.
-# _CHECK_NEXT holds the rest of the r7-green set (39 rows) — due in the
+# _CHECK_NEXT holds the rest of the r7-green set (40 rows) — due in the
 # r10 prefix, so no entry's verdict goes 3 rounds stale. (Row counts
 # are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
@@ -1055,17 +1055,19 @@ _CHECK_FIRST = [
     "pii_redact", "promo_revenue", "report_cvd", "report_prediabetes",
     "returned_items", "revenue_share", "salted_agg", "shipping_priority",
     "skew_audit", "training_order", "zscore_outliers",
-    # (2) NEW or changed in r9 — positions 34-40
+    # (2) NEW or changed in r9 — positions 34-41
     "mixture_draw", "mixture_draw_exact", "media_decode",
     "media_channel_stats", "media_features", "frame_sample",
-    "media_entropy",
-    # (3) r7-green fills — positions 41-50
+    "media_entropy", "domain_cap_salted",
+    # (3) r7-green fills — positions 42-50 (forecast, the newest r7
+    # verdict, yields its slot to the new salted-cap query)
     "media_stats", "bloom_decontam", "decontaminate", "dedup_simhash",
     "ngram_jaccard", "ppjoin_pairs", "repeated_spans", "pack_sequences",
-    "disease_confidence", "forecast",
+    "disease_confidence",
 ]
 # the r7-green queries not in the prefix: the whole r10 prefix head.
 _CHECK_NEXT = [
+    "forecast",
     "ann_multiprobe_topk", "asof_join", "basket_pairs", "bm25_search",
     "bpe_pair_counts", "dataset_card", "distinct_sketch", "dup_ngrams",
     "funnel", "gap_fill", "hard_negatives", "heavy_hitters",

@@ -1138,6 +1138,31 @@ def domain_cap_topk(
     )
 
 
+def q_domain_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate coverage for the skew-safe salted top-k leg (r9):
+    until now :func:`domain_cap_topk` was only test-pinned against the
+    exact window; this runs it against the DuckDB oracle directly (the
+    oracle may sort whole sources — the Spark plan must not, which is
+    the point of the two-stage salt)."""
+    stats = _doc_stats(spark, sf_dir, ["doc_id", "source", "quality"])
+    return domain_cap_topk(stats)
+
+
+_DOMAIN_CAP_SALTED_SQL = rf"""
+WITH {_TEXT_STATS_CTES},
+q AS (
+  SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality FROM d
+),
+r AS (
+  SELECT doc_id, source, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
+  FROM q
+)
+SELECT doc_id, source, quality, rk FROM r WHERE rk <= {DOMAIN_CAP}
+"""
+
+
 def quality_keep_topfrac(
     stats: DataFrame,
     keep_num: int = 1,
@@ -1888,6 +1913,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_attributes": q_doc_attributes,
     "quality_calibrated": q_quality_calibrated,
     "domain_cap": q_domain_cap,
+    "domain_cap_salted": q_domain_cap_salted,
     "token_budget_fill": q_token_budget_fill,
     "doc_fingerprint": q_doc_fingerprint,
     "severity_topk": q_severity_topk,
@@ -1920,6 +1946,7 @@ TRAINING_ORACLE: dict[str, str] = {
     "doc_attributes": _DOC_ATTRIBUTES_SQL,
     "quality_calibrated": _QUALITY_CALIBRATED_SQL,
     "domain_cap": _DOMAIN_CAP_SQL,
+    "domain_cap_salted": _DOMAIN_CAP_SALTED_SQL,
     "token_budget_fill": _TOKEN_BUDGET_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "severity_topk": _severity_sql(),

@@ -678,8 +678,11 @@ def test_mixture_draw_exact_replayable_and_no_global_sort(spark):
     a = out.collect()
     b = out.collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    # the plan must not sort a whole source on one task: no Sort over a
-    # source-only partitioning (windows are (source, __b) or the tiny
-    # bucket table); also no cartesian and no global (non-partial) Sort
+    # the plan must not sort a whole source on one task: every Sort is
+    # partition-LOCAL (the (source, __b) window's global-flag `false`),
+    # never global; and no cartesian. (Formatted mode renders Sort as
+    # `Arguments: [keys...], <global>, 0`.)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+    assert "Sort" in plan, plan
+    assert "], true, 0" not in plan, plan  # no GLOBAL sort anywhere
