@@ -686,3 +686,63 @@ def test_mixture_draw_exact_replayable_and_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "Sort" in plan, plan
     assert "], true, 0" not in plan, plan  # no GLOBAL sort anywhere
+
+
+def test_mixture_draw_exact_adversarial_distributions(spark):
+    """Exact-count draw over crafted corpora that hit the boundary-bucket
+    edges the sf corpus can't reliably produce: singleton sources (r=0
+    by construction), a source whose target is an exact multiple of n
+    (no partial epoch at all), a zero-target source (no rows), and a
+    mega-source holding ~90% of docs. Per-source counts must equal the
+    independently-computed targets EXACTLY in every case."""
+    import math
+
+    import pyspark.sql.functions as F
+    import healthcare_aws_data_engineering_spark.plans.corpus_queries as m
+
+    rng_rows = (
+        # mega-source: 90 docs of 9 words
+        [(i, "w " * 9, "mega") for i in range(90)]
+        # mid source: 8 docs
+        + [(100 + i, "x " * 40, "mid") for i in range(8)]
+        # singleton source
+        + [(200, "y " * 2000, "solo")]
+        # tiny source that rounds to target 0
+        + [(300, "z", "dust")]
+    )
+    docs = spark.createDataFrame(
+        rng_rows, "doc_id long, text string, source string"
+    )
+    epoch_docs = 500
+
+    # independent target model (same arithmetic as the operator)
+    per = {}
+    for _i, text, src in rng_rows:
+        n_tok = len(text.split())
+        n, tok = per.get(src, (0, 0))
+        per[src] = (n + 1, tok + n_tok)
+    wu = {s: round(math.sqrt(tok) * 1e6) for s, (n, tok) in per.items()}
+    total = sum(wu.values())
+    target = {
+        s: (epoch_docs * round(1e6 * (w / total))) // 10**6
+        for s, w in wu.items()
+    }
+
+    out = m.mixture_draw(docs, epoch_docs, exact=True).collect()
+    counts = collections.Counter(r.source for r in out)
+    for s, t in target.items():
+        assert counts.get(s, 0) == t, (s, counts.get(s, 0), t, target)
+    # structural: every doc's epochs are a prefix range, and partial
+    # epoch count per source is exactly target % n
+    by_doc = collections.defaultdict(list)
+    for r in out:
+        by_doc[(r.source, r.doc_id)].append(r.epoch)
+    for (_s, _d), es in by_doc.items():
+        assert sorted(es) == list(range(len(es)))
+    for s, (n, _tok) in per.items():
+        part = sum(
+            1 for (s2, _d), es in by_doc.items()
+            if s2 == s and len(es) == target[s] // n + 1
+        )
+        expected_part = target[s] % n
+        assert part == expected_part, (s, part, expected_part)

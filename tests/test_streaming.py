@@ -551,3 +551,37 @@ def test_media_decode_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) == 60
+
+
+def test_media_entropy_stream_equals_batch(spark, tmp_path):
+    """r9: the entropy/ZCR leg is the same stateless mapInPandas shape
+    as the decode leg, so it too must run UNCHANGED on an availableNow
+    stream and match the batch run row-for-row (including the float
+    entropy — identical bytes through identical code)."""
+    from healthcare_aws_data_engineering_spark.operators import multimodal as M
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(45)
+    src_dir = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ent = M.media_entropy(M.encoded_media_from_documents(stream))
+    assert ent.isStreaming
+    run_available_now_to_memory(
+        ent, "media_entropy_stream", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {
+        r.media_id: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM media_entropy_stream").collect()
+    }
+    expected = {
+        r.media_id: tuple(r)[1:]
+        for r in M.media_entropy(
+            M.encoded_media_from_documents(spark.read.parquet(src_dir))
+        ).collect()
+    }
+    assert got == expected and len(got) == 45
