@@ -202,11 +202,14 @@ def mixture_draw(
     boundary bucket on the tiny bucket table, keep sub-boundary buckets
     wholesale and rank-decide ONLY the boundary bucket's ~n/B rows
     inside (source, bucket) windows. Costs one slim-row shuffle of the
-    partial-epoch leg (keys + ids, never text) plus extra slim
-    projection scans (full-epoch leg, bucket-count pass) — the same
-    cheap-rescan trade q_mix_weights makes; cache ``docs`` upstream if
-    the input is itself expensive lineage. No source is ever sorted
-    whole on one task."""
+    partial-epoch leg (keys + ids, never text) plus slim doc_id/source
+    projection scans for the doc legs. No source is ever sorted whole
+    on one task.
+
+    Both modes materialize the bounded per-source factor table on the
+    driver (see in-body comment): the token-counting TEXT scan runs
+    exactly once regardless of how many legs reference the factors —
+    calling this function triggers that one aggregation job eagerly."""
     tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
@@ -245,6 +248,17 @@ def mixture_draw(
         )
         .withColumn("__r", F.expr("__target % __n"))
         .select("source", "__n", "__full", "__thr", "__r")
+    )
+    # Materialize the bounded per-source factor table on the driver
+    # (the bloom/ML-params house pattern): the doc side references it
+    # from TWO subtrees (three for exact=True — full leg, partial leg,
+    # bucket marks), and Spark re-executes lineage per subtree, so a
+    # lazy factor plan re-scans the TEXT column (the dominant cost at
+    # 100 TB) once per leg. Collected, the token-counting scan runs
+    # exactly once and each leg broadcasts a local relation. Rows are
+    # bounded by |sources| — categorical, never corpus-scale.
+    factors = docs.sparkSession.createDataFrame(
+        factors.collect(), factors.schema
     )
     key = F.conv(
         F.substring(
