@@ -96,9 +96,18 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("long"),
         )
     )
-    total = per_source.agg(F.sum("weight_u6").alias("__total"))
+    # total via an UNPARTITIONED window over the bounded per-source
+    # table (r9): the old crossJoin(broadcast(agg)) re-executed the
+    # per_source subtree — scanning the TEXT column twice per run. The
+    # window costs one single-partition exchange of |sources| slim rows
+    # and keeps ONE text scan.
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy().rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
     return (
-        per_source.crossJoin(F.broadcast(total))
+        per_source.withColumn("__total", F.sum("weight_u6").over(w_all))
         .withColumn(
             "share_e6",
             F.round(
@@ -148,10 +157,10 @@ FROM w, t
 # each doc survives iff its 48-bit md5 draw key falls under a
 # per-source threshold ≈ frac·2^48.
 #
-# Scale shape — deliberately ZERO windows and zero per-source sorts:
-# map-side-combined counts by source (bounded; the factor lineage pays
-# two slim projection scans, same trade as q_mix_weights, because the
-# per-source table feeds both the total and the factors), the tiny
+# Scale shape — deliberately ZERO windows and zero per-source sorts on
+# the DOC side: map-side-combined counts by source (bounded; since r9
+# the factor table is driver-materialized, so the token-counting text
+# scan runs exactly once however many legs reference it), the tiny
 # factor table broadcast back, then explode over sequence(0,
 # ceil(T/n)-1) and a hash-threshold filter — the DOC side is pure
 # projection+filter with no shuffle at all, so the draw is
@@ -854,8 +863,10 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over-represented a term is in one source vs the whole corpus. The
 # TF-IDF idea without logarithms: lift is one division of two exact
 # BIGINT products, so it replays bit-identically cross-engine (a log
-# would drag in libm). Shape: one (source, term) agg, one term agg,
-# broadcast-joined totals, top-k per source via one bounded window.
+# would drag in libm). Shape (r9): ONE corpus explode+agg, per-term and
+# per-source totals as windows over that aggregate (never re-scanning
+# the corpus), one scalar broadcast, top-k per source via one bounded
+# window that reuses the source-window exchange.
 ST_TOP_K = 5
 
 
@@ -867,16 +878,29 @@ def q_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf_s = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_s = tf_s.groupBy("source").agg(F.sum("tf").alias("__ns"))
-    tf_g = tf_s.groupBy("term").agg(F.sum("tf").alias("__tfg"))
+    # r9: __ns and __tfg via WINDOWS over the aggregated (source, term)
+    # table instead of broadcast-joined re-aggregations — the old shape
+    # re-executed the corpus explode+agg subtree once per derived agg
+    # (4 corpus scans); windows exchange only the aggregate (vocab x
+    # sources slim rows). The scalar __ng still costs one re-execution
+    # (an unpartitioned window would funnel the whole aggregate through
+    # one task): 4 corpus scans -> 2. The term window runs first, then
+    # the source window's exchange is REUSED by the rank window (same
+    # partitioning).
+    w_term = Window.partitionBy("term").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_src = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     n_g = tf_s.agg(F.sum("tf").alias("__ng"))
     lift = (F.col("tf") * F.col("__ng")) / (F.col("__ns") * F.col("__tfg"))
     w = Window.partitionBy("source").orderBy(
         F.col("lift").desc(), F.col("term").asc()
     )
     return (
-        tf_s.join(F.broadcast(n_s), "source")
-        .join(F.broadcast(tf_g), "term")
+        tf_s.withColumn("__tfg", F.sum("tf").over(w_term))
+        .withColumn("__ns", F.sum("tf").over(w_src))
         .crossJoin(F.broadcast(n_g))
         .withColumn("lift", lift)
         .withColumn("rank", F.row_number().over(w))

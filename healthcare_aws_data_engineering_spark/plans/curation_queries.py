@@ -91,8 +91,18 @@ def lm_score(
         F2.explode(F2.split(F2.trim(F2.col(text_col)), r"\s+")).alias("w"),
     )
     vocab = toks.groupBy("w").agg(F2.count(F2.lit(1)).alias("c"))
-    total = vocab.agg(F2.sum("c").alias("n"))
-    lp = vocab.crossJoin(F2.broadcast(total)).select(
+    # r9: the corpus total via an UNPARTITIONED window over the vocab
+    # aggregate — the old crossJoin(broadcast(agg)) re-executed the
+    # whole explode+agg subtree for one scalar (3 corpus scans -> 2).
+    # The window funnels only the vocab through one task, and the vocab
+    # is broadcast to every executor two lines later anyway: if it fits
+    # a broadcast, it fits a task.
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy().rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    lp = vocab.withColumn("n", F2.sum("c").over(w_all)).select(
         "w",
         F2.log(F2.col("c") / F2.col("n").cast("double"))
         .cast("decimal(18,6)")

@@ -1055,28 +1055,33 @@ _CHECK_FIRST = [
     "pii_redact", "promo_revenue", "report_cvd", "report_prediabetes",
     "returned_items", "revenue_share", "salted_agg", "shipping_priority",
     "skew_audit", "training_order", "zscore_outliers",
-    # (2) NEW or changed in r9 — positions 34-41
+    # (2) NEW or changed in r9 — positions 34-47: the media codec-guard
+    # legs + entropy, both mixture draws (exact mode + driver-
+    # materialized factors), the salted cap, the binary-literal bloom
+    # carrier, and the four scan-count plan rewrites (windowed totals:
+    # mix_weights, source_terms, lm_score, bm25_search + its rrf
+    # composite)
     "mixture_draw", "mixture_draw_exact", "media_decode",
     "media_channel_stats", "media_features", "frame_sample",
-    "media_entropy", "domain_cap_salted",
-    # (3) r7-green fills — positions 42-50 (forecast, the newest r7
-    # verdict, yields its slot to the new salted-cap query)
-    "media_stats", "bloom_decontam", "decontaminate", "dedup_simhash",
-    "ngram_jaccard", "ppjoin_pairs", "repeated_spans", "pack_sequences",
-    "disease_confidence",
+    "media_entropy", "domain_cap_salted", "bloom_decontam",
+    "mix_weights", "source_terms", "lm_score", "bm25_search",
+    "rrf_fusion",
+    # (3) r7-green fills — positions 48-50
+    "decontaminate", "pack_sequences", "disease_confidence",
 ]
 # the r7-green queries not in the prefix: the whole r10 prefix head.
 _CHECK_NEXT = [
-    "forecast",
-    "ann_multiprobe_topk", "asof_join", "basket_pairs", "bm25_search",
+    "forecast", "media_stats", "dedup_simhash", "ngram_jaccard",
+    "ppjoin_pairs", "repeated_spans",
+    "ann_multiprobe_topk", "asof_join", "basket_pairs",
     "bpe_pair_counts", "dataset_card", "distinct_sketch", "dup_ngrams",
     "funnel", "gap_fill", "hard_negatives", "heavy_hitters",
     "height_weight_bmi", "hist_quantiles", "incremental_dedup",
-    "length_buckets", "lm_score", "mix_weights", "profile_columns",
+    "length_buckets", "profile_columns",
     "quality_classifier", "range_join", "repetition_filter",
-    "rolling_avg", "rrf_fusion", "semi_anti_join", "sessionize",
+    "rolling_avg", "semi_anti_join", "sessionize",
     "set_ops", "severity_topk", "shard_manifest", "shingle_novelty",
-    "source_overlap", "source_terms", "split_assign",
+    "source_overlap", "split_assign",
     "stratified_sample", "time_rollup", "token_budget_fill",
     "unpivot_wide", "vocab_topk", "word_bigrams",
 ]

@@ -140,9 +140,12 @@ def test_bm25_idf_orders_rare_above_common(spark):
 
 
 def test_bm25_no_sort_merge_join(spark):
+    # r9 shape: df comes from a term-window over the matched (doc, term)
+    # aggregate (no broadcast re-aggregation join), avgdl stats ride a
+    # broadcast nested loop; nothing sort-merges, top-k stays bounded
     plan = _plan(cq.q_bm25_search(spark, SF))
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
 
 
