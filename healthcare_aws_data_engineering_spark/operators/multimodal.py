@@ -315,13 +315,20 @@ def _chain_hex(text: F.Column, n: F.Column) -> F.Column:
     return joined.substr(F.lit(1), (n * 2).cast("int"))
 
 
-def encoded_media_from_documents(docs: DataFrame) -> DataFrame:
+def encoded_media_from_documents(
+    docs: DataFrame, perturb: bool = False
+) -> DataFrame:
     """documents → REAL uncompressed container bytes, entirely in JVM
     expressions: doc_id%3 picks PPM / WAV / BMP, the payload is the md5
     chain over the doc text, headers are composed as little-endian hex
     and the file materializes with one ``unhex``. Projection-only — at
     100 TB this encode stage fuses into the scan with zero shuffles and
-    zero Python."""
+    zero Python.
+
+    ``perturb=True`` overwrites the payload's FIRST byte with 0xff
+    (one corner pixel / one audio sample) — the near-identical variant
+    the perceptual-dedup query pairs against the original. The oracle
+    replays the same one-byte splice on its hex chain."""
     w = F.expr(_ENC_W).cast("int")
     h = F.expr(_ENC_H).cast("int")
     n_samples = F.expr(_ENC_NSAMP).cast("int")
@@ -336,6 +343,8 @@ def encoded_media_from_documents(docs: DataFrame) -> DataFrame:
         .cast("int")
     )
     px_hex = _chain_hex(F.col("text"), n)
+    if perturb:
+        px_hex = F.concat(F.lit("ff"), px_hex.substr(F.lit(3), (n * 2 - 2).cast("int")))
 
     ppm_header = F.concat(
         F.lit("P6\n"),
@@ -547,6 +556,141 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(do, schema=CHANNEL_STATS_SCHEMA)
+
+
+# dHash grid: 8 rows x 9 sample columns -> 8x8 gradient bits. Integer
+# luma (the ITU-R 601 weights scaled by 1000, floor division) and
+# nearest-neighbor grid sampling (floor(i*dim/grid)) keep every step
+# exact-integer, so the hash replays bit-identically in SQL.
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 9 samples -> 8 horizontal gradients per row
+
+
+def dhash_bytes(payload: bytes, w: int, h: int) -> str:
+    """64-bit difference hash of an interleaved-RGB payload as 16
+    lowercase hex chars (one byte per grid row, bit 7 = leftmost
+    gradient). Pure integer math — shared by the Spark operator and
+    unit tests; the SQL oracle replays the same arithmetic."""
+    xs = [(c * w) // DHASH_COLS for c in range(DHASH_COLS)]
+    ys = [(r * h) // DHASH_ROWS for r in range(DHASH_ROWS)]
+
+    def gray(x: int, y: int) -> int:
+        i = (y * w + x) * 3
+        return (
+            payload[i] * 299 + payload[i + 1] * 587 + payload[i + 2] * 114
+        ) // 1000
+
+    out = []
+    for y in ys:
+        row_byte = 0
+        g = [gray(x, y) for x in xs]
+        for c in range(DHASH_ROWS):
+            if g[c] > g[c + 1]:
+                row_byte |= 1 << (7 - c)
+        out.append(f"{row_byte:02x}")
+    return "".join(out)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over the REAL decoded pixels (r9) —
+    the dedup primitive for the image modality: two images whose
+    gradient structure matches collide on (or near) the same 64-bit
+    hash even when raw bytes differ. Audio rows are dropped inside the
+    stage (dHash is an image measure). Same zero-exchange Arrow-batched
+    shape as the other decode legs; output is 5 scalar columns, the
+    binary never leaves the stage."""
+    import pandas as pd
+
+    from .media_codecs import decode_media
+
+    cols = [f.name for f in DHASH_SCHEMA.fields]
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_media(bytes(content))
+                if d.format == "wav":
+                    continue
+                rows.append(
+                    (
+                        media_id,
+                        d.format,
+                        d.width,
+                        d.height,
+                        dhash_bytes(d.payload, d.width, d.height),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(do, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Banded Hamming near-dup join over a (media_id, dhash) frame —
+    the MinHash-LSH recipe applied to the perceptual hash: split the 16
+    hex chars into ``n_bands`` bands, bucket-join on (band index, band
+    value) — a pair within ``max_hamming`` of 64 bits has >= 1
+    untouched band with high probability (guaranteed when max_hamming <
+    n_bands, pigeonhole) — then verify candidates with an EXACT popcount
+    over two 32-bit halves (8-hex-digit conv, inside the fuzz family's
+    safe budget; a single 16-digit conv would cross 2^63). Never a full
+    self-join; bucket fan-out is bounded by band-collision counts."""
+    band_w = 16 // n_bands
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("dhash", i * band_w + 1, band_w).alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band", "b.val")
+    left = bands
+    right = (
+        bands.withColumnRenamed("media_id", "media_id_b")
+        .withColumnRenamed("dhash", "dhash_b")
+    )
+    half = lambda col, i: F.conv(  # noqa: E731
+        F.substring(col, i * 8 + 1, 8), 16, 10
+    ).cast("long")
+    hamming = (
+        F.bit_count(half(F.col("dhash"), 0).bitwiseXOR(half(F.col("dhash_b"), 0)))
+        + F.bit_count(half(F.col("dhash"), 1).bitwiseXOR(half(F.col("dhash_b"), 1)))
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("media_id") < F.col("media_id_b"))
+        .select("media_id", "media_id_b", "dhash", "dhash_b")
+        .distinct()
+        .select(
+            F.col("media_id").alias("media_a"),
+            F.col("media_id_b").alias("media_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 ENTROPY_SCHEMA = StructType(

@@ -1038,7 +1038,7 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #      first (media_stats rides with its family; bloom_decontam +
 #      decontaminate bracket the r9 crossover probe; the dedup/spans
 #      heavies complete the set) so the r10 prefix burden stays at 39.
-# _CHECK_NEXT holds the rest of the r7-green set (40 rows) — due in the
+# _CHECK_NEXT holds the rest of the r7-green set (42 rows) — due in the
 # r10 prefix, so no entry's verdict goes 3 rounds stale. (Row counts
 # are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
@@ -1063,16 +1063,18 @@ _CHECK_FIRST = [
     # composite)
     "mixture_draw", "mixture_draw_exact", "media_decode",
     "media_channel_stats", "media_features", "frame_sample",
-    "media_entropy", "domain_cap_salted", "bloom_decontam",
+    "media_entropy", "media_dhash", "media_near_dup",
+    "domain_cap_salted", "bloom_decontam",
     "mix_weights", "source_terms", "lm_score", "bm25_search",
     "rrf_fusion",
-    # (3) r7-green fills — positions 48-50
-    "decontaminate", "pack_sequences", "disease_confidence",
+    # (3) r7-green fill — position 50
+    "decontaminate",
 ]
 # the r7-green queries not in the prefix: the whole r10 prefix head.
 _CHECK_NEXT = [
     "forecast", "media_stats", "dedup_simhash", "ngram_jaccard",
-    "ppjoin_pairs", "repeated_spans",
+    "ppjoin_pairs", "repeated_spans", "pack_sequences",
+    "disease_confidence",
     "ann_multiprobe_topk", "asof_join", "basket_pairs",
     "bpe_pair_counts", "dataset_card", "distinct_sketch", "dup_ngrams",
     "funnel", "gap_fill", "hard_negatives", "heavy_hitters",

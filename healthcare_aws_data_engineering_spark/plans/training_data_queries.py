@@ -1832,6 +1832,119 @@ FROM ent e LEFT JOIN zc ON zc.doc_id = e.doc_id
 """
 
 
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash over the real decoded pixels (r9):
+    integer ITU-R 601 luma, nearest-neighbor 9x8 grid sampling,
+    horizontal gradient bits — every step exact-integer, so the oracle
+    replays the full hash from the md5 payload chain byte-wise."""
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir)).filter(
+        F.col("kind") == "image"
+    )
+    return M.media_dhash(media)
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs (r9) — dedup extended into the image
+    modality: every document yields its image plus a one-byte-perturbed
+    variant (corner pixel forced to 0xff, id offset 1e9), and the query
+    recovers the pairs via the banded-Hamming join. max_hamming=3 <
+    n_bands=4 keeps the pigeonhole guarantee (any pair within 3 bits
+    shares an untouched band), so the brute-force O(n^2) oracle and the
+    banded plan must agree EXACTLY — the LSH recall proof is baked into
+    the gate."""
+    docs = _docs(spark, sf_dir)
+    orig = M.encoded_media_from_documents(docs)
+    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
+    )
+    both = orig.unionByName(pert).filter(F.col("kind") == "image")
+    return M.dhash_near_dup_pairs(M.media_dhash(both), max_hamming=3)
+
+
+def _dhash_oracle_sql(near_dup: bool) -> str:
+    """Shared dHash CTE chain for the two perceptual queries: rebuild
+    the payload from the md5 chain, (optionally) add the one-byte
+    perturbed variant, NN-sample the 9x8 grid with exact-integer luma,
+    fold gradient bits into row bytes, hex-agg the 64-bit hash."""
+    gidx = "3*(((r.r*h)//8)*w + ((c.c*w)//9))"
+    variants = (
+        """
+variants AS (
+  SELECT doc_id + v.v * 1000000000 AS media_id, container, w, h, n,
+         CASE WHEN v.v = 1 THEN 'ff' || substr(hx, 3) ELSE hx END AS hx
+  FROM chain0, unnest(generate_series(0, 1)) AS v(v)
+),"""
+        if near_dup
+        else """
+variants AS (
+  SELECT doc_id AS media_id, container, w, h, n, hx FROM chain0
+),"""
+    )
+    head = f"""
+WITH p0 AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ppm' ELSE 'bmp' END AS container,
+    CAST(doc_id % 13 + 4 AS INT) AS w,
+    CAST(doc_id % 11 + 4 AS INT) AS h,
+    text
+  FROM documents WHERE doc_id % 3 <> 1
+), sz AS (
+  SELECT *, w * h * 3 AS n FROM p0
+), chain0 AS (
+  SELECT *, substr(
+      list_reduce(
+        list_transform(range(CAST((n + 15) // 16 AS BIGINT)),
+                       b -> md5(text || '#px:' || CAST(b AS VARCHAR))),
+        (a, x) -> a || x),
+      1, 2 * n) AS hx
+  FROM sz
+),{variants}
+bytes AS (
+  SELECT media_id, container, w, h,
+         list_transform(range(CAST(n AS BIGINT)),
+           i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bs
+  FROM variants
+), grid AS (
+  SELECT media_id, container, w, h, r.r AS r, c.c AS c,
+    (bs[{gidx}+1]*299 + bs[{gidx}+2]*587 + bs[{gidx}+3]*114) // 1000 AS gray
+  FROM bytes,
+       unnest(generate_series(0, 7)) AS r(r),
+       unnest(generate_series(0, 8)) AS c(c)
+), bits AS (
+  SELECT media_id, container, w, h, r, c,
+         CASE WHEN gray > lead(gray) OVER (PARTITION BY media_id, r ORDER BY c)
+              THEN 1 ELSE 0 END AS bit
+  FROM grid
+), rowb AS (
+  SELECT media_id, container, w, h, r,
+         CAST(SUM(bit * (1 << (7 - CAST(c AS INT)))) AS INT) AS byte
+  FROM bits WHERE c < 8 GROUP BY media_id, container, w, h, r
+), hashes AS (
+  SELECT media_id, container, w, h,
+         string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY r) AS dhash
+  FROM rowb GROUP BY media_id, container, w, h
+)"""
+    if not near_dup:
+        return head + """
+SELECT media_id, container, w AS width, h AS height, dhash FROM hashes
+"""
+    return head + """
+SELECT media_a, media_b, hamming FROM (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+    CAST(bit_count(xor(CAST(('0x' || substr(a.dhash, 1, 8)) AS BIGINT),
+                       CAST(('0x' || substr(b.dhash, 1, 8)) AS BIGINT)))
+       + bit_count(xor(CAST(('0x' || substr(a.dhash, 9, 8)) AS BIGINT),
+                       CAST(('0x' || substr(b.dhash, 9, 8)) AS BIGINT)))
+      AS INT) AS hamming
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+) WHERE hamming <= 3
+"""
+
+
+_MEDIA_DHASH_SQL = _dhash_oracle_sql(near_dup=False)
+_MEDIA_NEAR_DUP_SQL = _dhash_oracle_sql(near_dup=True)
+
+
 _PQ_BOOKS: dict[str, list] = {}
 
 
@@ -1923,6 +2036,8 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "media_channel_stats": q_media_channel_stats,
     "media_entropy": q_media_entropy,
+    "media_dhash": q_media_dhash,
+    "media_near_dup": q_media_near_dup,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -1956,4 +2071,6 @@ TRAINING_ORACLE: dict[str, str] = {
     "media_decode": _MEDIA_DECODE_SQL,
     "media_channel_stats": _MEDIA_CHANNEL_SQL,
     "media_entropy": _MEDIA_ENTROPY_SQL,
+    "media_dhash": _MEDIA_DHASH_SQL,
+    "media_near_dup": _MEDIA_NEAR_DUP_SQL,
 }

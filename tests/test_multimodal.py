@@ -346,3 +346,65 @@ def test_media_entropy_analytic_edges(spark):
     # DECIMAL(18,6) grid snaps it to exactly 8.000000)
     assert abs(out[3].byte_entropy - 8.0) < 1e-12
     assert out[3].n_distinct_bytes == 256
+
+
+def test_dhash_pure_python_properties():
+    """Deterministic dHash facts on crafted gradients: a left-to-right
+    ramp sets NO bits (gray increases, never >), a right-to-left ramp
+    sets ALL bits, a flat image sets none; hash length is 16 hex."""
+    w, h = 9, 8
+    ramp = bytes(
+        b for y in range(h) for x in range(w) for b in (x * 20,) * 3
+    )
+    rev = bytes(
+        b for y in range(h) for x in range(w) for b in ((w - 1 - x) * 20,) * 3
+    )
+    flat = bytes(128 for _ in range(w * h * 3))
+    assert M.dhash_bytes(ramp, w, h) == "00" * 8
+    assert M.dhash_bytes(rev, w, h) == "ff" * 8
+    assert M.dhash_bytes(flat, w, h) == "00" * 8
+    assert len(M.dhash_bytes(ramp, w, h)) == 16
+
+
+def _hamming_hex(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def test_dhash_one_byte_perturbation_is_near(docs):
+    """The near-dup fixture's contract: forcing the first payload byte
+    to 0xff moves the hash by at most ceil(8/h) <= 2 bits — only grid
+    rows that NN-sample y=0 can flip, and within a row only the single
+    column-comparison that straddles the x=0 boundary (comparisons with
+    BOTH sides at x=0 see identical grays before and after). The banded
+    join must then recover every constructed pair at max_hamming=3."""
+    from pyspark.sql import functions as F
+
+    orig = M.encoded_media_from_documents(docs)
+    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
+    )
+    both = orig.unionByName(pert).filter(F.col("kind") == "image")
+    hashes = {r.media_id: r.dhash for r in M.media_dhash(both).collect()}
+    img_ids = [i for i in hashes if i < 1_000_000_000]
+    assert img_ids
+    for i in img_ids:
+        h = i % 11 + 4
+        bound = -(-8 // h)  # ceil(8/h): grid rows sampling y=0
+        assert _hamming_hex(hashes[i], hashes[i + 1_000_000_000]) <= bound, i
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in M.dhash_near_dup_pairs(
+            M.media_dhash(both), max_hamming=3
+        ).collect()
+    }
+    for i in img_ids:
+        assert (i, i + 1_000_000_000) in pairs, i
+
+
+def test_dhash_zero_exchange_plan(spark):
+    from conftest import n_exchanges as _n_exchanges, plan_string as _plan
+    import healthcare_aws_data_engineering_spark.plans.training_data_queries as tq
+
+    plan = _plan(tq.q_media_dhash(spark, "/root/testdata/sf0.001"))
+    assert _n_exchanges(plan) == 0, plan
+    assert "MapInPandas" in plan
