@@ -45,7 +45,11 @@ over every shared expression family the oracles ride:
   (inside its decode UDF) against DuckDB's log2: pinned bit-identical
   over counts, extreme magnitudes, and exact powers of two — the
   shared-platform-libm assumption fails HERE, not as a 1-ulp hash
-  mismatch at the gate.
+  mismatch at the gate;
+* bit ops (r9) — media_near_dup's Hamming distance rides
+  bit_count(xor(...)) in both engines: pinned over random 64-bit
+  values including negatives (two's-complement popcount) and the
+  32-bit-halves class the query uses.
 
 The r6 float-literal find and these r7/r8 finds were all LATENT engine
 divergences the gate corpus couldn't trigger; each family runs its
@@ -893,4 +897,33 @@ def test_python_log2_matches_duckdb_log2_bitwise():
         for i in range(len(vals))
         if math.log2(vals[i]) != dk[i]
     ]
+    assert not diverged, diverged[:5]
+
+
+def test_bit_count_xor_surface_agrees(spark):
+    """media_near_dup's Hamming distance is bit_count(xor(h32a, h32b))
+    in both engines — pin the pair over random 64-bit values including
+    negatives (two's complement popcount must agree) and the exact
+    32-bit-halves class the query actually uses."""
+    rng = random.Random(11)
+    rows = [
+        (i, rng.getrandbits(63) - (1 << 62), rng.getrandbits(32))
+        for i in range(300)
+    ] + [(300, -1, 0), (301, -(2**62), 2**31), (302, 0, 0)]
+    df = spark.createDataFrame(rows, "i long, a long, b long")
+    got = {
+        r.i: (r.pc, r.hx)
+        for r in df.selectExpr(
+            "i",
+            "bit_count(a) AS pc",
+            "bit_count(a ^ b) AS hx",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    dk = con.execute(
+        "SELECT i, bit_count(a), bit_count(xor(a, b)) FROM t"
+    ).fetchall()
+    diverged = [(i, got[i], (p, h)) for i, p, h in dk if (p, h) != got[i]]
     assert not diverged, diverged[:5]
