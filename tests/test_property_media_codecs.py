@@ -168,3 +168,55 @@ def test_bmp_negative_height_still_means_topdown():
 def test_ppm_degenerate_dims_rejected(w, h):
     with pytest.raises(ValueError, match="dimensions must be positive"):
         C.decode_media(f"P6\n{w} {h}\n255\n".encode())
+
+
+# ---------------------------------------------------------------------------
+# dHash invariants (r9): gradient hashes must be brightness-invariant
+# and deterministic over the whole dimension space — the property that
+# makes them a PERCEPTUAL dedup key rather than a byte hash
+# ---------------------------------------------------------------------------
+
+from healthcare_aws_data_engineering_spark.operators.multimodal import (
+    dhash_bytes,
+)
+
+img_dims = st.tuples(st.integers(1, 20), st.integers(1, 20))
+
+
+@SETTINGS
+@given(wh=img_dims, data=st.data(), shift=st.integers(1, 40))
+def test_dhash_brightness_invariance(wh, data, shift):
+    """Adding a constant to every channel (clamp-free by construction:
+    bytes drawn from [0, 255-shift]) preserves every gray comparison,
+    hence the hash — the defining perceptual property."""
+    w, h = wh
+    payload = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255 - shift),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    shifted = bytes(b + shift for b in payload)
+    assert dhash_bytes(payload, w, h) == dhash_bytes(shifted, w, h)
+
+
+@SETTINGS
+@given(wh=img_dims, data=st.data())
+def test_dhash_shape_and_determinism(wh, data):
+    """16 lowercase hex chars for EVERY dimension pair (including
+    degenerate 1x1, where all grid points alias one pixel and the hash
+    is all-zero), and byte-identical on repeat."""
+    w, h = wh
+    payload = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+        )
+    )
+    hx = dhash_bytes(payload, w, h)
+    assert len(hx) == 16 and all(c in "0123456789abcdef" for c in hx)
+    assert hx == dhash_bytes(payload, w, h)
+    if w == 1 and h == 1:
+        assert hx == "00" * 8  # one pixel: no gradient can be strict
