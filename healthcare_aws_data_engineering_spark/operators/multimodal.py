@@ -580,11 +580,14 @@ def dhash_bytes(payload: bytes, w: int, h: int) -> str:
             payload[i] * 299 + payload[i + 1] * 587 + payload[i + 2] * 114
         ) // 1000
 
+    # DHASH_COLS samples per row -> DHASH_COLS - 1 gradients, packed
+    # MSB-first into one byte (so the per-row pack needs <= 8 bits).
+    assert DHASH_COLS - 1 <= 8, "per-row byte packing holds <= 8 gradients"
     out = []
     for y in ys:
         row_byte = 0
         g = [gray(x, y) for x in xs]
-        for c in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
             if g[c] > g[c + 1]:
                 row_byte |= 1 << (7 - c)
         out.append(f"{row_byte:02x}")
