@@ -564,6 +564,11 @@ def media_channel_stats(media: DataFrame) -> DataFrame:
 # exact-integer, so the hash replays bit-identically in SQL.
 DHASH_ROWS = 8
 DHASH_COLS = 9  # 9 samples -> 8 horizontal gradients per row
+# Import-time invariant (r10 advice: an assert inside dhash_bytes ran
+# per-call and vanished under ``python -O``): the per-row byte packing
+# below holds at most 8 gradient bits.
+if DHASH_COLS - 1 > 8:
+    raise AssertionError("per-row byte packing holds <= 8 gradients")
 
 
 def dhash_bytes(payload: bytes, w: int, h: int) -> str:
@@ -581,8 +586,7 @@ def dhash_bytes(payload: bytes, w: int, h: int) -> str:
         ) // 1000
 
     # DHASH_COLS samples per row -> DHASH_COLS - 1 gradients, packed
-    # MSB-first into one byte (so the per-row pack needs <= 8 bits).
-    assert DHASH_COLS - 1 <= 8, "per-row byte packing holds <= 8 gradients"
+    # MSB-first into one byte (<= 8 bits: checked once at module scope).
     out = []
     for y in ys:
         row_byte = 0
@@ -641,17 +645,53 @@ def media_dhash(media: DataFrame) -> DataFrame:
 
 
 def dhash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-dup join over a (media_id, dhash) frame —
     the MinHash-LSH recipe applied to the perceptual hash: split the 16
     hex chars into ``n_bands`` bands, bucket-join on (band index, band
-    value) — a pair within ``max_hamming`` of 64 bits has >= 1
-    untouched band with high probability (guaranteed when max_hamming <
-    n_bands, pigeonhole) — then verify candidates with an EXACT popcount
-    over two 32-bit halves (8-hex-digit conv, inside the fuzz family's
-    safe budget; a single 16-digit conv would cross 2^63). Never a full
-    self-join; bucket fan-out is bounded by band-collision counts."""
+    value) — a pair within ``max_hamming`` of 64 bits has >= 1 untouched
+    band (pigeonhole, guaranteed because max_hamming < n_bands is
+    ENFORCED) — then verify candidates with an EXACT popcount over two
+    32-bit halves (8-hex-digit conv, inside the fuzz family's safe
+    budget; a single 16-digit conv would cross 2^63). Never a full
+    self-join.
+
+    Recall contract (r10 advice: the old ``n_bands=4`` default silently
+    missed ~38% of true hamming-6 pairs): when ``n_bands`` is None it is
+    DERIVED as the smallest divisor of 16 ``> max_hamming``, so the
+    default-args call is pigeonhole-exact — banded output == brute-force
+    popcount join, test-pinned. A pinned ``n_bands`` must still satisfy
+    ``max_hamming < n_bands`` (ValueError otherwise): this operator
+    never returns an approximate answer while claiming an exact one.
+
+    Scale hatch: ``max_bucket`` (None = uncapped, the exact default)
+    drops (band, value) buckets with more members — same window-count
+    shape as the text LSH path's ``_bucket_cap``. A cluster of k
+    byte-identical images is one bucket with O(k^2) candidate fan-out;
+    at corpus scale cap it (the dropped bucket IS an exact-dup cluster —
+    route it through the cheaper exact-dedup groupBy instead) at the
+    cost of those pairs, i.e. capping trades the 100%-recall guarantee
+    for bounded skew. The SCALING.md media-near-dup probe measures both
+    regimes."""
+    if n_bands is None:
+        if not 0 <= max_hamming < 16:
+            raise ValueError(
+                f"max_hamming={max_hamming} not coverable by hex bands "
+                f"(needs 0 <= max_hamming < 16)"
+            )
+        n_bands = next(b for b in (1, 2, 4, 8, 16) if b > max_hamming)
+    if 16 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide the 16 hex chars")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded recall guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}); leave n_bands unset to "
+            f"derive it"
+        )
     band_w = 16 // n_bands
     bands = hashes.select(
         "media_id",
@@ -670,6 +710,19 @@ def dhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("media_id", "dhash", "b.band", "b.val")
+    if max_bucket is not None:
+        # Same single-subtree window-count shape as dedup._bucket_cap:
+        # both self-join inputs stay the identical plan, so the banding
+        # pipeline and its exchange are computed once. min 2 because a
+        # singleton bucket cannot produce a within-corpus pair.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band", "val")
+        bands = (
+            bands.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+            .drop("__n")
+        )
     left = bands
     right = (
         bands.withColumnRenamed("media_id", "media_id_b")

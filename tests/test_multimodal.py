@@ -401,6 +401,90 @@ def test_dhash_one_byte_perturbation_is_near(docs):
         assert (i, i + 1_000_000_000) in pairs, i
 
 
+def _brute_pairs(hashes: dict, max_hamming: int) -> set:
+    ids = sorted(hashes)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _hamming_hex(hashes[a], hashes[b]) <= max_hamming
+    }
+
+
+def test_dhash_near_dup_default_args_exact_vs_brute(spark):
+    """r10 advice (medium): the old n_bands=4 default silently lost
+    ~38% of true hamming-6 pairs. The default now DERIVES n_bands=8
+    (smallest divisor of 16 > max_hamming=6), restoring the pigeonhole
+    guarantee — pinned here against a brute-force popcount join over an
+    adversarial corpus where the flips are SPREAD across all four old
+    bands (the exact shape the old default missed)."""
+    import random
+
+    rng = random.Random(11)
+    hashes = {}
+    for i in range(12):
+        hashes[i * 10] = f"{rng.getrandbits(64):016x}"
+    # perturbed variants at hamming d = 1..7, each flip in a DISTINCT
+    # nibble spread across the hash (touches every old 4-hex band for
+    # d >= 4, so the old default provably misses d in {4,5,6}).
+    for i in range(12):
+        base = int(hashes[i * 10], 16)
+        d = i % 7 + 1
+        nibbles = rng.sample(range(16), d)
+        v = base
+        for nb in nibbles:
+            v ^= 1 << (nb * 4 + rng.randrange(4))
+        hashes[i * 10 + 1] = f"{v:016x}"
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], ["media_id", "dhash"]
+    )
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in M.dhash_near_dup_pairs(df).collect()
+    }
+    want = {
+        (a, b, _hamming_hex(hashes[a], hashes[b]))
+        for a, b in _brute_pairs(hashes, 6)
+    }
+    assert got == want
+    # the corpus must actually exercise the old default's blind spot
+    assert any(4 <= h <= 6 for _, _, h in want)
+
+
+def test_dhash_near_dup_rejects_unguaranteed_args(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "00" * 8)], ["media_id", "dhash"])
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        M.dhash_near_dup_pairs(df, max_hamming=6, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        M.dhash_near_dup_pairs(df, max_hamming=2, n_bands=3)
+    with pytest.raises(ValueError, match="coverable"):
+        M.dhash_near_dup_pairs(df, max_hamming=16)
+
+
+def test_dhash_near_dup_bucket_cap(spark):
+    """max_bucket drops over-full (band, value) buckets: a cluster of k
+    identical hashes is one bucket per band with k members — capped at
+    k-1 it vanishes (route such clusters through exact dedup instead),
+    while pairs in small buckets are untouched."""
+    rows = [(i, "ab" * 8) for i in range(6)]  # identical cluster, k=6
+    rows += [(100, "00" * 8), (101, "01" + "00" * 7)]  # hamming-1 pair
+    df = spark.createDataFrame(rows, ["media_id", "dhash"])
+    uncapped = {
+        (r.media_a, r.media_b)
+        for r in M.dhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert len(uncapped) == 15 + 1
+    capped = {
+        (r.media_a, r.media_b)
+        for r in M.dhash_near_dup_pairs(
+            df, max_hamming=3, max_bucket=5
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+
+
 def test_dhash_zero_exchange_plan(spark):
     from conftest import n_exchanges as _n_exchanges, plan_string as _plan
     import healthcare_aws_data_engineering_spark.plans.training_data_queries as tq
