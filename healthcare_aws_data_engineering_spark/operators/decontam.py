@@ -144,29 +144,41 @@ def _bloom_positions(shingle: Column, m: int, k: int) -> Column:
 
 def bloom_bitset_bytes(shingles: DataFrame, m: int, k: int) -> bytes:
     """Bitset bytes (m/8 of them) over the distinct ``shingle`` column.
-    Distributed: one map-side-combined aggregation into ≤ m/8
-    (byte_idx, bits) rows; only those fixed-width rows reach the
-    driver, where the bytearray assembly is O(m/8). Byte layout: bit p
-    lives in byte p DIV 8 at weight 1 << (p % 8)."""
-    pairs = (
+    Distributed: one map-side-combined aggregation into ≤ m/64
+    (word_idx, 64-bit word) rows; only those fixed-width rows reach the
+    driver, where the bytearray assembly is O(m/8).
+
+    r10 advice: the original per-BYTE groupBy collected one PySpark Row
+    per non-zero byte — ~2.9M Rows (50–100× the 2.9MB bitset itself) at
+    the crossover probe's 2.4M-shingle scale, a driver cliff. Folding
+    into 8-byte words via ``bit_or`` over longs collects 8× fewer rows
+    with identical output bytes (test-pinned): bit p lives in word
+    p DIV 64 at weight 1 << (p % 64); the word's little-endian byte
+    split reproduces the byte layout the probe reads (bit p in byte
+    p DIV 8 at weight 1 << (p % 8))."""
+    words = (
         shingles.select(
             F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")
         )
         .select(
-            (F.col("pos") / 8).cast("int").alias("byte_idx"),
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
             F.call_function(
                 "shiftleft",
-                F.lit(1),
-                (F.col("pos") % 8).cast("int"),
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
             ).alias("bit"),
         )
-        .groupBy("byte_idx")
+        .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
     buf = bytearray(m // 8)
-    for r in pairs:
-        buf[r.byte_idx] = r.bits
+    for r in words:
+        # Spark longs are signed: bit 63 set => negative; mask to the
+        # unsigned 64-bit pattern before the little-endian byte split.
+        buf[r.word_idx * 8 : r.word_idx * 8 + 8] = (
+            r.bits & 0xFFFFFFFFFFFFFFFF
+        ).to_bytes(8, "little")
     return bytes(buf)
 
 

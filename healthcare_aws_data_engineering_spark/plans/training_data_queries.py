@@ -1815,11 +1815,15 @@ WITH p AS (
                c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))) / n) AS H
   FROM hist GROUP BY doc_id, container, n, ns
 ), zc AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(range(CAST(ns - 1 AS BIGINT)),
+  -- COALESCE: at ns == 1 the range is EMPTY and list_sum yields NULL,
+  -- but zero crossings of a 1-sample signal are definitionally 0
+  -- (Spark emits 0); unreachable with the current generator (ns >= 50)
+  -- but pinned so a fixture change cannot silently split the engines
+  SELECT doc_id, ns,
+         CAST(COALESCE(list_sum(list_transform(range(CAST(ns - 1 AS BIGINT)),
            i -> CASE WHEN (bs[CAST(2*i+2 AS INT)] >= 128)
                        <> (bs[CAST(2*i+4 AS INT)] >= 128)
-                     THEN 1 ELSE 0 END)) AS BIGINT) AS z
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS z
   FROM bytes WHERE container = 'wav'
 )
 SELECT e.doc_id AS media_id, e.container,
@@ -1827,7 +1831,9 @@ SELECT e.doc_id AS media_id, e.container,
   e.nd AS n_distinct_bytes,
   CAST(CAST(round(e.H, 6) AS DECIMAL(18,6)) AS DOUBLE) AS byte_entropy,
   zc.z AS zero_crossings,
-  CAST(CAST(round(CAST(zc.z AS DOUBLE) / (e.ns - 1), 6) AS DECIMAL(18,6)) AS DOUBLE) AS zcr
+  CASE WHEN zc.ns > 1 THEN
+    CAST(CAST(round(CAST(zc.z AS DOUBLE) / (zc.ns - 1), 6) AS DECIMAL(18,6)) AS DOUBLE)
+  END AS zcr
 FROM ent e LEFT JOIN zc ON zc.doc_id = e.doc_id
 """
 

@@ -667,6 +667,41 @@ def test_bloom_bitset_has_no_false_negatives(spark):
     assert probed.filter(~F.col("hit")).count() == 0
 
 
+def test_bloom_bitset_word_fold_matches_per_byte_layout(spark):
+    """r10 advice: the bitset aggregation folds into 64-bit words
+    (≤ m/64 driver rows, was one Row per non-zero BYTE). The bytes must
+    be IDENTICAL to the documented per-byte layout (bit p in byte
+    p DIV 8 at weight 1 << (p % 8)) — rebuilt here independently in
+    Python from the raw positions, covering the signed-long bit-63 edge
+    the little-endian word split has to mask."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        _bloom_geometry,
+        _bloom_positions,
+        bloom_bitset_bytes,
+    )
+
+    members = spark.range(300).select(
+        F.concat(F.lit("w "), F.col("id")).alias("shingle")
+    )
+    m, k = _bloom_geometry(300, 0.01)
+    bs = bloom_bitset_bytes(members, m, k)
+    pos = {
+        r.pos
+        for r in members.select(
+            F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")
+        ).collect()
+    }
+    ref = bytearray(m // 8)
+    for p in pos:
+        ref[p // 8] |= 1 << (p % 8)
+    assert bs == bytes(ref)
+    # the corpus must exercise a top bit of some word, else the signed
+    # masking path went untested
+    assert any(p % 64 == 63 for p in pos)
+
+
 def test_bloom_bitset_false_positive_rate_near_target(spark):
     """Non-members must probe true at ~fpp, not wholesale — otherwise the
     'pruned candidate fraction' claim is empty."""

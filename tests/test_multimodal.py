@@ -348,6 +348,37 @@ def test_media_entropy_analytic_edges(spark):
     assert out[3].n_distinct_bytes == 256
 
 
+def test_media_entropy_single_sample_wav_matches_oracle(spark):
+    """ns == 1 knife-edge (r10 advice): a 1-sample WAV has an EMPTY
+    zero-crossing range — Spark emits 0, and the oracle's list_sum over
+    an empty range yields NULL unless COALESCEd. Unreachable with the
+    testdata generator (ns >= 50), so pin both engines on a hand-built
+    fixture: Spark on the real container, DuckDB on the oracle's exact
+    zc/zcr expressions at ns = 1."""
+    import duckdb
+
+    row = spark.createDataFrame(
+        [Row(media_id=1, content=C.encode_wav(8000, struct.pack("<1h", 7)))]
+    )
+    got = M.media_entropy(row).collect()[0]
+    assert got.zero_crossings == 0 and got.zcr is None
+
+    dz, dzcr = duckdb.sql(
+        """
+        WITH bytes AS (SELECT 1 AS ns, [CAST(0 AS INT), 7] AS bs)
+        SELECT
+          CAST(COALESCE(list_sum(list_transform(range(CAST(ns - 1 AS BIGINT)),
+            i -> CASE WHEN (bs[CAST(2*i+2 AS INT)] >= 128)
+                        <> (bs[CAST(2*i+4 AS INT)] >= 128)
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS z,
+          CASE WHEN ns > 1 THEN 0.0 END AS zcr
+        FROM bytes
+        """
+    ).fetchone()
+    assert dz == got.zero_crossings == 0
+    assert dzcr is None and got.zcr is None
+
+
 def test_dhash_pure_python_properties():
     """Deterministic dHash facts on crafted gradients: a left-to-right
     ramp sets NO bits (gray increases, never >), a right-to-left ramp
