@@ -1867,11 +1867,42 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.dhash_near_dup_pairs(M.media_dhash(both), max_hamming=3)
 
 
-def _dhash_oracle_sql(near_dup: bool) -> str:
-    """Shared dHash CTE chain for the two perceptual queries: rebuild
+def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dup CLUSTERS (r11) — the image modality's end-to-end
+    dedup deliverable, completing the text-family arc (pairs →
+    `dup_clusters`): the exact-recall banded pairs from
+    :func:`q_media_near_dup` feed the same distributed min-label
+    connected components (``operators/graph.py``), yielding one
+    canonical keeper per perceptual cluster. The oracle replays the
+    closure as a recursive CTE over the brute-force O(n²) pair join —
+    both the LSH recall proof AND the fixpoint proof in one gate row.
+    Scale shape: pair-bounded input, one shuffle join per CC round,
+    lineage truncation — identical to the text path."""
+    docs = _docs(spark, sf_dir)
+    orig = M.encoded_media_from_documents(docs)
+    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
+    )
+    both = orig.unionByName(pert).filter(F.col("kind") == "image")
+    pairs = M.dhash_near_dup_pairs(
+        M.media_dhash(both), max_hamming=3
+    ).select("media_a", "media_b")
+    return G.dup_clusters(pairs, "media_a", "media_b").select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_keeper",
+    )
+
+
+def _dhash_oracle_sql(near_dup: bool, clusters: bool = False) -> str:
+    """Shared dHash CTE chain for the three perceptual queries: rebuild
     the payload from the md5 chain, (optionally) add the one-byte
     perturbed variant, NN-sample the 9x8 grid with exact-integer luma,
-    fold gradient bits into row bytes, hex-agg the 64-bit hash."""
+    fold gradient bits into row bytes, hex-agg the 64-bit hash.
+    ``clusters=True`` extends the near-dup pair join with the recursive
+    transitive closure (same min-reachable-label CTE as
+    ``_DUP_CC_CTES`` — the text family's clustering oracle)."""
     gidx = "3*(((r.r*h)//8)*w + ((c.c*w)//9))"
     variants = (
         """
@@ -1887,7 +1918,7 @@ variants AS (
 ),"""
     )
     head = f"""
-WITH p0 AS (
+WITH {"RECURSIVE " if clusters else ""}p0 AS (
   SELECT doc_id,
     CASE doc_id % 3 WHEN 0 THEN 'ppm' ELSE 'bmp' END AS container,
     CAST(doc_id % 13 + 4 AS INT) AS w,
@@ -1934,7 +1965,7 @@ bytes AS (
         return head + """
 SELECT media_id, container, w AS width, h AS height, dhash FROM hashes
 """
-    return head + """
+    pairs = """
 SELECT media_a, media_b, hamming FROM (
   SELECT a.media_id AS media_a, b.media_id AS media_b,
     CAST(bit_count(xor(CAST(('0x' || substr(a.dhash, 1, 8)) AS BIGINT),
@@ -1945,10 +1976,32 @@ SELECT media_a, media_b, hamming FROM (
   FROM hashes a JOIN hashes b ON a.media_id < b.media_id
 ) WHERE hamming <= 3
 """
+    if not clusters:
+        return head + pairs
+    return (
+        head
+        + f""", pairs AS ({pairs}),
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM pairs
+  UNION ALL SELECT media_b, media_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS media_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node = cluster_id AS is_keeper
+FROM cc
+"""
+    )
 
 
 _MEDIA_DHASH_SQL = _dhash_oracle_sql(near_dup=False)
 _MEDIA_NEAR_DUP_SQL = _dhash_oracle_sql(near_dup=True)
+_MEDIA_DUP_CLUSTERS_SQL = _dhash_oracle_sql(near_dup=True, clusters=True)
 
 
 _PQ_BOOKS: dict[str, list] = {}
@@ -2044,6 +2097,7 @@ TRAINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_entropy": q_media_entropy,
     "media_dhash": q_media_dhash,
     "media_near_dup": q_media_near_dup,
+    "media_dup_clusters": q_media_dup_clusters,
 }
 
 TRAINING_ORACLE: dict[str, str] = {
@@ -2079,4 +2133,5 @@ TRAINING_ORACLE: dict[str, str] = {
     "media_entropy": _MEDIA_ENTROPY_SQL,
     "media_dhash": _MEDIA_DHASH_SQL,
     "media_near_dup": _MEDIA_NEAR_DUP_SQL,
+    "media_dup_clusters": _MEDIA_DUP_CLUSTERS_SQL,
 }

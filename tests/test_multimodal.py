@@ -516,6 +516,33 @@ def test_dhash_near_dup_bucket_cap(spark):
     assert capped == {(100, 101)}
 
 
+def test_media_dup_clusters_invariants(spark):
+    """Cluster-table invariants of the image-dedup deliverable: each
+    clustered media id appears once; cluster_id is the component's min
+    id (the deterministic keeper, exactly one per cluster); sizes match
+    the actual member counts (>= 2 — singletons absent by contract);
+    and every constructed (orig, perturbed) pair is co-clustered."""
+    import healthcare_aws_data_engineering_spark.plans.training_data_queries as tq
+
+    rows = tq.q_media_dup_clusters(spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict[int, list] = {}
+    ids = [r.media_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        assert cid == min(m.media_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+        assert len(members) >= 2
+        assert sum(m.is_keeper for m in members) == 1
+        assert next(m for m in members if m.is_keeper).media_id == cid
+    cluster_of = {r.media_id: r.cluster_id for r in rows}
+    for i in list(cluster_of):
+        if i < 1_000_000_000 and i + 1_000_000_000 in cluster_of:
+            assert cluster_of[i] == cluster_of[i + 1_000_000_000], i
+
+
 def test_dhash_zero_exchange_plan(spark):
     from conftest import n_exchanges as _n_exchanges, plan_string as _plan
     import healthcare_aws_data_engineering_spark.plans.training_data_queries as tq
