@@ -839,6 +839,103 @@ def _profile_sql() -> str:
     return legs
 
 
+# ----------------------------------------------------------- late_suppliers --
+# TPC-H Q21 shape (the hardest classic plan: multi-join + EXISTS +
+# NOT EXISTS self-joins on lineitem): suppliers who were the SOLE late
+# shipper on a finished multi-supplier order. "Late" follows the Q4
+# adaptation (ship > orderdate + LATE_DAYS; the testdata has no
+# commit/receipt dates); numwait counts distinct waiting ORDERS per
+# supplier (the one documented delta from Q21's per-lineitem count).
+#
+# Spark-first rewrite of the two correlated subqueries: after the one
+# lineitem⨝orders(F) shuffle, BOTH the "exists another supplier" and
+# the "no other late supplier" tests are per-order set aggregates —
+# collect_set windows over the SAME l_orderkey partitioning, so the
+# whole EXISTS/NOT EXISTS pair rides the join's exchange and lineitem
+# is shuffled exactly ONCE (the textbook form shuffles it three times:
+# l1, the semi join, the anti join — tests pin the single exchange).
+# Per-order sets are bounded by lines-per-order (~7 in TPC-H), so the
+# collect_set state is O(1) per order at any corpus size.
+LS_LATE_DAYS = 60
+LS_TOP_K = 100
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    from pyspark.sql import Window as W
+
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LS_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    w = W.partitionBy("l_orderkey")
+    stats = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        stats.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    per_supp = waiting.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(LS_TOP_K)
+    )
+
+
+_LATE_SUPPLIERS_SQL = f"""
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {LS_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL {LS_LATE_DAYS} DAY
+  )
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT {LS_TOP_K}
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -855,6 +952,7 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_pairs": q_basket_pairs,
     "attribution": q_attribution,
     "profile_columns": q_profile_columns,
+    "late_suppliers": q_late_suppliers,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -873,4 +971,5 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "basket_pairs": _BASKET_PAIRS_SQL,
     "attribution": _ATTRIBUTION_SQL,
     "profile_columns": _profile_sql(),
+    "late_suppliers": _LATE_SUPPLIERS_SQL,
 }

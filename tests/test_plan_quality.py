@@ -304,3 +304,19 @@ def test_dedup_weighted_unpinned_cluster_join(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
         logical
     )
+
+
+def test_late_suppliers_single_lineitem_exchange(spark):
+    """Q21 shape: the EXISTS + NOT EXISTS self-joins are rewritten as
+    per-order collect_set windows riding the lineitem<-orders join's
+    exchange — lineitem must be scanned ONCE and shuffled ONCE on
+    l_orderkey (the textbook form shuffles it three times), both set
+    aggregates must share ONE Window node, and the status filter must
+    reach the orders scan."""
+    plan = _plan(spark, "late_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) == 1, plan
+    # exactly 2 shuffles total: orderkey (windows) + suppkey (final agg)
+    assert _n_exchanges(plan) == 2, plan
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 1, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
