@@ -181,12 +181,77 @@ MIXTURE_DRAW_EPOCH_DOCS = 2_000
 _HASH48 = float(2**48)
 
 
+def mixture_factors(
+    docs: DataFrame, epoch_docs: int, n_tokens_col: str | None = None
+) -> DataFrame:
+    """The bounded per-source factor table (source, __n, __full, __thr,
+    __r) behind :func:`mixture_draw`: sqrt-temperature weights →
+    integer-grid shares → per-source full-epoch count, partial-epoch
+    hash threshold, and exact-mode remainder. Lazy plan — callers
+    materialize it via :func:`materialize_factors` (once per corpus
+    snapshot, however many draws consume it)."""
+    tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(F.col("text")).cast("long")
+    )
+    per_source = (
+        docs.select("source", tok.alias("__t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tok"))
+        .withColumn(
+            "__w",
+            F.round(F.sqrt(F.col("__tok").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    total = per_source.agg(F.sum("__w").alias("__total"))
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__share",
+            F.round(
+                F.lit(1e6) * (F.col("__w").cast("double") / F.col("__total").cast("double"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "__target",
+            F.expr(f"CAST(({epoch_docs} * __share) DIV 1000000 AS BIGINT)"),
+        )
+        .withColumn("__full", F.expr("__target DIV __n"))
+        .withColumn(
+            "__thr",
+            F.floor(
+                (F.col("__target") % F.col("__n")).cast("double")
+                / F.col("__n").cast("double")
+                * F.lit(_HASH48)
+            ).cast("long"),
+        )
+        .withColumn("__r", F.expr("__target % __n"))
+        .select("source", "__n", "__full", "__thr", "__r")
+    )
+
+
+def materialize_factors(docs: DataFrame, factors: DataFrame) -> DataFrame:
+    """Materialize the bounded per-source factor table on the driver
+    (the bloom/ML-params house pattern): the doc side references it
+    from TWO subtrees (three for exact=True — full leg, partial leg,
+    bucket marks), and Spark re-executes lineage per subtree, so a
+    lazy factor plan re-scans the TEXT column (the dominant cost at
+    100 TB) once per leg. Collected, the token-counting scan runs
+    exactly once and each leg broadcasts a local relation. Rows are
+    bounded by |sources| — categorical, never corpus-scale."""
+    return docs.sparkSession.createDataFrame(
+        factors.collect(), factors.schema
+    )
+
+
 def mixture_draw(
     docs: DataFrame,
     epoch_docs: int,
     n_tokens_col: str | None = None,
     exact: bool = False,
     n_key_buckets: int = 4096,
+    factors: DataFrame | None = None,
 ) -> DataFrame:
     """Library form (used by examples/curation_pipeline.py): draw an
     epoch of ``epoch_docs`` documents from any frame with (doc_id,
@@ -216,59 +281,18 @@ def mixture_draw(
     on one task.
 
     Both modes materialize the bounded per-source factor table on the
-    driver (see in-body comment): the token-counting TEXT scan runs
-    exactly once regardless of how many legs reference the factors —
-    calling this function triggers that one aggregation job eagerly."""
-    tok = (
-        F.col(n_tokens_col).cast("long")
-        if n_tokens_col
-        else token_count(F.col("text")).cast("long")
-    )
-    per_source = (
-        docs.select("source", tok.alias("__t"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tok"))
-        .withColumn(
-            "__w",
-            F.round(F.sqrt(F.col("__tok").cast("double")) * 1e6).cast("long"),
+    driver (see :func:`mixture_factors`): the token-counting TEXT scan
+    runs exactly once regardless of how many legs reference the
+    factors — calling this function triggers that one aggregation job
+    eagerly, UNLESS a pre-materialized ``factors`` frame is supplied
+    (the r10 advice: consumers drawing several epochs/variants over the
+    same corpus snapshot should build the factor table once — see
+    ``_mixture_factors_cached`` — instead of paying the text scan per
+    call)."""
+    if factors is None:
+        factors = materialize_factors(
+            docs, mixture_factors(docs, epoch_docs, n_tokens_col)
         )
-    )
-    total = per_source.agg(F.sum("__w").alias("__total"))
-    factors = (
-        per_source.crossJoin(F.broadcast(total))
-        .withColumn(
-            "__share",
-            F.round(
-                F.lit(1e6) * (F.col("__w").cast("double") / F.col("__total").cast("double"))
-            ).cast("long"),
-        )
-        .withColumn(
-            "__target",
-            F.expr(f"CAST(({epoch_docs} * __share) DIV 1000000 AS BIGINT)"),
-        )
-        .withColumn("__full", F.expr("__target DIV __n"))
-        .withColumn(
-            "__thr",
-            F.floor(
-                (F.col("__target") % F.col("__n")).cast("double")
-                / F.col("__n").cast("double")
-                * F.lit(_HASH48)
-            ).cast("long"),
-        )
-        .withColumn("__r", F.expr("__target % __n"))
-        .select("source", "__n", "__full", "__thr", "__r")
-    )
-    # Materialize the bounded per-source factor table on the driver
-    # (the bloom/ML-params house pattern): the doc side references it
-    # from TWO subtrees (three for exact=True — full leg, partial leg,
-    # bucket marks), and Spark re-executes lineage per subtree, so a
-    # lazy factor plan re-scans the TEXT column (the dominant cost at
-    # 100 TB) once per leg. Collected, the token-counting scan runs
-    # exactly once and each leg broadcasts a local relation. Rows are
-    # bounded by |sources| — categorical, never corpus-scale.
-    factors = docs.sparkSession.createDataFrame(
-        factors.collect(), factors.schema
-    )
     key = F.conv(
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ep:"), F.col("epoch").cast("string"))),
@@ -387,9 +411,29 @@ def _mixture_draw_exact(
     return full_rows.unionByName(kept_partial)
 
 
+# Per-session factor-table cache keyed by the corpus snapshot (sf_dir;
+# the _PQ_BOOKS house pattern): the factors do not depend on the draw
+# mode, so approx + exact draws over the same snapshot share ONE
+# token-counting text scan — the r10 advice's standalone +0.2 s. Cached
+# as plain (rows, schema), rebuilt into a local relation per session.
+_MIX_FACTORS: dict[str, tuple] = {}
+
+
+def _mixture_factors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _MIX_FACTORS:
+        f = mixture_factors(
+            load_table(spark, sf_dir, "documents"), MIXTURE_DRAW_EPOCH_DOCS
+        )
+        _MIX_FACTORS[sf_dir] = (f.collect(), f.schema)
+    rows, schema = _MIX_FACTORS[sf_dir]
+    return spark.createDataFrame(rows, schema)
+
+
 def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_draw(
-        load_table(spark, sf_dir, "documents"), MIXTURE_DRAW_EPOCH_DOCS
+        load_table(spark, sf_dir, "documents"),
+        MIXTURE_DRAW_EPOCH_DOCS,
+        factors=_mixture_factors_cached(spark, sf_dir),
     )
 
 
@@ -398,6 +442,7 @@ def q_mixture_draw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         MIXTURE_DRAW_EPOCH_DOCS,
         exact=True,
+        factors=_mixture_factors_cached(spark, sf_dir),
     )
 
 

@@ -1025,53 +1025,27 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r9 rotation (r8 verdict ask #1): after r8
-# the freshness map is r8x50 / r7x49 / r6x33 — the checked prefix is
-#   1. all 33 queries whose latest driver verdict is r6 (3 rounds stale
-#      after r9 otherwise — exactly r8's _CHECK_NEXT, staged for this);
-#   2. queries NEW or changed in r9: mixture_draw (exact=True plumbing
-#      touches its factor table) + the new mixture_draw_exact;
-#      media_decode / media_channel_stats / media_features /
-#      frame_sample (the codec degenerate-payload guards — r8 advice —
-#      sit under all four decode legs) + the new media_entropy;
-#   3. the remaining 10 slots fill with r7-green rows, oldest-heaviest
-#      first (media_stats rides with its family; bloom_decontam +
-#      decontaminate bracket the r9 crossover probe; the dedup/spans
-#      heavies complete the set) so the r10 prefix burden stays at 39.
-# _CHECK_NEXT holds the rest of the r7-green set (42 rows) — due in the
-# r10 prefix, so no entry's verdict goes 3 rounds stale. (Row counts
-# are asserted by
+# most need a fresh verdict. r11 rotation (r9/r10 verdict ask #1 — the
+# rotation that slipped in r10): after r10 the freshness map is
+# r10x50 / r8x45 / r7x42 — the checked prefix is
+#   1. all 42 queries whose latest driver verdict is r7 (three rounds
+#      stale — exactly r10's staged _CHECK_NEXT) — positions 1-42;
+#   2. queries NEW or changed in r11 — positions 43-49: the two new
+#      queries (media_dup_clusters: dHash pairs → connected components;
+#      late_suppliers: the Q21 shape) plus the five whose code or
+#      oracle moved (media_near_dup: derived-bands recall contract +
+#      bucket cap; media_entropy: ns==1 oracle COALESCE; mixture_draw /
+#      mixture_draw_exact: shared per-snapshot factor cache;
+#      bloom_decontam: word-folded bitset collect);
+#   3. position 50: dup_clusters (r8) — the text-family CC gate rides
+#      with the new image-family CC query sharing its machinery.
+# _CHECK_NEXT stages the r12 prefix: the other 44 r8-latest rows (three
+# rounds stale after r11), leaving 6 free r12 slots for new/changed
+# queries. (Row counts are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # (1) latest verdict r6 — positions 1-33
-    "wellness_monthly", "etl_conditions",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "bracket_revenue",
-    "dedup_minhash_lsh", "dist_summary", "doc_attributes", "doc_chunks",
-    "dormant_customers", "embedding_near_dup", "graph_pagerank",
-    "importance_sample", "json_props", "knn_graph", "large_orders",
-    "ml_features", "ml_preprocess", "ml_risk_scores", "nation_trade",
-    "order_priority",
-    "pii_redact", "promo_revenue", "report_cvd", "report_prediabetes",
-    "returned_items", "revenue_share", "salted_agg", "shipping_priority",
-    "skew_audit", "training_order", "zscore_outliers",
-    # (2) NEW or changed in r9 — positions 34-47: the media codec-guard
-    # legs + entropy, both mixture draws (exact mode + driver-
-    # materialized factors), the salted cap, the binary-literal bloom
-    # carrier, and the four scan-count plan rewrites (windowed totals:
-    # mix_weights, source_terms, lm_score, bm25_search + its rrf
-    # composite)
-    "mixture_draw", "mixture_draw_exact", "media_decode",
-    "media_channel_stats", "media_features", "frame_sample",
-    "media_entropy", "media_dhash", "media_near_dup",
-    "domain_cap_salted", "bloom_decontam",
-    "mix_weights", "source_terms", "lm_score", "bm25_search",
-    "rrf_fusion",
-    # (3) r7-green fill — position 50
-    "decontaminate",
-]
-# the r7-green queries not in the prefix: the whole r10 prefix head.
-_CHECK_NEXT = [
+    # (1) latest verdict r7 — positions 1-42
     "forecast", "media_stats", "dedup_simhash", "ngram_jaccard",
     "ppjoin_pairs", "repeated_spans", "pack_sequences",
     "disease_confidence",
@@ -1086,6 +1060,28 @@ _CHECK_NEXT = [
     "source_overlap", "split_assign",
     "stratified_sample", "time_rollup", "token_budget_fill",
     "unpivot_wide", "vocab_topk", "word_bigrams",
+    # (2) NEW or changed in r11 — positions 43-49
+    "media_dup_clusters", "late_suppliers",
+    "media_near_dup", "media_entropy",
+    "mixture_draw", "mixture_draw_exact", "bloom_decontam",
+    # (3) r8 companion of the new CC query — position 50
+    "dup_clusters",
+]
+# Staged r12 prefix: every remaining r8-latest row (44 — they go three
+# rounds stale after r11), then 6 slots free for r12's new/changed.
+_CHECK_NEXT = [
+    "ann_pq_topk", "attribution", "between_filter", "cluster_split",
+    "cohort_retention", "corpus_curation", "cube_summary",
+    "curriculum_stages", "daily_latest", "debounce_events",
+    "dedup_exact", "dedup_weighted", "doc_fingerprint", "domain_cap",
+    "drift_monitor", "dsir_select", "etl_encounters", "etl_obs_choice",
+    "etl_observations", "etl_patients", "eval_draw", "event_paths",
+    "filtered_count", "first_last_delta", "frequency_count",
+    "fuzzy_match", "int8_quantize", "isin_filter", "k_anonymity",
+    "keyed_dedup", "latest_per_key", "linear_trend", "pricing_summary",
+    "quality_calibrated", "rank_windows", "revenue_by_nation",
+    "rfm_segments", "scd2_history", "semantic_dedup", "span_dedup",
+    "span_scrub", "text_stats", "top3_per_group", "zipf_slope",
 ]
 _CHECK_LAST: list[str] = []
 

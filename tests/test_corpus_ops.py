@@ -607,9 +607,14 @@ def test_mixture_draw_target_zero_source_emits_nothing(spark):
     orig = m.load_table
     try:
         m.load_table = lambda _s, _d, _n: docs
+        # the factor cache is keyed by sf_dir — clear it so the
+        # monkeypatched corpus actually drives the factors, and again
+        # after so the custom factors can't poison later tests
+        m._MIX_FACTORS.clear()
         out = m.q_mixture_draw(spark, SF).collect()
     finally:
         m.load_table = orig
+        m._MIX_FACTORS.clear()
     tiny_rows = [r for r in out if r.source == "tiny"]
     assert not tiny_rows, f"target-0 source leaked {len(tiny_rows)} rows"
     assert out, "heavy sources must draw"
