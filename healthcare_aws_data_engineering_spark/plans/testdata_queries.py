@@ -1030,18 +1030,20 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # r10x50 / r8x45 / r7x42 — the checked prefix is
 #   1. all 42 queries whose latest driver verdict is r7 (three rounds
 #      stale — exactly r10's staged _CHECK_NEXT) — positions 1-42;
-#   2. queries NEW or changed in r11 — positions 43-49: the two new
+#   2. queries NEW or changed in r11 — positions 43-50: the four new
 #      queries (media_dup_clusters: dHash pairs → connected components;
-#      late_suppliers: the Q21 shape) plus the five whose code or
-#      oracle moved (media_near_dup: derived-bands recall contract +
-#      bucket cap; media_entropy: ns==1 oracle COALESCE; mixture_draw /
-#      mixture_draw_exact: shared per-snapshot factor cache;
-#      bloom_decontam: word-folded bitset collect);
-#   3. position 50: dup_clusters (r8) — the text-family CC gate rides
-#      with the new image-family CC query sharing its machinery.
+#      late_suppliers / small_qty_revenue / top_supplier: the Q21 / Q17
+#      / Q15 plan shapes) plus four whose code or oracle moved
+#      (media_near_dup: derived-bands recall contract + bucket cap;
+#      media_entropy: ns==1 oracle COALESCE; mixture_draw_exact: the
+#      shared per-snapshot factor cache, exercising its plain-draw twin
+#      too — plain mixture_draw is r10-fresh and value-identical, so it
+#      rotates to _CHECK_NEXT; bloom_decontam: word-folded bitset
+#      collect).
 # _CHECK_NEXT stages the r12 prefix: the other 44 r8-latest rows (three
-# rounds stale after r11), leaving 6 free r12 slots for new/changed
-# queries. (Row counts are asserted by
+# rounds stale after r11) plus the displaced mixture_draw and
+# dup_clusters, leaving 4 free r12 slots for new/changed queries.
+# (Row counts are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
@@ -1060,16 +1062,16 @@ _CHECK_FIRST = [
     "source_overlap", "split_assign",
     "stratified_sample", "time_rollup", "token_budget_fill",
     "unpivot_wide", "vocab_topk", "word_bigrams",
-    # (2) NEW or changed in r11 — positions 43-49
+    # (2) NEW or changed in r11 — positions 43-50
     "media_dup_clusters", "late_suppliers",
+    "small_qty_revenue", "top_supplier",
     "media_near_dup", "media_entropy",
-    "mixture_draw", "mixture_draw_exact", "bloom_decontam",
-    # (3) r8 companion of the new CC query — position 50
-    "dup_clusters",
+    "mixture_draw_exact", "bloom_decontam",
 ]
 # Staged r12 prefix: every remaining r8-latest row (44 — they go three
-# rounds stale after r11), then 6 slots free for r12's new/changed.
+# rounds stale after r11) + the two displaced rows, then 4 free slots.
 _CHECK_NEXT = [
+    "mixture_draw", "dup_clusters",
     "ann_pq_topk", "attribution", "between_filter", "cluster_split",
     "cohort_retention", "corpus_curation", "cube_summary",
     "curriculum_stages", "daily_latest", "debounce_events",

@@ -1853,11 +1853,12 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs (r9) — dedup extended into the image
     modality: every document yields its image plus a one-byte-perturbed
     variant (corner pixel forced to 0xff, id offset 1e9), and the query
-    recovers the pairs via the banded-Hamming join. max_hamming=3 <
-    n_bands=4 keeps the pigeonhole guarantee (any pair within 3 bits
-    shares an untouched band), so the brute-force O(n^2) oracle and the
-    banded plan must agree EXACTLY — the LSH recall proof is baked into
-    the gate."""
+    recovers the pairs via the banded-Hamming join. max_hamming=3
+    derives n_bands=4 (r11: the operator now always derives enough
+    bands for the pigeonhole guarantee — any pair within 3 bits shares
+    an untouched band), so the brute-force O(n^2) oracle and the banded
+    plan must agree EXACTLY — the LSH recall proof is baked into the
+    gate."""
     docs = _docs(spark, sf_dir)
     orig = M.encoded_media_from_documents(docs)
     pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(

@@ -936,6 +936,111 @@ LIMIT {LS_TOP_K}
 """
 
 
+# --------------------------------------------------------- small_qty_revenue --
+# TPC-H Q17 shape (correlated aggregate subquery): yearly revenue from
+# "small-quantity" lineitems of one part class — lines under 20% of
+# their part's average quantity. The textbook form scans lineitem twice
+# (outer + correlated avg per part); the Spark-first rewrite joins the
+# broadcast-filtered part dim once, then the per-part average is a
+# decimal-sum window over the SAME l_partkey shuffle the filter reads —
+# one lineitem scan, one exchange. The avg uses the decimal-sum
+# pattern (DOUBLE l_quantity: order-independent exact sum, then one
+# IEEE divide both engines replay bit-for-bit).
+SQR_BRAND = "Brand#4"
+SQR_TYPE = "SMALL"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == SQR_BRAND) & (F.col("p_type") == SQR_TYPE))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = W.partitionBy("l_partkey")
+    part_avg = (
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    kept = joined.withColumn("__avg", part_avg).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg")
+    )
+    return kept.agg(
+        (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+_SMALL_QTY_REVENUE_SQL = f"""
+SELECT {_dsum("l.l_extendedprice")} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{SQR_BRAND}' AND p.p_type = '{SQR_TYPE}'
+  AND l.l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+# -------------------------------------------------------------- top_supplier --
+# TPC-H Q15 shape (scalar-max subquery over a derived revenue view):
+# the supplier(s) achieving the maximum quarterly revenue. The view
+# aggregates lineitem once per supplier (decimal sums — ties and the
+# max compare on EXACT values, so "= max" is engine-stable); the scalar
+# subquery becomes an unpartitioned max window over the BOUNDED
+# per-supplier aggregate (the lm_score/mix_weights license: applied to
+# a table already destined for one task, never to the corpus), so the
+# view is computed ONCE — the textbook form evaluates it twice.
+TS_START = "1997-01-01"
+TS_END = "1997-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TS_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TS_END).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn(
+        "__mx", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TS_START}'
+    AND l_shipdate < TIMESTAMP '{TS_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -953,6 +1058,8 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "profile_columns": q_profile_columns,
     "late_suppliers": q_late_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "top_supplier": q_top_supplier,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -972,4 +1079,6 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "attribution": _ATTRIBUTION_SQL,
     "profile_columns": _profile_sql(),
     "late_suppliers": _LATE_SUPPLIERS_SQL,
+    "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
+    "top_supplier": _TOP_SUPPLIER_SQL,
 }

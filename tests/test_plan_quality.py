@@ -320,3 +320,30 @@ def test_late_suppliers_single_lineitem_exchange(spark):
     assert _n_exchanges(plan) == 2, plan
     assert len(re.findall(r"Window \(\d+\)", plan)) == 1, plan
     assert "EqualTo(o_orderstatus,F)" in plan, plan
+
+
+def test_small_qty_revenue_single_lineitem_scan(spark):
+    """Q17 shape: the correlated per-part average is a decimal-sum
+    window riding the join's l_partkey exchange — ONE lineitem scan
+    (textbook form pays two), part filters pushed to the dim scan and
+    the dim broadcast; 2 shuffles total (partkey window + final agg)."""
+    plan = _plan(spark, "small_qty_revenue")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) == 1, plan
+    assert _n_exchanges(plan) == 2, plan
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 1, plan
+    assert "EqualTo(p_brand,Brand#4)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_supplier_revenue_view_computed_once(spark):
+    """Q15 shape: the revenue view feeds both the rows and the scalar
+    max — via an unpartitioned max window over the BOUNDED per-supplier
+    aggregate, so lineitem is scanned ONCE (the textbook form evaluates
+    the view twice) with the quarter pushed into the scan; the only
+    SinglePartition exchange carries the |suppliers|-row aggregate."""
+    plan = _plan(spark, "top_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert len(re.findall(r"hashpartitioning\(l_suppkey", plan)) == 1, plan
