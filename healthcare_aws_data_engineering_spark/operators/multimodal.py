@@ -609,24 +609,37 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def media_dhash(media: DataFrame) -> DataFrame:
+def media_dhash(
+    media: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Perceptual difference-hash over the REAL decoded pixels (r9) —
     the dedup primitive for the image modality: two images whose
     gradient structure matches collide on (or near) the same 64-bit
     hash even when raw bytes differ. Audio rows are dropped inside the
     stage (dHash is an image measure). Same zero-exchange Arrow-batched
     shape as the other decode legs; output is 5 scalar columns, the
-    binary never leaves the stage."""
+    binary never leaves the stage.
+
+    ``passthrough`` names input columns copied through the Arrow stage
+    unchanged (r11: the streaming near-dup leg needs the event-time
+    column to survive for its watermark) — appended after the hash
+    columns with their input types."""
     import pandas as pd
 
     from .media_codecs import decode_media
 
-    cols = [f.name for f in DHASH_SCHEMA.fields]
+    cols = [f.name for f in DHASH_SCHEMA.fields] + list(passthrough)
+    schema = StructType(
+        list(DHASH_SCHEMA.fields)
+        + [media.schema[c] for c in passthrough]
+    )
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            for i, (media_id, content) in enumerate(
+                zip(pdf["media_id"], pdf["content"])
+            ):
                 d = decode_media(bytes(content))
                 if d.format == "wav":
                     continue
@@ -637,11 +650,72 @@ def media_dhash(media: DataFrame) -> DataFrame:
                         d.width,
                         d.height,
                         dhash_bytes(d.payload, d.width, d.height),
+                        *(pdf[c].iloc[i] for c in passthrough),
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(do, schema=DHASH_SCHEMA)
+    return media.mapInPandas(do, schema=schema)
+
+
+def derive_dhash_bands(max_hamming: int, n_bands: int | None) -> int:
+    """Resolve/validate the band count for a banded Hamming join over
+    the 16-hex dHash: derived = smallest divisor of 16 > max_hamming
+    (pigeonhole-exact recall); pinned values must divide 16 and still
+    satisfy max_hamming < n_bands (ValueError otherwise)."""
+    if n_bands is None:
+        if not 0 <= max_hamming < 16:
+            raise ValueError(
+                f"max_hamming={max_hamming} not coverable by hex bands "
+                f"(needs 0 <= max_hamming < 16)"
+            )
+        n_bands = next(b for b in (1, 2, 4, 8, 16) if b > max_hamming)
+    if 16 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide the 16 hex chars")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded recall guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}); leave n_bands unset to "
+            f"derive it"
+        )
+    return n_bands
+
+
+def explode_dhash_bands(hashes: DataFrame, n_bands: int) -> DataFrame:
+    """One row per (row, band): adds ``band`` (index) and ``val`` (the
+    band's hex substring) to every input row — the bucket key of the
+    banded Hamming join, shared by the batch self-join and the
+    streaming stream-static probe."""
+    band_w = 16 // n_bands
+    return hashes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("dhash", i * band_w + 1, band_w).alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("*", "__b.band", "__b.val").drop("__b")
+
+
+def dhash_hamming(a, b):
+    """EXACT 64-bit Hamming distance between two 16-hex dHash columns:
+    popcount over two 32-bit halves (8-hex-digit conv, inside the fuzz
+    family's safe budget; a single 16-digit conv would cross 2^63)."""
+    half = lambda col, i: F.conv(  # noqa: E731
+        F.substring(col, i * 8 + 1, 8), 16, 10
+    ).cast("long")
+    return (
+        F.bit_count(half(a, 0).bitwiseXOR(half(b, 0)))
+        + F.bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
+    )
 
 
 def dhash_near_dup_pairs(
@@ -677,39 +751,10 @@ def dhash_near_dup_pairs(
     cost of those pairs, i.e. capping trades the 100%-recall guarantee
     for bounded skew. The SCALING.md media-near-dup probe measures both
     regimes."""
-    if n_bands is None:
-        if not 0 <= max_hamming < 16:
-            raise ValueError(
-                f"max_hamming={max_hamming} not coverable by hex bands "
-                f"(needs 0 <= max_hamming < 16)"
-            )
-        n_bands = next(b for b in (1, 2, 4, 8, 16) if b > max_hamming)
-    if 16 % n_bands != 0:
-        raise ValueError(f"n_bands={n_bands} must divide the 16 hex chars")
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"banded recall guarantee needs max_hamming < n_bands "
-            f"(got {max_hamming} >= {n_bands}); leave n_bands unset to "
-            f"derive it"
-        )
-    band_w = 16 // n_bands
-    bands = hashes.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.substring("dhash", i * band_w + 1, band_w).alias(
-                            "val"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "dhash", "b.band", "b.val")
+    n_bands = derive_dhash_bands(max_hamming, n_bands)
+    bands = explode_dhash_bands(
+        hashes.select("media_id", "dhash"), n_bands
+    )
     if max_bucket is not None:
         # Same single-subtree window-count shape as dedup._bucket_cap:
         # both self-join inputs stay the identical plan, so the banding
@@ -728,13 +773,7 @@ def dhash_near_dup_pairs(
         bands.withColumnRenamed("media_id", "media_id_b")
         .withColumnRenamed("dhash", "dhash_b")
     )
-    half = lambda col, i: F.conv(  # noqa: E731
-        F.substring(col, i * 8 + 1, 8), 16, 10
-    ).cast("long")
-    hamming = (
-        F.bit_count(half(F.col("dhash"), 0).bitwiseXOR(half(F.col("dhash_b"), 0)))
-        + F.bit_count(half(F.col("dhash"), 1).bitwiseXOR(half(F.col("dhash_b"), 1)))
-    )
+    hamming = dhash_hamming(F.col("dhash"), F.col("dhash_b"))
     return (
         left.join(right, ["band", "val"])
         .filter(F.col("media_id") < F.col("media_id_b"))

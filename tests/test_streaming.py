@@ -585,3 +585,73 @@ def test_media_entropy_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) == 45
+
+
+def test_dhash_near_dup_stream_equals_batch_and_flags_perturbed(
+    spark, tmp_path
+):
+    """Streaming image near-dup (r11): an availableNow stream of raw
+    image containers probed against a batch-built dHash index must
+    (a) equal the batch run of the same function and (b) flag every
+    one-byte-perturbed clone of an index image (the perturbation moves
+    the hash <= 2 bits, well inside max_hamming=6 — the bound pinned by
+    test_dhash_one_byte_perturbation_is_near)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators import (
+        multimodal as M,
+    )
+    from healthcare_aws_data_engineering_spark.streaming.neardup import (
+        dhash_near_dup_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(30)
+    )
+    index_media = M.encoded_media_from_documents(docs).filter(
+        F.col("kind") == "image"
+    )
+    index_hashes = M.media_dhash(index_media).select("media_id", "dhash")
+
+    ts0 = datetime.datetime(2025, 6, 1)
+    incoming = (
+        M.encoded_media_from_documents(docs, perturb=True)
+        .filter(F.col("kind") == "image")
+        .select(
+            (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id"),
+            "content",
+        )
+        .withColumn("ts", F.lit(ts0).cast("timestamp"))
+    )
+    src_dir = str(tmp_path / "incoming_media")
+    incoming.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    out = dhash_near_dup_stream(stream, index_hashes)
+    run_available_now_to_memory(
+        out, "dhash_near_dup_hits", str(tmp_path / "ckpt_dhash")
+    )
+    got = {
+        (r.media_id, r.index_id): r.hamming
+        for r in spark.sql("SELECT * FROM dhash_near_dup_hits").collect()
+    }
+
+    expected = {
+        (r.media_id, r.index_id): r.hamming
+        for r in dhash_near_dup_stream(
+            spark.read.parquet(src_dir), index_hashes
+        ).collect()
+    }
+    assert got == expected
+    assert got, "no matches flagged at all"
+    # every perturbed clone is flagged against its source image
+    for r in index_hashes.select("media_id").collect():
+        key = (r.media_id + 1_000_000_000, r.media_id)
+        assert key in got, key
+        assert got[key] <= 2, (key, got[key])
