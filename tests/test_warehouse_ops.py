@@ -456,3 +456,103 @@ def test_importance_sample_replays_md5_coin(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     kept_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert kept_mean > corpus_mean * 0.9
+
+
+def test_late_suppliers_python_twin(spark):
+    """Q21 semantics verified by a third, row-at-a-time implementation
+    (independent of both the windowed Spark plan and the correlated
+    EXISTS oracle): per finished order, collect supplier and late-
+    supplier sets in plain Python; a supplier waits on an order iff it
+    is late, another supplier exists, and no OTHER supplier is late."""
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        LS_LATE_DAYS,
+        q_late_suppliers,
+    )
+    import datetime
+
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    per_order: dict[int, dict[str, set]] = {}
+    for r in load_table(spark, SF_DIR, "lineitem").collect():
+        od = orders.get(r.l_orderkey)
+        if od is None:
+            continue
+        slot = per_order.setdefault(r.l_orderkey, {"all": set(), "late": set()})
+        slot["all"].add(r.l_suppkey)
+        if r.l_shipdate > od + datetime.timedelta(days=LS_LATE_DAYS):
+            slot["late"].add(r.l_suppkey)
+    numwait: dict[int, int] = {}
+    for slot in per_order.values():
+        if len(slot["late"]) == 1 and len(slot["all"]) >= 2:
+            (s,) = slot["late"]
+            numwait[s] = numwait.get(s, 0) + 1
+    got = {r.s_suppkey: r.numwait for r in q_late_suppliers(spark, SF_DIR).collect()}
+    assert got == numwait
+    assert got, "fixture produced no waiting suppliers"
+
+
+def test_small_qty_revenue_python_twin(spark):
+    """Q17 semantics from first principles: per part of the filtered
+    class, plain-Python mean quantity; sum prices of lines strictly
+    under 20% of it, divide by 7. Tolerance covers the engine's exact-
+    decimal summation vs Python float accumulation."""
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        SQR_BRAND,
+        SQR_TYPE,
+        q_small_qty_revenue,
+    )
+
+    keys = {
+        r.p_partkey
+        for r in load_table(spark, SF_DIR, "part")
+        .filter((F.col("p_brand") == SQR_BRAND) & (F.col("p_type") == SQR_TYPE))
+        .collect()
+    }
+    by_part: dict[int, list] = {}
+    for r in load_table(spark, SF_DIR, "lineitem").collect():
+        if r.l_partkey in keys:
+            by_part.setdefault(r.l_partkey, []).append(r)
+    total = 0.0
+    kept = 0
+    for rows in by_part.values():
+        avg = sum(x.l_quantity for x in rows) / len(rows)
+        for x in rows:
+            if x.l_quantity < 0.2 * avg:
+                total += x.l_extendedprice
+                kept += 1
+    got = q_small_qty_revenue(spark, SF_DIR).collect()[0].avg_yearly
+    if kept == 0:
+        assert got is None
+    else:
+        assert abs(got - total / 7.0) < 1e-6 * max(1.0, abs(got))
+
+
+def test_top_supplier_python_twin(spark):
+    """Q15 semantics from first principles: quarterly revenue per
+    supplier in plain Python; every supplier within float tolerance of
+    the max must be exactly the engine's result set."""
+    from healthcare_aws_data_engineering_spark.plans.warehouse_queries import (
+        TS_END,
+        TS_START,
+        q_top_supplier,
+    )
+    import datetime
+
+    t0 = datetime.datetime.fromisoformat(TS_START)
+    t1 = datetime.datetime.fromisoformat(TS_END)
+    rev: dict[int, float] = {}
+    for r in load_table(spark, SF_DIR, "lineitem").collect():
+        if t0 <= r.l_shipdate < t1:
+            rev[r.l_suppkey] = rev.get(r.l_suppkey, 0.0) + r.l_extendedprice * (
+                1 - r.l_discount
+            )
+    mx = max(rev.values())
+    want = {k for k, v in rev.items() if abs(v - mx) < 1e-6}
+    got = q_top_supplier(spark, SF_DIR).collect()
+    assert {r.s_suppkey for r in got} == want
+    for r in got:
+        assert abs(r.total_revenue - mx) < 1e-6
