@@ -744,13 +744,13 @@ def dhash_near_dup_pairs(
 
     Scale hatch: ``max_bucket`` (None = uncapped, the exact default)
     drops (band, value) buckets with more members — same window-count
-    shape as the text LSH path's ``_bucket_cap``. A cluster of k
-    byte-identical images is one bucket with O(k^2) candidate fan-out;
-    at corpus scale cap it (the dropped bucket IS an exact-dup cluster —
-    route it through the cheaper exact-dedup groupBy instead) at the
-    cost of those pairs, i.e. capping trades the 100%-recall guarantee
-    for bounded skew. The SCALING.md media-near-dup probe measures both
-    regimes."""
+    shape as the text LSH path's ``_bucket_cap``. Capping trades the
+    100%-recall guarantee for bounded skew: the SCALING.md r11 probe
+    measured the loss (0.53→0.09 recall as over-full band mass grows
+    ×1/×2/×4) and showed exact-dedup-first does NOT recover it when the
+    mass is near-identical bands rather than byte-identical hashes —
+    treat the cap as a cost governor for adversarial mega-buckets with
+    a budgeted loss, never as an approximation of the exact join."""
     n_bands = derive_dhash_bands(max_hamming, n_bands)
     bands = explode_dhash_bands(
         hashes.select("media_id", "dhash"), n_bands

@@ -907,7 +907,13 @@ def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "numwait")
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        # s_suppkey tiebreak: s_name is unique in TPC-H but the LIMIT
+        # boundary must be deterministic on ANY data
+        .orderBy(
+            F.col("numwait").desc(),
+            F.col("s_name").asc(),
+            F.col("s_suppkey").asc(),
+        )
         .limit(LS_TOP_K)
     )
 
@@ -931,7 +937,7 @@ WHERE o.o_orderstatus = 'F'
       AND l3.l_shipdate > o.o_orderdate + INTERVAL {LS_LATE_DAYS} DAY
   )
 GROUP BY s.s_suppkey, s.s_name, n.n_name
-ORDER BY numwait DESC, s.s_name ASC
+ORDER BY numwait DESC, s.s_name ASC, s.s_suppkey ASC
 LIMIT {LS_TOP_K}
 """
 

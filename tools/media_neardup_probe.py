@@ -149,6 +149,45 @@ def main() -> None:
         run("exact_h3", true_le3, max_hamming=3)
         run("default_h6", true_le6, max_hamming=6)
         run("capped_h6_b50", true_le6, max_hamming=6, max_bucket=50)
+
+        # ---- the documented 100 TB composition, measured: exact-dedup
+        # the byte-identical hash clusters FIRST (one groupBy keeps one
+        # representative per distinct dhash), run the capped banded join
+        # over representatives only. Ground truth for this regime is the
+        # pair set over DISTINCT hashes (intra-cluster pairs are exact
+        # dups owned by the exact-dedup pass, cross-cluster pairs expand
+        # by cluster-size products downstream).
+        reps_df = (
+            hashes_df.groupBy("dhash")
+            .agg(F.min("media_id").alias("media_id"))
+            .select("media_id", "dhash")
+            .persist()
+        )
+        n_reps = reps_df.count()
+        uh = np.unique(hs)
+        rep_truth = brute_pairs_count(uh, 6)
+        rep_le6 = sum(rep_truth[d] for d in range(7))
+        t0 = time.perf_counter()
+        got = M.dhash_near_dup_pairs(
+            reps_df, max_hamming=6, max_bucket=50
+        ).count()
+        sec = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "regime": "dedup_then_capped_h6_b50",
+                    "m": m,
+                    "hashes": n_reps,
+                    "sec": sec,
+                    "pairs": got,
+                    "true_pairs": rep_le6,
+                    "recall": round(got / rep_le6, 4) if rep_le6 else None,
+                    "max_bucket": None,
+                }
+            ),
+            flush=True,
+        )
+        reps_df.unpersist()
         hashes_df.unpersist()
 
 
