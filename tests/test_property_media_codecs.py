@@ -220,3 +220,31 @@ def test_dhash_shape_and_determinism(wh, data):
     assert hx == dhash_bytes(payload, w, h)
     if w == 1 and h == 1:
         assert hx == "00" * 8  # one pixel: no gradient can be strict
+
+
+@given(st.integers(min_value=-4, max_value=20))
+def test_derive_dhash_bands_contract(mh):
+    """Property pin of the r11 recall contract: for every coverable
+    max_hamming the derived band count divides 16, strictly exceeds
+    max_hamming (pigeonhole), and is MINIMAL among such divisors (more
+    bands = smaller band values = more candidate collisions for free);
+    uncoverable values raise instead of silently degrading recall."""
+    import pytest
+
+    from healthcare_aws_data_engineering_spark.operators.multimodal import (
+        derive_dhash_bands,
+    )
+
+    if 0 <= mh < 16:
+        b = derive_dhash_bands(mh, None)
+        assert 16 % b == 0 and mh < b
+        assert all(d <= mh for d in (1, 2, 4, 8, 16) if d < b)
+        # pinned values obey the same guarantee or refuse
+        assert derive_dhash_bands(mh, b) == b
+        if mh > 0:
+            smaller = max(d for d in (1, 2, 4, 8, 16) if d <= mh)
+            with pytest.raises(ValueError):
+                derive_dhash_bands(mh, smaller)
+    else:
+        with pytest.raises(ValueError):
+            derive_dhash_bands(mh, None)
