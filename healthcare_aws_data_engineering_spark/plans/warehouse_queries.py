@@ -998,18 +998,23 @@ WHERE p.p_brand = '{SQR_BRAND}' AND p.p_type = '{SQR_TYPE}'
 # TPC-H Q15 shape (scalar-max subquery over a derived revenue view):
 # the supplier(s) achieving the maximum quarterly revenue. The view
 # aggregates lineitem once per supplier (decimal sums — ties and the
-# max compare on EXACT values, so "= max" is engine-stable); the scalar
-# subquery becomes an unpartitioned max window over the BOUNDED
-# per-supplier aggregate (the lm_score/mix_weights license: applied to
-# a table already destined for one task, never to the corpus), so the
-# view is computed ONCE — the textbook form evaluates it twice.
+# max compare on EXACT values, so "= max" is engine-stable); the
+# scalar max folds the view to ONE row and broadcast-joins back — no
+# single-partition pass anywhere (a first-draft unpartitioned window
+# over the view was a funnel: |suppliers| is 10^9 at TPC-H SF100k, and
+# WindowExec buffers the whole partition on one task). The view is
+# localCheckpoint-ed (the connected_components house pattern) because
+# its two consumers' subtrees are NOT canonically identical — the row
+# side's supplier join pushes isnotnull(l_suppkey) below the exchange,
+# defeating AQE's ReusedExchange — so without the checkpoint the
+# lineitem scan (the dominant cost at 100 TB) would run twice. The
+# checkpoint materializes |suppliers| slim rows once; pinned by
+# tests/test_plan_quality.py::test_top_supplier_single_corpus_scan.
 TS_START = "1997-01-01"
 TS_END = "1997-04-01"
 
 
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(TS_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TS_END).cast("timestamp"))
@@ -1018,10 +1023,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
+    ).localCheckpoint()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx).drop(
+        "__mx"
     )
-    top = rev.withColumn(
-        "__mx", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
         top.join(supp, top.l_suppkey == supp.s_suppkey)
