@@ -752,9 +752,15 @@ def dhash_near_dup_pairs(
     treat the cap as a cost governor for adversarial mega-buckets with
     a budgeted loss, never as an approximation of the exact join."""
     n_bands = derive_dhash_bands(max_hamming, n_bands)
-    bands = explode_dhash_bands(
-        hashes.select("media_id", "dhash"), n_bands
-    )
+    # Checkpoint the slim (media_id, dhash) table before the self-join:
+    # both join sides reference it, their subtrees are NOT canonically
+    # identical (the right side's renames), and Spark re-executes
+    # lineage per subtree — measured r11: the Arrow decode+hash stage
+    # ran TWICE (MapInPandas x2 in the executed plan, no
+    # ReusedExchange). At 100 TB the decode pass is the dominant cost;
+    # the checkpoint is 2 scalar columns per image, paid once.
+    slim = hashes.select("media_id", "dhash").localCheckpoint()
+    bands = explode_dhash_bands(slim, n_bands)
     if max_bucket is not None:
         # Same single-subtree window-count shape as dedup._bucket_cap:
         # both self-join inputs stay the identical plan, so the banding
