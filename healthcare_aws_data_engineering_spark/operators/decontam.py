@@ -155,7 +155,17 @@ def bloom_bitset_bytes(shingles: DataFrame, m: int, k: int) -> bytes:
     with identical output bytes (test-pinned): bit p lives in word
     p DIV 64 at weight 1 << (p % 64); the word's little-endian byte
     split reproduces the byte layout the probe reads (bit p in byte
-    p DIV 8 at weight 1 << (p % 8))."""
+    p DIV 8 at weight 1 << (p % 8)).
+
+    ``m`` must be a multiple of 64 (``_bloom_geometry`` always rounds
+    up to whole words): the word fold writes 8-byte runs, and a
+    trailing partial word would silently GROW the bytearray past m/8
+    via slice-assign extension (r11 advice)."""
+    if m % 64 != 0:
+        raise ValueError(
+            f"bloom bitset m must be a multiple of 64 (whole words), got {m}; "
+            "use _bloom_geometry(n) which rounds up"
+        )
     words = (
         shingles.select(
             F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")

@@ -623,11 +623,27 @@ def media_dhash(
     ``passthrough`` names input columns copied through the Arrow stage
     unchanged (r11: the streaming near-dup leg needs the event-time
     column to survive for its watermark) — appended after the hash
-    columns with their input types."""
+    columns with their input types. Names that collide with the hash
+    output columns or are absent from the input raise ValueError up
+    front (r11 advice: a collision otherwise surfaces as an
+    ambiguous-column failure far downstream of the cause)."""
     import pandas as pd
 
     from .media_codecs import decode_media
 
+    reserved = {f.name for f in DHASH_SCHEMA.fields}
+    clash = sorted(reserved & set(passthrough))
+    if clash:
+        raise ValueError(
+            f"passthrough columns {clash} collide with dHash output "
+            f"columns {sorted(reserved)}"
+        )
+    missing = [c for c in passthrough if c not in media.columns]
+    if missing:
+        raise ValueError(
+            f"passthrough columns {missing} not in input schema "
+            f"{media.columns}"
+        )
     cols = [f.name for f in DHASH_SCHEMA.fields] + list(passthrough)
     schema = StructType(
         list(DHASH_SCHEMA.fields)
@@ -723,6 +739,7 @@ def dhash_near_dup_pairs(
     max_hamming: int = 6,
     n_bands: int | None = None,
     max_bucket: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Banded Hamming near-dup join over a (media_id, dhash) frame —
     the MinHash-LSH recipe applied to the perceptual hash: split the 16
@@ -750,7 +767,15 @@ def dhash_near_dup_pairs(
     ×1/×2/×4) and showed exact-dedup-first does NOT recover it when the
     mass is near-identical bands rather than byte-identical hashes —
     treat the cap as a cost governor for adversarial mega-buckets with
-    a budgeted loss, never as an approximation of the exact join."""
+    a budgeted loss, never as an approximation of the exact join.
+
+    ``checkpoint=True`` (the default) localCheckpoints the slim
+    (media_id, dhash) projection before the self-join — NOTE this makes
+    the call EAGER (it triggers a Spark job at plan-build time and
+    pins the result in executor-local storage). Pass
+    ``checkpoint=False`` when ``hashes`` is already materialized
+    (persisted/checkpointed upstream, e.g. the probe tool's cached
+    frame) to skip the redundant materialization (r11 advice)."""
     n_bands = derive_dhash_bands(max_hamming, n_bands)
     # Checkpoint the slim (media_id, dhash) table before the self-join:
     # both join sides reference it, their subtrees are NOT canonically
@@ -759,7 +784,9 @@ def dhash_near_dup_pairs(
     # ran TWICE (MapInPandas x2 in the executed plan, no
     # ReusedExchange). At 100 TB the decode pass is the dominant cost;
     # the checkpoint is 2 scalar columns per image, paid once.
-    slim = hashes.select("media_id", "dhash").localCheckpoint()
+    slim = hashes.select("media_id", "dhash")
+    if checkpoint:
+        slim = slim.localCheckpoint()
     bands = explode_dhash_bands(slim, n_bands)
     if max_bucket is not None:
         # Same single-subtree window-count shape as dedup._bucket_cap:

@@ -702,6 +702,27 @@ def test_bloom_bitset_word_fold_matches_per_byte_layout(spark):
     assert any(p % 64 == 63 for p in pos)
 
 
+def test_bloom_bitset_rejects_non_word_aligned_m(spark):
+    """r11 advice: the word-folded writer emits 8-byte runs, so an m
+    that is byte-aligned but not WORD-aligned (e.g. 520) would silently
+    grow the bytearray past m/8 via slice-assign extension. The public
+    function must reject it up front (_bloom_geometry never produces
+    one — pinned by the % 64 assertion in
+    test_bloom_geometry_textbook)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        bloom_bitset_bytes,
+    )
+
+    members = spark.range(3).select(
+        F.concat(F.lit("s "), F.col("id")).alias("shingle")
+    )
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitset_bytes(members, 520, 3)
+
+
 def test_bloom_bitset_false_positive_rate_near_target(spark):
     """Non-members must probe true at ~fpp, not wholesale — otherwise the
     'pruned candidate fraction' claim is empty."""

@@ -516,6 +516,47 @@ def test_dhash_near_dup_bucket_cap(spark):
     assert capped == {(100, 101)}
 
 
+def test_dhash_near_dup_checkpoint_false_parity(spark):
+    """r11 advice: checkpoint=False (for already-materialized inputs)
+    must return the identical pair set as the eager default — the flag
+    only skips the localCheckpoint materialization, never the banding
+    or verify logic."""
+    rows = [(100, "00" * 8), (101, "01" + "00" * 7), (200, "f0" * 8)]
+    df = spark.createDataFrame(rows, ["media_id", "dhash"]).persist()
+    df.count()
+    try:
+        eager = {
+            (r.media_a, r.media_b, r.hamming)
+            for r in M.dhash_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        lazy = {
+            (r.media_a, r.media_b, r.hamming)
+            for r in M.dhash_near_dup_pairs(
+                df, max_hamming=3, checkpoint=False
+            ).collect()
+        }
+        assert eager == lazy == {(100, 101, 1)}
+    finally:
+        df.unpersist()
+
+
+def test_media_dhash_rejects_bad_passthrough(spark):
+    """r11 advice: a passthrough name colliding with the hash output
+    columns (or absent from the input) must fail at call time, not as
+    an ambiguous-column error far downstream."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "a")], ["media_id", "content", "src"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        M.media_dhash(df, passthrough=("dhash",))
+    with pytest.raises(ValueError, match="not in input schema"):
+        M.media_dhash(df, passthrough=("nope",))
+    # a legal passthrough still builds (plan-only check, no execution)
+    assert "src" in M.media_dhash(df, passthrough=("src",)).columns
+
+
 def test_media_dup_clusters_invariants(spark):
     """Cluster-table invariants of the image-dedup deliverable: each
     clustered media id appears once; cluster_id is the component's min

@@ -128,7 +128,12 @@ def main() -> None:
 
         def run(regime: str, true_n: int, **kw) -> None:
             t0 = time.perf_counter()
-            got = M.dhash_near_dup_pairs(hashes_df, **kw).count()
+            # hashes_df is persisted above — skip the operator's
+            # internal localCheckpoint (redundant re-materialization
+            # per regime run; r11 advice).
+            got = M.dhash_near_dup_pairs(
+                hashes_df, checkpoint=False, **kw
+            ).count()
             sec = round(time.perf_counter() - t0, 2)
             print(
                 json.dumps(
@@ -169,7 +174,7 @@ def main() -> None:
         rep_le6 = sum(rep_truth[d] for d in range(7))
         t0 = time.perf_counter()
         got = M.dhash_near_dup_pairs(
-            reps_df, max_hamming=6, max_bucket=50
+            reps_df, max_hamming=6, max_bucket=50, checkpoint=False
         ).count()
         sec = round(time.perf_counter() - t0, 2)
         print(
