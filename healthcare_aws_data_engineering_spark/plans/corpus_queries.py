@@ -416,7 +416,25 @@ def _mixture_draw_exact(
 # mode, so approx + exact draws over the same snapshot share ONE
 # token-counting text scan — the r10 advice's standalone +0.2 s. Cached
 # as plain (rows, schema), rebuilt into a local relation per session.
+#
+# Staleness contract (r11 advice): the key is the PATH, so the cache
+# assumes a path names an immutable corpus snapshot for the life of the
+# session — true for the driver's read-only testdata and the normal
+# lake layout (new snapshot => new directory). A caller that rewrites a
+# corpus in place at the same path must call
+# :func:`invalidate_mixture_factors` (or restart the session) or the
+# remaining draws silently reuse the old factor table.
 _MIX_FACTORS: dict[str, tuple] = {}
+
+
+def invalidate_mixture_factors(sf_dir: str | None = None) -> None:
+    """Drop the cached mixture factor table for ``sf_dir`` (or all
+    snapshots when None) — required after rewriting a corpus in place
+    at an already-drawn path; see the cache's staleness contract."""
+    if sf_dir is None:
+        _MIX_FACTORS.clear()
+    else:
+        _MIX_FACTORS.pop(sf_dir, None)
 
 
 def _mixture_factors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

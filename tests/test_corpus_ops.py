@@ -621,6 +621,28 @@ def test_mixture_draw_target_zero_source_emits_nothing(spark):
     assert all(r.epoch >= 0 for r in out), "negative epoch leaked"
 
 
+def test_invalidate_mixture_factors_drops_stale_entries(spark):
+    """r11 advice: the factor cache is keyed by PATH under a
+    path-immutability assumption; invalidate_mixture_factors() is the
+    documented hook for in-place corpus rewrites — targeted drop leaves
+    other snapshots cached, argless drop clears everything."""
+    import healthcare_aws_data_engineering_spark.plans.corpus_queries as m
+
+    saved = dict(m._MIX_FACTORS)
+    try:
+        m._MIX_FACTORS.clear()
+        m._MIX_FACTORS["/a"] = ([], None)
+        m._MIX_FACTORS["/b"] = ([], None)
+        m.invalidate_mixture_factors("/a")
+        assert "/a" not in m._MIX_FACTORS and "/b" in m._MIX_FACTORS
+        m.invalidate_mixture_factors("/missing")  # no-op, no KeyError
+        m.invalidate_mixture_factors()
+        assert not m._MIX_FACTORS
+    finally:
+        m._MIX_FACTORS.clear()
+        m._MIX_FACTORS.update(saved)
+
+
 def test_mixture_draw_exact_hits_targets_exactly(spark):
     """exact=True per-source totals equal full·n + target%n EXACTLY (no
     binomial slack), and the kept partial set is a PREFIX of the hash
