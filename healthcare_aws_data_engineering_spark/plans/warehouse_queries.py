@@ -1053,6 +1053,296 @@ ORDER BY s.s_suppkey
 """
 
 
+# ------------------------------------------------ order_count_distribution --
+# TPC-H Q13 shape (the classic outer-join aggregate, the last of the
+# "hard plan" trio the warehouse suite was missing): distribution of
+# customers by order count INCLUDING the zero-order customers — the one
+# shape a plain inner join + groupBy cannot express. Q13 filters orders
+# inside the JOIN's ON clause (on o_comment; the testdata analog drops
+# 1-URGENT orders) so filtered-out customers still surface at count 0.
+#
+# Spark-first: pre-aggregate orders to per-customer counts FIRST (one
+# o_custkey exchange over the big table, map-side combined), then LEFT
+# join customer onto the counts — the join carries ONE row per customer
+# instead of one row per order, and the final distribution groupBy is a
+# tiny-cardinality map-side-combined agg. The textbook
+# join-then-double-groupBy plan shuffles every ORDER row through the
+# join; this one never moves an order row past its first aggregation.
+# At 1000 executors both inputs hash-partition on the same custkey and
+# the counts side is |customers-with-orders| rows, never |orders|.
+OCD_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != OCD_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORDER_COUNT_DIST_SQL = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{OCD_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------------------------ derived partsupp --
+# The driver testdata has no partsupp table, so the Q2/Q20 shapes run
+# over a DERIVED analog: one row per distinct (l_partkey, l_suppkey)
+# pair observed in lineitem, with deterministic availability and cost
+# columns computed from the keys by integer formulas both engines
+# replay exactly, plus the 1997 shipped-quantity total Q20's correlated
+# subquery needs (l_quantity is integral in the testdata — the sum
+# stays in exact BIGINT arithmetic on both sides). ONE lineitem scan,
+# ONE (partkey, suppkey) exchange feeds every derived column; unused
+# columns are pruned by Catalyst when a query selects a subset.
+PS_SHIP_START = "1997-01-01"
+PS_SHIP_END = "1998-01-01"
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_year = (
+        F.col("l_shipdate") >= F.lit(PS_SHIP_START).cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit(PS_SHIP_END).cast("timestamp"))
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(in_year, F.col("l_quantity").cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("ps_shipped_1997")
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            "ps_shipped_1997",
+            (
+                (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 101) % 1000
+                + 1
+            )
+            .cast("long")
+            .alias("ps_availqty"),
+            (
+                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 50000
+                + 1
+            )
+            .cast("long")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+_PS_CTE = f"""ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{PS_SHIP_START}'
+                        AND l_shipdate < TIMESTAMP '{PS_SHIP_END}'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS ps_shipped_1997,
+         CAST(((l_partkey * 37 + l_suppkey * 101) % 1000) + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST(((l_partkey * 31 + l_suppkey * 17) % 50000) + 1 AS BIGINT)
+           AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)"""
+
+
+# ---------------------------------------------------------- min_cost_supplier --
+# TPC-H Q2 shape (correlated MIN over a dimension chain): for each part
+# of one type, the region's cheapest supplier(s). The textbook form
+# evaluates the partsupp⨝supplier⨝nation⨝region chain TWICE (outer
+# query + correlated MIN subquery); the Spark-first rewrite builds the
+# region-eligible (part, supplier, cost) set once and turns the
+# correlated MIN into a per-part min window over it, then keeps the
+# rows equal to their part's min — one pass, exact BIGINT cost compare.
+#
+# Exchange budget at scale: the ps aggregation shuffles lineitem once
+# on the pair key; the part and supplier joins are plain equi-joins
+# (AQE broadcasts them at test SF; at SF100k they shuffle on the
+# partkey/suppkey the testdata dims are keyed by); nation⨝region is
+# genuinely tiny → explicit broadcast; the min window adds ONE
+# ps_partkey exchange whose partitions are bounded by
+# suppliers-per-part (never a funnel). LIMIT 100 with a full tiebreak
+# (acctbal DESC, n_name, s_name, p_partkey) keeps the boundary
+# deterministic on any data.
+MCS_TYPE = "STANDARD"
+MCS_REGION = "EUROPE"
+MCS_TOP_K = 100
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ps = derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == MCS_TYPE)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MCS_REGION
+    )
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    eligible = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(geo), supp.s_nationkey == F.col("n_nationkey"))
+    )
+    w = W.partitionBy("ps_partkey")
+    best = eligible.withColumn(
+        "__min", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("__min"))
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(MCS_TOP_K)
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = f"""
+WITH {_PS_CTE},
+geo AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MCS_REGION}'
+),
+eligible AS (
+  SELECT p.p_partkey, s.s_acctbal, s.s_name, g.n_name, ps.ps_supplycost
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = '{MCS_TYPE}'
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN geo g ON g.n_nationkey = s.s_nationkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM eligible e
+WHERE ps_supplycost = (
+  SELECT MIN(ps_supplycost) FROM eligible e2
+  WHERE e2.p_partkey = e.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {MCS_TOP_K}
+"""
+
+
+# ----------------------------------------------------------- excess_suppliers --
+# TPC-H Q20 shape (the nested correlated-IN chain): suppliers in one
+# region holding EXCESS availability — more than half the 1997 shipped
+# quantity — of some name-pattern part family. The textbook form nests
+# three INs (supplier IN (partsupp IN (part) AND avail > 0.5·correlated
+# SUM))); the Spark-first rewrite is a semi-join chain over the derived
+# ps table: ps LEFT SEMI part(name LIKE) on partkey, the correlated SUM
+# is already a ps column (same pair-key exchange as the availability
+# row itself — zero extra lineitem scans), the excess filter compares
+# 2·avail > shipped in exact BIGINT (no 0.5 float boundary), and the
+# distinct qualifying suppkeys semi-join supplier. Pairs with NO 1997
+# shipments are excluded (shipped > 0) — mirroring the textbook NULL
+# comparison semantics where the correlated SUM over zero rows is NULL.
+# Geography rides a broadcast nation⨝region (a region filter instead
+# of Q20's single nation: the sf0.001 smoke corpus has only 10
+# suppliers, and a one-nation filter is empty there).
+EXP_NAME_PATTERN = "small%"
+EXP_REGION = "EUROPE"
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_shipped_1997"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(EXP_NAME_PATTERN))
+        .select("p_partkey")
+    )
+    excess = (
+        ps.join(part, ps.ps_partkey == part.p_partkey, "left_semi")
+        .filter(
+            (F.col("ps_shipped_1997") > 0)
+            & (2 * F.col("ps_availqty") > F.col("ps_shipped_1997"))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == EXP_REGION
+    )
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(geo), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_EXCESS_SUPPLIERS_SQL = f"""
+WITH {_PS_CTE}
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{EXP_REGION}'
+  AND s.s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{EXP_NAME_PATTERN}'
+    )
+    AND ps_shipped_1997 > 0
+    AND 2 * ps_availqty > ps_shipped_1997
+  )
+ORDER BY s.s_suppkey
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -1072,6 +1362,9 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_suppliers": q_late_suppliers,
     "small_qty_revenue": q_small_qty_revenue,
     "top_supplier": q_top_supplier,
+    "order_count_distribution": q_order_count_distribution,
+    "min_cost_supplier": q_min_cost_supplier,
+    "excess_suppliers": q_excess_suppliers,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -1093,4 +1386,7 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "late_suppliers": _LATE_SUPPLIERS_SQL,
     "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
     "top_supplier": _TOP_SUPPLIER_SQL,
+    "order_count_distribution": _ORDER_COUNT_DIST_SQL,
+    "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+    "excess_suppliers": _EXCESS_SUPPLIERS_SQL,
 }

@@ -348,3 +348,58 @@ def test_top_supplier_single_corpus_scan(spark):
     assert "Window" not in plan, plan
     assert plan.count("lineitem.parquet") == 0, plan
     assert "ExistingRDD" in plan or "Scan rdd" in plan.lower(), plan
+
+
+def test_order_count_distribution_preaggregates_orders(spark):
+    """Q13 shape: orders are aggregated to per-customer counts BEFORE
+    the left outer join (one o_custkey exchange with a map-side
+    partial), so no order row ever crosses the join; the priority
+    predicate reaches the orders scan; 2 hash shuffles total
+    (per-customer counts + the tiny distribution agg; a third range
+    exchange is just the presentation sort over ~|distinct counts|
+    rows)."""
+    plan = _plan(spark, "order_count_distribution")
+    assert plan.count("orders.parquet") == 1, plan
+    assert len(re.findall(r"hashpartitioning\(o_custkey", plan)) == 1, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    # join type is LeftOuter onto the counts, never inner
+    assert "LeftOuter" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_min_cost_supplier_one_scan_one_window_exchange(spark):
+    """Q2 shape: the correlated MIN re-evaluates the whole dim chain in
+    the textbook form; here the region-eligible set is built once and
+    the MIN is a per-part window riding ONE ps_partkey exchange —
+    lineitem scanned once (ReadSchema pruned to the two key columns:
+    the unused shipped/avail aggregate legs must be pruned away), type
+    and region filters pushed to the dim scans, LIMIT compiled to
+    TakeOrderedAndProject (no global sort)."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert len(re.findall(r"hashpartitioning\(ps_partkey", plan)) == 1, plan
+    assert _n_exchanges(plan) == 2, plan
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 1, plan
+    assert "EqualTo(p_type,STANDARD)" in plan, plan
+    assert "EqualTo(r_name,EUROPE)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
+
+
+def test_excess_suppliers_semi_join_chain_single_scan(spark):
+    """Q20 shape: the nested correlated-IN chain compiles to LEFT SEMI
+    joins over the derived ps table — the correlated shipped-quantity
+    SUM is a column of the SAME pair-key aggregation (zero extra
+    lineitem scans), the name pattern is pushed to the part scan as a
+    StartsWith, and the excess filter stays in exact integer math."""
+    plan = _plan(spark, "excess_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("LeftSemi") == 2, plan
+    assert "StringStartsWith(p_name,small)" in plan, plan
+    assert "EqualTo(r_name,EUROPE)" in plan, plan
+    # pair-key aggregation + distinct suppkey = 2 hash exchanges (the
+    # third is the presentation sort's rangepartitioning)
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
