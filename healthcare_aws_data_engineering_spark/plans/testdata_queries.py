@@ -1025,52 +1025,27 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r11 rotation (r9/r10 verdict ask #1 — the
-# rotation that slipped in r10): after r10 the freshness map is
-# r10x50 / r8x45 / r7x42 — the checked prefix is
-#   1. all 42 queries whose latest driver verdict is r7 (three rounds
-#      stale — exactly r10's staged _CHECK_NEXT) — positions 1-42;
-#   2. queries NEW or changed in r11 — positions 43-50: the four new
-#      queries (media_dup_clusters: dHash pairs → connected components;
-#      late_suppliers / small_qty_revenue / top_supplier: the Q21 / Q17
-#      / Q15 plan shapes) plus four whose code or oracle moved
-#      (media_near_dup: derived-bands recall contract + bucket cap;
-#      media_entropy: ns==1 oracle COALESCE; mixture_draw_exact: the
-#      shared per-snapshot factor cache, exercising its plain-draw twin
-#      too — plain mixture_draw is r10-fresh and value-identical, so it
-#      rotates to _CHECK_NEXT; bloom_decontam: word-folded bitset
-#      collect).
-# _CHECK_NEXT stages the r12 prefix: the other 44 r8-latest rows (three
-# rounds stale after r11) plus the displaced mixture_draw and
-# dup_clusters, leaving 4 free r12 slots for new/changed queries.
+# most need a fresh verdict. r12 rotation (executing the prefix r11
+# staged — verdict ask #1): after r11 the freshness map is
+# r11x50 / r10x46 / r8x45 — the checked prefix is
+#   1. every row whose latest driver verdict is r8 (45, three rounds
+#      stale after r12) plus the displaced r10-latest mixture_draw —
+#      exactly r11's staged _CHECK_NEXT — positions 1-46;
+#   2. queries NEW or pulled forward in r12 — positions 47-50: the
+#      three new TPC-H shapes (order_count_distribution: Q13 outer-join
+#      count distribution; min_cost_supplier: Q2 correlated MIN;
+#      excess_suppliers: Q20 nested-IN chain) plus bm25_search (the r11
+#      verdict's drift watch item — 1.83x of its tightened baseline on
+#      a quiet re-measure with untouched code; a fresh driver verdict
+#      re-adjudicates it a round early).
+# _CHECK_NEXT stages the r13 prefix: the 44 remaining r10-latest rows
+# (three rounds stale after r13), leaving 6 free r13 slots for
+# new/changed queries.
 # (Row counts are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # (1) latest verdict r7 — positions 1-42
-    "forecast", "media_stats", "dedup_simhash", "ngram_jaccard",
-    "ppjoin_pairs", "repeated_spans", "pack_sequences",
-    "disease_confidence",
-    "ann_multiprobe_topk", "asof_join", "basket_pairs",
-    "bpe_pair_counts", "dataset_card", "distinct_sketch", "dup_ngrams",
-    "funnel", "gap_fill", "hard_negatives", "heavy_hitters",
-    "height_weight_bmi", "hist_quantiles", "incremental_dedup",
-    "length_buckets", "profile_columns",
-    "quality_classifier", "range_join", "repetition_filter",
-    "rolling_avg", "semi_anti_join", "sessionize",
-    "set_ops", "severity_topk", "shard_manifest", "shingle_novelty",
-    "source_overlap", "split_assign",
-    "stratified_sample", "time_rollup", "token_budget_fill",
-    "unpivot_wide", "vocab_topk", "word_bigrams",
-    # (2) NEW or changed in r11 — positions 43-50
-    "media_dup_clusters", "late_suppliers",
-    "small_qty_revenue", "top_supplier",
-    "media_near_dup", "media_entropy",
-    "mixture_draw_exact", "bloom_decontam",
-]
-# Staged r12 prefix: every remaining r8-latest row (44 — they go three
-# rounds stale after r11) + the two displaced rows, then 4 free slots.
-_CHECK_NEXT = [
+    # (1) latest verdict r8 (+ displaced mixture_draw) — positions 1-46
     "mixture_draw", "dup_clusters",
     "ann_pq_topk", "attribution", "between_filter", "cluster_split",
     "cohort_retention", "corpus_curation", "cube_summary",
@@ -1084,6 +1059,27 @@ _CHECK_NEXT = [
     "quality_calibrated", "rank_windows", "revenue_by_nation",
     "rfm_segments", "scd2_history", "semantic_dedup", "span_dedup",
     "span_scrub", "text_stats", "top3_per_group", "zipf_slope",
+    # (2) NEW or pulled forward in r12 — positions 47-50
+    "order_count_distribution", "min_cost_supplier",
+    "excess_suppliers", "bm25_search",
+]
+# Staged r13 prefix: every remaining r10-latest row (44 — three rounds
+# stale after r13; mixture_draw and bm25_search already rotated into
+# the r12 prefix), then 6 free slots.
+_CHECK_NEXT = [
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "bracket_revenue", "decontaminate", "dedup_minhash_lsh",
+    "dist_summary", "doc_attributes", "doc_chunks",
+    "domain_cap_salted", "dormant_customers", "embedding_near_dup",
+    "etl_conditions", "frame_sample", "graph_pagerank",
+    "importance_sample", "json_props", "knn_graph", "large_orders",
+    "lm_score", "media_channel_stats", "media_decode", "media_dhash",
+    "media_features", "mix_weights", "ml_features", "ml_preprocess",
+    "ml_risk_scores", "nation_trade", "order_priority", "pii_redact",
+    "promo_revenue", "report_cvd", "report_prediabetes",
+    "returned_items", "revenue_share", "rrf_fusion", "salted_agg",
+    "shipping_priority", "skew_audit", "source_terms",
+    "training_order", "wellness_monthly", "zscore_outliers",
 ]
 _CHECK_LAST: list[str] = []
 
