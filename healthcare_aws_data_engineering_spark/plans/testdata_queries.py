@@ -1031,16 +1031,18 @@ ORACLE.update(WAREHOUSE_ORACLE)
 #   1. every row whose latest driver verdict is r8 (45, three rounds
 #      stale after r12) plus the displaced r10-latest mixture_draw —
 #      exactly r11's staged _CHECK_NEXT — positions 1-46;
-#   2. queries NEW or pulled forward in r12 — positions 47-50: the
-#      three new TPC-H shapes (order_count_distribution: Q13 outer-join
-#      count distribution; min_cost_supplier: Q2 correlated MIN;
-#      excess_suppliers: Q20 nested-IN chain) plus bm25_search (the r11
-#      verdict's drift watch item — 1.83x of its tightened baseline on
-#      a quiet re-measure with untouched code; a fresh driver verdict
-#      re-adjudicates it a round early).
-# _CHECK_NEXT stages the r13 prefix: the 44 remaining r10-latest rows
-# (three rounds stale after r13), leaving 6 free r13 slots for
-# new/changed queries.
+#   2. queries NEW in r12 — positions 47-50: the four new TPC-H shapes
+#      (order_count_distribution: Q13 outer-join count distribution;
+#      min_cost_supplier: Q2 correlated MIN; excess_suppliers: Q20
+#      nested-IN chain; part_value_share: Q11 HAVING vs a same-view
+#      global scalar). The r11 verdict's bm25_search drift watch item
+#      was adjudicated WITHOUT a prefix slot (BASELINE.md r12 notes:
+#      0.84 s / 1.17x quiet with the r5 warm-up protocol — measurement
+#      artifact, not regression), so it leads the staged r13 prefix
+#      instead.
+# _CHECK_NEXT stages the r13 prefix: bm25_search + the 44 remaining
+# r10-latest rows (three rounds stale after r13), leaving 5 free r13
+# slots for new/changed queries.
 # (Row counts are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
@@ -1059,14 +1061,17 @@ _CHECK_FIRST = [
     "quality_calibrated", "rank_windows", "revenue_by_nation",
     "rfm_segments", "scd2_history", "semantic_dedup", "span_dedup",
     "span_scrub", "text_stats", "top3_per_group", "zipf_slope",
-    # (2) NEW or pulled forward in r12 — positions 47-50
+    # (2) NEW in r12 — positions 47-50
     "order_count_distribution", "min_cost_supplier",
-    "excess_suppliers", "bm25_search",
+    "excess_suppliers", "part_value_share",
 ]
-# Staged r13 prefix: every remaining r10-latest row (44 — three rounds
-# stale after r13; mixture_draw and bm25_search already rotated into
-# the r12 prefix), then 6 free slots.
+# Staged r13 prefix: bm25_search (r10-latest; its r11 drift flag is
+# adjudicated ambient in BASELINE.md r12 notes, so a fresh driver
+# verdict suffices next round) + every remaining r10-latest row (44 —
+# three rounds stale after r13; mixture_draw rotated into the r12
+# prefix), then 5 free slots.
 _CHECK_NEXT = [
+    "bm25_search",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "bracket_revenue", "decontaminate", "dedup_minhash_lsh",
     "dist_summary", "doc_attributes", "doc_chunks",

@@ -1343,6 +1343,85 @@ ORDER BY s.s_suppkey
 """
 
 
+# ----------------------------------------------------------- part_value_share --
+# TPC-H Q11 shape (GROUP BY + HAVING against a global scalar from the
+# SAME aggregate): parts whose region-held inventory value exceeds a
+# multiple of the region's MEAN part value — the textbook form
+# evaluates the partsupp⨝supplier⨝nation chain twice (per-part sums +
+# the scalar). Spark-first: the per-part aggregate view is built once
+# and localCheckpoint-ed (the Q15 house pattern — its two consumers'
+# subtrees are not canonically identical, so without it the lineitem
+# scan runs twice), the scalar folds the view to ONE row and
+# broadcast-nested-loop joins back as the HAVING predicate. All value
+# arithmetic stays exact-integer: the threshold compare is
+# value·2 > 5·(total DIV count) — i.e. > 2.5× the floored mean — with
+# DIV flooring identically in both engines on positive sums. (Q11's
+# literal fraction-of-total HAVING empties as |parts| grows — 0 rows
+# already at sf0.1's 20k parts — so the scale-robust mean multiple is
+# the deliberate delta; probed 8/158/619 rows at sf0.001/0.01/0.1.)
+PVS_REGION = "EUROPE"
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == PVS_REGION
+    )
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    per_part = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(geo), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("__v").alias("part_value"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("__t"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_part.join(
+            F.broadcast(total),
+            F.col("part_value") * 2 > 5 * F.expr("__t DIV __n"),
+        )
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+_PART_VALUE_SHARE_SQL = f"""
+WITH {_PS_CTE},
+eligible AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{PVS_REGION}'
+),
+per_part AS (
+  SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS part_value
+  FROM eligible GROUP BY ps_partkey
+)
+SELECT ps_partkey, part_value
+FROM per_part
+WHERE part_value * 2 > 5 * (
+  (SELECT CAST(SUM(part_value) AS BIGINT) FROM per_part)
+  // (SELECT COUNT(*) FROM per_part)
+)
+ORDER BY part_value DESC, ps_partkey ASC
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -1365,6 +1444,7 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_distribution": q_order_count_distribution,
     "min_cost_supplier": q_min_cost_supplier,
     "excess_suppliers": q_excess_suppliers,
+    "part_value_share": q_part_value_share,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -1389,4 +1469,5 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
     "excess_suppliers": _EXCESS_SUPPLIERS_SQL,
+    "part_value_share": _PART_VALUE_SHARE_SQL,
 }

@@ -403,3 +403,19 @@ def test_excess_suppliers_semi_join_chain_single_scan(spark):
     # pair-key aggregation + distinct suppkey = 2 hash exchanges (the
     # third is the presentation sort's rangepartitioning)
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+
+
+def test_part_value_share_view_computed_once(spark):
+    """Q11 shape: the per-part value view feeds both the kept rows and
+    the mean scalar with NO second corpus pass — the view is
+    checkpointed (lineitem read ZERO times in the final plan, both
+    consumers scan the materialized RDD), the scalar comes back as a
+    one-row broadcast nested-loop HAVING predicate, and there is no
+    Window anywhere (an unpartitioned alternative would funnel
+    |parts|)."""
+    df = tq.QUERIES["part_value_share"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
