@@ -1422,6 +1422,157 @@ ORDER BY part_value DESC, ps_partkey ASC
 """
 
 
+# ------------------------------------------------------ local_supplier_volume --
+# TPC-H Q5 shape (the cyclic join graph): revenue from orders where the
+# CUSTOMER and the SUPPLIER sit in the same nation of one region — the
+# classic query whose join graph has a cycle (customer→order→lineitem→
+# supplier plus the c_nationkey = s_nationkey closure), so no tree of
+# binary joins avoids a residual equality.
+#
+# Spark-first: the region constraint is pushed BELOW the big joins on
+# both cycle legs — customer AND supplier are each pre-filtered to the
+# region's nations via a broadcast of the tiny nation⨝region table —
+# so the three large exchanges (orders⨝customer on custkey,
+# lineitem⨝orders on orderkey, ⨝supplier on suppkey) each carry only
+# region-resident rows (~1/|regions| of the corpus); the nationkey
+# cycle closes as a residual equality on the last join, and the final
+# per-nation aggregate is bounded by |nations|.
+LSV_REGION = "ASIA"
+LSV_START = "1996-01-01"
+LSV_END = "1997-01-01"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == LSV_REGION
+    )
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(geo.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(geo), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(LSV_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(LSV_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name, {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{LSV_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{LSV_START}'
+  AND o.o_orderdate < TIMESTAMP '{LSV_END}'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""
+
+
+# ------------------------------------------------------ supplier_part_counts --
+# TPC-H Q16 shape (anti-join + multi-key COUNT DISTINCT): how many
+# qualified suppliers can provide each (brand, type, size) part class,
+# excluding a supplier denylist — Q16's NOT IN correlated subquery. The
+# Spark-first form is a LEFT ANTI join against the (bounded) denylist
+# — identical semantics here because s_suppkey is non-null, dodging
+# NOT IN's three-valued-logic trap — then COUNT(DISTINCT ps_suppkey)
+# per part class over the derived-partsupp pair table: Spark plans the
+# distinct-agg as the standard two-phase expand (partial distinct on
+# (class, suppkey), then count), both exchanges carrying slim rows.
+SPC_EXCL_BRAND = "Brand#1"
+SPC_EXCL_TYPE_PREFIX = "PROMO"
+SPC_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+SPC_DENY_ACCTBAL = 1000.0  # suppliers below this are "complaint" analogs
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != SPC_EXCL_BRAND)
+            & ~F.col("p_type").startswith(SPC_EXCL_TYPE_PREFIX)
+            & F.col("p_size").isin(*SPC_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    deny = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < SPC_DENY_ACCTBAL)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(deny), ps.ps_suppkey == deny.s_suppkey, "left_anti")
+        .join(part, ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_SUPPLIER_PART_COUNTS_SQL = f"""
+WITH {_PS_CTE}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> '{SPC_EXCL_BRAND}'
+  AND p.p_type NOT LIKE '{SPC_EXCL_TYPE_PREFIX}%'
+  AND p.p_size IN {SPC_SIZES}
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {SPC_DENY_ACCTBAL}
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -1445,6 +1596,8 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "excess_suppliers": q_excess_suppliers,
     "part_value_share": q_part_value_share,
+    "local_supplier_volume": q_local_supplier_volume,
+    "supplier_part_counts": q_supplier_part_counts,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -1470,4 +1623,6 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
     "excess_suppliers": _EXCESS_SUPPLIERS_SQL,
     "part_value_share": _PART_VALUE_SHARE_SQL,
+    "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
+    "supplier_part_counts": _SUPPLIER_PART_COUNTS_SQL,
 }

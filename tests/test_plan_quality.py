@@ -419,3 +419,34 @@ def test_part_value_share_view_computed_once(spark):
     assert "ExistingRDD" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_local_supplier_volume_region_pushed_below_big_joins(spark):
+    """Q5 shape: the region constraint must reach BOTH cycle legs before
+    the large joins — customer via a broadcast LeftSemi on the
+    nation⨝region keys, supplier via its geo join — and lineitem is
+    scanned exactly once; the date window reaches the orders scan."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("lineitem.parquet") == 1, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert "LeftSemi" in tree, plan  # customer pre-filter, not post-join
+    assert "EqualTo(r_name,ASIA)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    # the nationkey cycle folds into the supplier join's equi-key — no
+    # nested-loop / cartesian fallback anywhere
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_supplier_part_counts_anti_join_and_distinct(spark):
+    """Q16 shape: the denylist is a LEFT ANTI (broadcast — it is
+    bounded), the part-class filters reach the part scan, and lineitem
+    feeds ONE pair aggregation (keys-only ReadSchema — Q16 needs no
+    quantities)."""
+    plan = _plan(spark, "supplier_part_counts")
+    assert plan.count("lineitem.parquet") == 1, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert "LeftAnti" in tree, plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan, plan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
