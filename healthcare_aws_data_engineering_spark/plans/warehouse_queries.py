@@ -5,8 +5,11 @@ The reference's analytical surface is Athena SQL over curated parquet
 queries exercise the same engine machinery — star joins, semi/anti
 joins with non-equi residuals, HAVING pushups, OR-of-ANDs predicate
 pushdown, scalar-subquery broadcasts — against the driver's TPC-H-ish
-testdata, in the classic TPC-H query shapes (Q4/Q7/Q10/Q14/Q18/Q19/Q22)
-adapted to the columns the testdata actually has; plus the adjacent
+testdata, in the classic TPC-H query shapes (Q4/Q7/Q10/Q14/Q18/Q19/Q22;
+r11 added the Q21/Q17/Q15 hard trio; r12 added Q13's outer-join count
+distribution, the Q2/Q20/Q11/Q16 shapes over a DERIVED partsupp analog,
+and Q5's cyclic join graph) adapted to the columns the testdata
+actually has; plus the adjacent
 warehouse staples: EXCEPT/INTERSECT set algebra (SURVEY §2.7 closure),
 percent-of-total windows, CUBE grouping sets, the full ranking-window
 family, calendar-spine gap filling with forward fill, market-basket

@@ -42,6 +42,8 @@ QUERIES = [
     "min_cost_supplier",
     "excess_suppliers",
     "part_value_share",
+    "local_supplier_volume",
+    "supplier_part_counts",
 ]
 RUNS = 3
 
