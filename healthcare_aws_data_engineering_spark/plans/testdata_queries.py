@@ -1065,17 +1065,17 @@ _CHECK_FIRST = [
     "order_count_distribution", "min_cost_supplier",
     "excess_suppliers", "part_value_share",
 ]
-# Staged r13 prefix: the two LATE r12 additions (local_supplier_volume
-# / supplier_part_counts — the Q5 cyclic-join and Q16 anti-join+
-# COUNT DISTINCT shapes, added after the r12 prefix was frozen at 50;
-# tri-SF-verified locally, first in line for their day-one driver
-# verdict), bm25_search (r10-latest; its r11 drift flag is adjudicated
-# ambient in BASELINE.md r12 notes, so a fresh driver verdict suffices
-# next round), then every remaining r10-latest row (44 — three rounds
-# stale after r13; mixture_draw rotated into the r12 prefix), then 3
-# free slots.
+# Staged r13 prefix: the three LATE r12 additions (local_supplier_volume
+# / supplier_part_counts / market_share — the Q5 cyclic-join, Q16
+# anti-join + COUNT DISTINCT, and Q8 share-within-group shapes, added
+# after the r12 prefix was frozen at 50; tri-SF-verified locally, first
+# in line for their day-one driver verdict), bm25_search (r10-latest;
+# its r11 drift flag is adjudicated ambient in BASELINE.md r12 notes,
+# so a fresh driver verdict suffices next round), then every remaining
+# r10-latest row (44 — three rounds stale after r13), then 2 free
+# slots.
 _CHECK_NEXT = [
-    "local_supplier_volume", "supplier_part_counts",
+    "local_supplier_volume", "supplier_part_counts", "market_share",
     "bm25_search",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "bracket_revenue", "decontaminate", "dedup_minhash_lsh",

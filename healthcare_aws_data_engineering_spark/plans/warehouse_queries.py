@@ -1576,6 +1576,96 @@ ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
 """
 
 
+# ------------------------------------------------------------- market_share --
+# TPC-H Q8 shape (share-within-group): one nation's share of a region's
+# market for one part type, per order year. The classic two-sum
+# pattern: numerator (CASE-guarded revenue) and denominator (total
+# revenue) are BOTH decimal-sum aggregates of the SAME joined pass —
+# never a second scan, never a join of two aggregates — and the share
+# is one IEEE divide both engines replay bit-for-bit. Market membership
+# (customer in region) rides a broadcast semi-filter below the big
+# joins (the Q5 leg pattern); the supplier's nation name arrives via a
+# broadcast nation join and only feeds the CASE. Final group count is
+# |years| — trivially bounded.
+MS_REGION = "AMERICA"
+MS_NATION = "NATION_6"
+MS_TYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MS_REGION
+    )
+    geo = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(geo),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == MS_TYPE)
+        .select("p_partkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = dsum(F.when(F.col("supp_nation") == MS_NATION, F.col("__rev")))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (F.coalesce(num, F.lit(0.0)) / dsum(F.col("__rev"))).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       COALESCE({_dsum(f"CASE WHEN n2.n_name = '{MS_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) END")}, 0.0)
+         / {_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{MS_TYPE}'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = '{MS_REGION}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -1601,6 +1691,7 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_value_share": q_part_value_share,
     "local_supplier_volume": q_local_supplier_volume,
     "supplier_part_counts": q_supplier_part_counts,
+    "market_share": q_market_share,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -1628,4 +1719,5 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "part_value_share": _PART_VALUE_SHARE_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "supplier_part_counts": _SUPPLIER_PART_COUNTS_SQL,
+    "market_share": _MARKET_SHARE_SQL,
 }

@@ -450,3 +450,17 @@ def test_supplier_part_counts_anti_join_and_distinct(spark):
     assert "Not(EqualTo(p_brand,Brand#1))" in plan, plan
     m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
     assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
+
+
+def test_market_share_single_pass_two_sums(spark):
+    """Q8 shape: numerator (CASE-guarded) and denominator revenue sums
+    ride ONE joined pass — a single aggregate pair (partial+final), one
+    lineitem scan, the market membership as a pre-join LeftSemi, and
+    the part-type filter pushed to the part scan."""
+    plan = _plan(spark, "market_share")
+    assert plan.count("lineitem.parquet") == 1, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert "LeftSemi" in tree, plan
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    # exactly one aggregate pair: both sums in the same HashAggregate
+    assert tree.count("HashAggregate") == 2, plan

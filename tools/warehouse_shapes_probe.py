@@ -44,6 +44,7 @@ QUERIES = [
     "part_value_share",
     "local_supplier_volume",
     "supplier_part_counts",
+    "market_share",
 ]
 RUNS = 3
 
