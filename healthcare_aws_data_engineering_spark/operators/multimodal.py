@@ -638,6 +638,11 @@ def media_dhash(
             f"passthrough columns {clash} collide with dHash output "
             f"columns {sorted(reserved)}"
         )
+    if len(set(passthrough)) != len(tuple(passthrough)):
+        # r12 advice: a repeated name produces duplicate output columns
+        # — the same far-downstream ambiguity the clash guard prevents.
+        dupes = sorted({c for c in passthrough if tuple(passthrough).count(c) > 1})
+        raise ValueError(f"passthrough columns repeated: {dupes}")
     missing = [c for c in passthrough if c not in media.columns]
     if missing:
         raise ValueError(

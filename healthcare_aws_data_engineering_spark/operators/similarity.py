@@ -1161,3 +1161,110 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    centroids: str | list[list[float]] = "sample",
+    codebooks: list[list[list[int]]] | None = None,
+    target_cell: int = 200,
+) -> DataFrame:
+    """IVF-PQ top-k — the composed 100 TB serving shape (coarse IVF cells
+    prune WHICH codes are scanned, PQ-ADC prices the survivors): the
+    index row is ``(neighbor_id, cell, codes)`` — ~m bytes + a cell id
+    per vector, raw floats never retained — a query probes its
+    ``n_probe`` nearest cells and pays m table lookups + adds per
+    candidate, so cost is ``n_probe · target_cell · m`` adds instead of
+    |corpus| full-dim dot products.
+
+    This is the NO-RESIDUAL variant: codes quantize the vector itself,
+    not (vector − centroid), so the same codebooks serve every cell and
+    the whole index replays in DuckDB with exact long arithmetic (the
+    residual refinement needs per-cell codebooks — a recall upgrade, not
+    a semantics change). Candidate pruning is identical to
+    :func:`ivf_topk` (same argmin cells, same probe order) and pricing
+    is identical to :func:`pq_topk` (same ADC tables), so recall is
+    bounded above by min(both) — probed in
+    tests/test_training_data_ops.py.
+
+    Scale shape: index build is one projection over the staged
+    quantized vector (cell argmin + m code argmins share it — no
+    shuffle); the query batch (bounded: a search request) broadcasts
+    its probe rows WITH the m×codes ADC table; the probe join is an
+    equi-join on cell id; the only wide exchange is the final
+    per-query top-k window over ≈ n_probe·target_cell candidate rows.
+    """
+    corpus = _non_null(corpus, vec_col)
+    queries = _non_null(queries, vec_col)
+    if n_centroids is None:
+        n_centroids = cells_for(corpus.count(), target_cell)
+    if centroids == "sample":
+        cents = sample_centroids(corpus, n_centroids, id_col, vec_col)
+    elif centroids == "kmeans":
+        cents = kmeans_centroids(corpus, n_centroids, vec_col)
+    else:
+        cents = [[float(x) for x in c] for c in centroids]
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    staged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    code_cols = []
+    for s in range(m):
+        darr = _pq_subdists(F.col("__q"), codebooks[s], s, d)
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    index = staged.select(
+        "neighbor_id",
+        _centroid_cell(F.col("__q"), cents, exact=True).alias("cell"),
+        F.array(*code_cols).alias("codes"),
+    )
+    qstaged = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    qdists = _cell_dists(F.col("__q"), cents, exact=True)
+    indexed = F.zip_with(
+        qdists,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda dd, i: F.struct(dd.alias("d"), i.cast("int").alias("cell")),
+    )
+    ranked_cells = F.slice(
+        F.transform(F.array_sort(indexed), lambda st: st["cell"]), 1, n_probe
+    )
+    qtab = F.array(
+        *[_pq_subdists(F.col("__q"), codebooks[s], s, d) for s in range(m)]
+    )
+    q_probe = qstaged.select(
+        "query_id", ranked_cells.alias("__cells"), qtab.alias("tab")
+    ).select("query_id", F.explode("__cells").alias("cell"), "tab")
+    cands = index.join(F.broadcast(q_probe), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("tab"),
+            F.col("codes"),
+            lambda tab_s, c: F.element_at(tab_s, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select("query_id", "neighbor_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1025,56 +1025,30 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r12 rotation (executing the prefix r11
-# staged — verdict ask #1): after r11 the freshness map is
-# r11x50 / r10x46 / r8x45 — the checked prefix is
-#   1. every row whose latest driver verdict is r8 (45, three rounds
-#      stale after r12) plus the displaced r10-latest mixture_draw —
-#      exactly r11's staged _CHECK_NEXT — positions 1-46;
-#   2. queries NEW in r12 — positions 47-50: the four new TPC-H shapes
-#      (order_count_distribution: Q13 outer-join count distribution;
-#      min_cost_supplier: Q2 correlated MIN; excess_suppliers: Q20
-#      nested-IN chain; part_value_share: Q11 HAVING vs a same-view
-#      global scalar). The r11 verdict's bm25_search drift watch item
-#      was adjudicated WITHOUT a prefix slot (BASELINE.md r12 notes:
-#      0.84 s / 1.17x quiet with the r5 warm-up protocol — measurement
-#      artifact, not regression), so it leads the staged r13 prefix
-#      instead.
-# _CHECK_NEXT stages the r13 prefix: bm25_search + the 44 remaining
-# r10-latest rows (three rounds stale after r13), leaving 5 free r13
-# slots for new/changed queries.
+# most need a fresh verdict. r13 rotation (executing the prefix r12
+# staged — r12 verdict ask #1): after r12 the freshness map is
+# r12x50 / r11x50 / r10x45 / never-verified x3 — the checked prefix is
+#   1. exactly r12's staged _CHECK_NEXT — positions 1-48: the three
+#      LATE r12 additions (local_supplier_volume / supplier_part_counts
+#      / market_share — never driver-verified; day-one verdict due),
+#      bm25_search (r10-latest; its r11 drift flag adjudicated ambient
+#      in BASELINE.md r12 notes), then every remaining r10-latest row
+#      (44 — three rounds stale after r13);
+#   2. queries NEW in r13 — positions 49-50: product_profit (TPC-H Q9
+#      multi-fact profit bridge, the last missing classic) and
+#      ann_ivfpq_topk (composed IVF-cell pruning + PQ-ADC pricing —
+#      r12 verdict stretch #7).
+# _CHECK_NEXT stages the r14 prefix: the 50 r11-latest rows (three
+# rounds stale after r14) — a full prefix with no free slots, so any
+# query NEW in r14 must displace staged tail rows INTO r15's prefix
+# (never dropped silently; the staleness-audit test in
+# tests/test_registry_consistency.py recomputes the required set from
+# bench_last.json and fails if staging misses a row).
 # (Row counts are asserted by
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # (1) latest verdict r8 (+ displaced mixture_draw) — positions 1-46
-    "mixture_draw", "dup_clusters",
-    "ann_pq_topk", "attribution", "between_filter", "cluster_split",
-    "cohort_retention", "corpus_curation", "cube_summary",
-    "curriculum_stages", "daily_latest", "debounce_events",
-    "dedup_exact", "dedup_weighted", "doc_fingerprint", "domain_cap",
-    "drift_monitor", "dsir_select", "etl_encounters", "etl_obs_choice",
-    "etl_observations", "etl_patients", "eval_draw", "event_paths",
-    "filtered_count", "first_last_delta", "frequency_count",
-    "fuzzy_match", "int8_quantize", "isin_filter", "k_anonymity",
-    "keyed_dedup", "latest_per_key", "linear_trend", "pricing_summary",
-    "quality_calibrated", "rank_windows", "revenue_by_nation",
-    "rfm_segments", "scd2_history", "semantic_dedup", "span_dedup",
-    "span_scrub", "text_stats", "top3_per_group", "zipf_slope",
-    # (2) NEW in r12 — positions 47-50
-    "order_count_distribution", "min_cost_supplier",
-    "excess_suppliers", "part_value_share",
-]
-# Staged r13 prefix: the three LATE r12 additions (local_supplier_volume
-# / supplier_part_counts / market_share — the Q5 cyclic-join, Q16
-# anti-join + COUNT DISTINCT, and Q8 share-within-group shapes, added
-# after the r12 prefix was frozen at 50; tri-SF-verified locally, first
-# in line for their day-one driver verdict), bm25_search (r10-latest;
-# its r11 drift flag is adjudicated ambient in BASELINE.md r12 notes,
-# so a fresh driver verdict suffices next round), then every remaining
-# r10-latest row (44 — three rounds stale after r13), then 2 free
-# slots.
-_CHECK_NEXT = [
+    # (1) r12's staged _CHECK_NEXT, promoted verbatim — positions 1-48
     "local_supplier_volume", "supplier_part_counts", "market_share",
     "bm25_search",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
@@ -1090,6 +1064,29 @@ _CHECK_NEXT = [
     "returned_items", "revenue_share", "rrf_fusion", "salted_agg",
     "shipping_priority", "skew_audit", "source_terms",
     "training_order", "wellness_monthly", "zscore_outliers",
+    # (2) NEW in r13 — positions 49-50
+    "product_profit", "ann_ivfpq_topk",
+]
+# Staged r14 prefix: every r11-latest row (50 — three rounds stale
+# after r14). No free slots: r14 additions must displace tail rows into
+# the r15 prefix explicitly (the staleness-audit test enforces
+# coverage).
+_CHECK_NEXT = [
+    "ann_multiprobe_topk", "asof_join", "basket_pairs",
+    "bloom_decontam", "bpe_pair_counts", "dataset_card",
+    "dedup_simhash", "disease_confidence", "distinct_sketch",
+    "dup_ngrams", "forecast", "funnel", "gap_fill", "hard_negatives",
+    "heavy_hitters", "height_weight_bmi", "hist_quantiles",
+    "incremental_dedup", "late_suppliers", "length_buckets",
+    "media_dup_clusters", "media_entropy", "media_near_dup",
+    "media_stats", "mixture_draw_exact", "ngram_jaccard",
+    "pack_sequences", "ppjoin_pairs", "profile_columns",
+    "quality_classifier", "range_join", "repeated_spans",
+    "repetition_filter", "rolling_avg", "semi_anti_join", "sessionize",
+    "set_ops", "severity_topk", "shard_manifest", "shingle_novelty",
+    "small_qty_revenue", "source_overlap", "split_assign",
+    "stratified_sample", "time_rollup", "token_budget_fill",
+    "top_supplier", "unpivot_wide", "vocab_topk", "word_bigrams",
 ]
 _CHECK_LAST: list[str] = []
 

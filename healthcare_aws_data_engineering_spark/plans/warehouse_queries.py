@@ -8,8 +8,9 @@ pushdown, scalar-subquery broadcasts — against the driver's TPC-H-ish
 testdata, in the classic TPC-H query shapes (Q4/Q7/Q10/Q14/Q18/Q19/Q22;
 r11 added the Q21/Q17/Q15 hard trio; r12 added Q13's outer-join count
 distribution, the Q2/Q20/Q11/Q16 shapes over a DERIVED partsupp analog,
-and Q5's cyclic join graph) adapted to the columns the testdata
-actually has; plus the adjacent
+Q5's cyclic join graph, and Q8's share-within-group; r13 added Q9's
+multi-fact profit bridge — completing the classic set) adapted to the
+columns the testdata actually has; plus the adjacent
 warehouse staples: EXCEPT/INTERSECT set algebra (SURVEY §2.7 closure),
 percent-of-total windows, CUBE grouping sets, the full ranking-window
 family, calendar-spine gap filling with forward fill, market-basket
@@ -1123,6 +1124,18 @@ PS_SHIP_START = "1997-01-01"
 PS_SHIP_END = "1998-01-01"
 
 
+def _ps_supplycost_col(partkey: F.Column, suppkey: F.Column) -> F.Column:
+    """Deterministic per-unit supply cost of a (partkey, suppkey) pair.
+
+    Single source of truth for the formula: :func:`derived_partsupp`
+    materializes it as the ps_supplycost column, and the Q9 shape
+    (:func:`q_product_profit`) projects it directly onto lineitem rows
+    — because the cost is a pure function of the pair key, the
+    lineitem⨝partsupp join IS this projection.
+    """
+    return ((partkey * 31 + suppkey * 17) % 50000 + 1).cast("long")
+
+
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
@@ -1152,12 +1165,9 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("ps_availqty"),
-            (
-                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 50000
-                + 1
-            )
-            .cast("long")
-            .alias("ps_supplycost"),
+            _ps_supplycost_col(
+                F.col("ps_partkey"), F.col("ps_suppkey")
+            ).alias("ps_supplycost"),
         )
     )
 
@@ -1587,6 +1597,12 @@ ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
 # joins (the Q5 leg pattern); the supplier's nation name arrives via a
 # broadcast nation join and only feeds the CASE. Final group count is
 # |years| — trivially bounded.
+#
+# Deliberate delta from the literal Q8 (r12 advice): TPC-H restricts
+# o_orderdate to 1995-1996; this adaptation groups over ALL order years
+# (the testdata spans 1995-2001 — the full span gives 7 output groups
+# instead of 2, a better group-count probe) — both engines run the
+# same unwindowed form, oracle-verified.
 MS_REGION = "AMERICA"
 MS_NATION = "NATION_6"
 MS_TYPE = "ECONOMY"
@@ -1666,6 +1682,99 @@ ORDER BY o_year
 """
 
 
+# ------------------------------------------------------------ product_profit --
+# TPC-H Q9 shape (the multi-fact profit bridge): profit per (nation,
+# year) for one part-name family, where profit needs BOTH fact-side
+# revenue (l_extendedprice·(1−l_discount)) and the partsupp-side unit
+# cost (ps_supplycost·l_quantity) — the classic five-join bridge
+# lineitem⨝partsupp⨝part⨝supplier(⨝nation)⨝orders.
+#
+# Spark-first: the testdata's partsupp is DERIVED and its
+# ps_supplycost is a pure integer formula of the (partkey, suppkey)
+# pair key (`_ps_supplycost_col`), so the textbook pair-key join
+# lineitem⨝partsupp is ALGEBRAICALLY a projection — every lineitem row
+# already carries both key columns, and joining back a value that is a
+# deterministic function of them buys nothing but a second lineitem
+# scan (to build ps) plus a pair-key exchange of the whole fact table.
+# The plan therefore computes the cost column inline: ONE lineitem
+# scan, ZERO pair-key exchanges. The DuckDB oracle keeps the literal
+# six-table form (ps CTE joined on the pair key) — the row-identical
+# verdict is the proof of the rewrite. With a real partsupp BASE table
+# this leg becomes a (partkey, suppkey) shuffle join of lineitem
+# against a table ~|lineitem|/4 rows — still the right plan, just no
+# longer free.
+#
+# Exchange budget at scale: name filter pushed to the part scan
+# (StringContains row-group pruning), part join on partkey (AQE
+# broadcasts at test SF; shuffles on partkey at SF100k),
+# supplier⨝nation broadcast (bounded dims), orders join on orderkey is
+# the one unavoidable big exchange, final aggregate bounded by
+# |nations|·|years| groups. Profit stays a per-row double expression
+# both engines evaluate identically (2dp·2dp product minus an exact
+# integer — inside dsum's 6dp-exact class) summed through
+# DECIMAL(28,6).
+PP_NAME_TOKEN = "anvil"
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PP_NAME_TOKEN))
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    cost = _ps_supplycost_col(F.col("l_partkey"), F.col("l_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - cost * F.col("l_quantity")
+        ).alias("__profit"),
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(dsum(F.col("__profit")).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+WITH {_PS_CTE}
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       {_dsum(
+           "l.l_extendedprice * (1 - l.l_discount)"
+           " - ps.ps_supplycost * l.l_quantity"
+       )} AS sum_profit
+FROM lineitem l
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%{PP_NAME_TOKEN}%'
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
 WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "returned_items": q_returned_items,
@@ -1692,6 +1801,7 @@ WAREHOUSE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "supplier_part_counts": q_supplier_part_counts,
     "market_share": q_market_share,
+    "product_profit": q_product_profit,
 }
 
 WAREHOUSE_ORACLE: dict[str, str] = {
@@ -1720,4 +1830,5 @@ WAREHOUSE_ORACLE: dict[str, str] = {
     "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "supplier_part_counts": _SUPPLIER_PART_COUNTS_SQL,
     "market_share": _MARKET_SHARE_SQL,
+    "product_profit": _PRODUCT_PROFIT_SQL,
 }

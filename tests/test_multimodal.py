@@ -553,6 +553,9 @@ def test_media_dhash_rejects_bad_passthrough(spark):
         M.media_dhash(df, passthrough=("dhash",))
     with pytest.raises(ValueError, match="not in input schema"):
         M.media_dhash(df, passthrough=("nope",))
+    # r12 advice: a repeated passthrough name is the same ambiguity
+    with pytest.raises(ValueError, match="repeated"):
+        M.media_dhash(df, passthrough=("src", "src"))
     # a legal passthrough still builds (plan-only check, no execution)
     assert "src" in M.media_dhash(df, passthrough=("src",)).columns
 

@@ -452,6 +452,26 @@ def test_supplier_part_counts_anti_join_and_distinct(spark):
     assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
 
 
+def test_product_profit_cost_leg_is_projection(spark):
+    """Q9 shape: the partsupp leg of the profit bridge is a pure integer
+    formula of the (partkey, suppkey) pair key (the derived ps has no
+    base table), so the textbook lineitem⨝partsupp pair-key join
+    compiles to a PROJECTION — lineitem scanned ONCE (ReadSchema pruned
+    to the six needed columns), ZERO pair-key exchanges (the only hash
+    exchange is the final bounded (nation, year) aggregate), the name
+    filter pushed to the part scan as a StringContains, every dim
+    broadcast, one aggregate pair."""
+    plan = _plan(spark, "product_profit")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "StringContains(p_name,anvil)" in plan, plan
+    assert "ps_partkey" not in plan, plan  # no derived-ps subtree at all
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("HashAggregate") == 2, plan
+
+
 def test_market_share_single_pass_two_sums(spark):
     """Q8 shape: numerator (CASE-guarded) and denominator revenue sums
     ride ONE joined pass — a single aggregate pair (partial+final), one

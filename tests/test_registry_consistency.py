@@ -70,6 +70,65 @@ def test_gate_ordering_lists_are_valid():
     assert len(first) == 50
 
 
+def test_staged_rotation_covers_stale_rows():
+    """r12 verdict ask #4 — the r10 slip class made mechanically
+    impossible: the gate staging is recomputed from the COMMITTED driver
+    freshness map (bench_last.json::last_verified_round) instead of
+    trusted as a hand-mirrored literal.
+
+    Two legitimate repo states exist and are distinguished by whether
+    _CHECK_FIRST's rows already carry the newest verdict round:
+
+    - pre-driver (the normal in-round state, rotation freshly staged):
+      _CHECK_FIRST must hold EVERY row that is ≥2 rounds stale or has
+      never been driver-verified (they go 3-stale / stay unverified if
+      skipped), and _CHECK_NEXT must hold every row exactly 1 round
+      stale (3-stale by the round after next).
+    - post-driver (the driver just wrote this staging's verdicts; the
+      next rotation is the NEXT round's first job): the staged lists
+      must still jointly cover everything ≥2 rounds stale — red the
+      following session if promotion is forgotten (the r10 slip).
+    """
+    import json
+
+    queries, _, first, next_ = _registry()
+    lv = json.loads((REPO / "bench_last.json").read_text())[
+        "last_verified_round"
+    ]
+    max_round = max(v for v in lv.values() if v is not None)
+    checked_now = {q for q in first if lv.get(q) == max_round}
+    never = {q for q in queries if lv.get(q) is None}
+    if len(checked_now) >= len(first) // 2:
+        # post-driver: this staging has its verdicts; next promotion due.
+        stale2 = {
+            q
+            for q in queries
+            if q in never or lv[q] <= max_round - 2
+        }
+        missing = sorted(stale2 - set(first) - set(next_))
+        assert not missing, (
+            f"rows >=2 rounds stale not staged anywhere: {missing}"
+        )
+    else:
+        # pre-driver: the staged prefix is about to be verified.
+        need_first = {
+            q for q in queries if q in never or lv[q] <= max_round - 2
+        }
+        miss_first = sorted(need_first - set(first))
+        assert not miss_first, (
+            f"rows >=2 rounds stale (or never verified) missing from "
+            f"_CHECK_FIRST: {miss_first}"
+        )
+        need_next = {
+            q for q in queries if lv.get(q) == max_round - 1
+        } - set(first)
+        miss_next = sorted(need_next - set(next_))
+        assert not miss_next, (
+            f"rows going 3-stale after next round missing from "
+            f"_CHECK_NEXT: {miss_next}"
+        )
+
+
 def test_entry_module_exposes_full_registry():
     import sys
 

@@ -363,6 +363,44 @@ def test_ivf_topk_recall(spark):
     assert full == exact  # probing every cell == brute force
 
 
+def test_ivfpq_topk_composition_and_recall(spark):
+    """IVF-PQ composes the two index halves exactly: with n_probe ==
+    n_centroids (no pruning) the result must EQUAL exhaustive pq_topk
+    row-for-row (same codebooks → same ADC distances, ranks and all);
+    at a partial probe budget, recall vs brute-force cosine must clear
+    the same floor test_ivf_topk_recall pins for IVF-Flat at the equal
+    probe budget (measured 0.60 on this corpus vs the 0.5 floor)."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 3)
+    books = S.pq_codebooks(embs, m=8, n_codes=8)
+    full = {
+        (r.query_id, r.neighbor_id, r.adist, r.rank)
+        for r in S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=8, codebooks=books
+        ).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id, r.adist, r.rank)
+        for r in S.pq_topk(embs, q, k=5, codebooks=books).collect()
+    }
+    assert full == pq  # probing every cell == exhaustive ADC
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=4, codebooks=books
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+    # cell pruning alone (vs the full-probe ADC ranking) keeps most rows
+    fullset = {(a, b) for a, b, _, _ in full}
+    assert len(fullset & approx) / len(fullset) >= 0.6
+
+
 def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
     """Trained coarse quantizer vs hash-stratified sample: on a corpus
     with real cluster structure, seed-fixed KMeans centers align cells
