@@ -655,3 +655,97 @@ def test_dhash_near_dup_stream_equals_batch_and_flags_perturbed(
         key = (r.media_id + 1_000_000_000, r.media_id)
         assert key in got, key
         assert got[key] <= 2, (key, got[key])
+
+
+def test_decontaminate_stream_equals_batch_and_bloom(spark, tmp_path):
+    """Streaming decontamination (r12 verdict stretch #8): the bloom
+    bitset is a stream-static binary literal, the probe is in-row, and
+    only pruned candidates hit the exact-verification join. Three-way
+    pin: (a) every row the availableNow stream emits equals the batch
+    run of the same function (append mode may withhold docs newer than
+    the watermark horizon); (b) the batch run is row-identical to
+    bloom_decontaminate on the shared verdict columns for the same
+    eval/train bucket split; (c) train-side clones of eval docs are
+    flagged contaminated at overlap 1.0."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators.decontam import (
+        EVAL_PCT,
+        bloom_decontaminate,
+        eval_bucket,
+    )
+    from healthcare_aws_data_engineering_spark.streaming.decontam import (
+        decontaminate_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    base = docs.withColumn("bucket", eval_bucket(F.col("doc_id")))
+    eval_texts = [
+        r.text
+        for r in base.filter(F.col("bucket") < EVAL_PCT).limit(3).collect()
+    ]
+    clones = spark.createDataFrame(
+        [(900_000 + i, t) for i, t in enumerate(eval_texts)],
+        ["doc_id", "text"],
+    )
+    universe = docs.union(clones).withColumn(
+        "bucket", eval_bucket(F.col("doc_id"))
+    )
+    eval_docs = universe.filter(F.col("bucket") < EVAL_PCT).select(
+        "doc_id", "text"
+    )
+    train = universe.filter(F.col("bucket") >= EVAL_PCT).select(
+        "doc_id", "text"
+    )
+    clone_train_ids = {
+        r.doc_id
+        for r in train.filter(F.col("doc_id") >= 900_000).collect()
+    }
+    assert clone_train_ids, "no clone landed in a train bucket"
+
+    # event times spread one minute apart (~2 hours total) so a
+    # 1-minute watermark finalizes all but the newest docs
+    src_dir = str(tmp_path / "train_docs")
+    train.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1_748_736_000) + (F.col("doc_id") % 1000) * 60
+        ),
+    ).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    out = decontaminate_stream(stream, eval_docs, watermark="1 minute")
+    run_available_now_to_memory(out, "decontam_hits", str(tmp_path / "ckpt"))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_ratio, r.contaminated)
+        for r in spark.sql("SELECT * FROM decontam_hits").collect()
+    }
+
+    batch = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_ratio, r.contaminated)
+        for r in decontaminate_stream(
+            spark.read.parquet(src_dir), eval_docs, watermark="1 minute"
+        ).collect()
+    }
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    # append mode withholds only docs inside the watermark horizon
+    assert len(got) >= len(batch) - 15
+
+    bloom = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_ratio, r.contaminated)
+        for r in bloom_decontaminate(universe.select("doc_id", "text")).collect()
+    }
+    assert batch == bloom
+    for cid in clone_train_ids:
+        n_sh, n_ov, ratio, contaminated = batch[cid]
+        assert contaminated and ratio == 1.0 and n_ov == n_sh, batch[cid]
