@@ -1163,6 +1163,36 @@ def pq_topk(
     )
 
 
+def _residual_codebooks(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Shared RESIDUAL codebooks (the IVFADC form of Jégou et al. 2011):
+    the md5-stratified sample vectors, each reduced to (vector − its
+    nearest centroid) on the exact micro-unit grid, sliced per
+    subspace. One codebook set serves every cell — residuals live in a
+    common small-offset space. The argmin here is a driver-side replica
+    of the engine's cell assignment (same exact long math, lowest cell
+    on ties), so index and codebooks agree bit-for-bit."""
+    sample = sample_centroids(corpus, n_codes, id_col, vec_col)
+    qcents = [[quantize_py(x) for x in c] for c in cents]
+    res = []
+    for v in sample:
+        qv = [quantize_py(x) for x in v]
+        dists = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in qcents]
+        cell = dists.index(min(dists))
+        res.append([a - b for a, b in zip(qv, qcents[cell])])
+    dim = len(res[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [[v[s * d : (s + 1) * d] for v in res] for s in range(m)]
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1174,6 +1204,7 @@ def ivfpq_topk(
     centroids: str | list[list[float]] = "sample",
     codebooks: list[list[list[int]]] | None = None,
     target_cell: int = 200,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k — the composed 100 TB serving shape (coarse IVF cells
     prune WHICH codes are scanned, PQ-ADC prices the survivors): the
@@ -1183,15 +1214,25 @@ def ivfpq_topk(
     candidate, so cost is ``n_probe · target_cell · m`` adds instead of
     |corpus| full-dim dot products.
 
-    This is the NO-RESIDUAL variant: codes quantize the vector itself,
-    not (vector − centroid), so the same codebooks serve every cell and
-    the whole index replays in DuckDB with exact long arithmetic (the
-    residual refinement needs per-cell codebooks — a recall upgrade, not
-    a semantics change). Candidate pruning is identical to
+    ``residual=False`` (the driver-oracled default): codes quantize the
+    vector itself, so the query's m×codes ADC table is computed ONCE
+    per query and reused across its probes — the cheapest form, and the
+    one the DuckDB oracle replays. Candidate pruning is identical to
     :func:`ivf_topk` (same argmin cells, same probe order) and pricing
     is identical to :func:`pq_topk` (same ADC tables), so recall is
     bounded above by min(both) — probed in
     tests/test_training_data_ops.py.
+
+    ``residual=True`` (the IVFADC refinement): codes quantize
+    (vector − assigned centroid) against SHARED residual codebooks
+    (:func:`_residual_codebooks`) — residuals live in a common
+    small-offset space the codebooks resolve far more finely than
+    absolute positions, so recall improves on clustered corpora at the
+    same (m, codes) budget. The query side pays one ADC table per
+    PROBED CELL instead of per query (its residual differs per cell) —
+    still bounded: n_probe × m × codes subdistances per query, computed
+    in the same broadcast projection. All arithmetic stays on the exact
+    micro-unit long grid in both modes.
 
     Scale shape: index build is one projection over the staged
     quantized vector (cell argmin + m code argmins share it — no
@@ -1211,24 +1252,51 @@ def ivfpq_topk(
     else:
         cents = [[float(x) for x in c] for c in centroids]
     if codebooks is None:
-        codebooks = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+        codebooks = (
+            _residual_codebooks(corpus, cents, id_col=id_col, vec_col=vec_col)
+            if residual
+            else pq_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+        )
     m = len(codebooks)
     d = len(codebooks[0][0])
+    qcent_lit = (
+        _lit_nested_long([[quantize_py(x) for x in c] for c in cents])
+        if residual
+        else None
+    )
+
+    def _carrier(df: DataFrame, keep: list[str]) -> DataFrame:
+        """Stage the code-space vector __v (= __q, or the residual
+        against the row's cell) as a real column before any HOF reads."""
+        if not residual:
+            return df.select(*keep, F.col("__q").alias("__v"))
+        return df.select(
+            *keep,
+            F.zip_with(
+                F.col("__q"),
+                F.element_at(qcent_lit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ).alias("__v"),
+        )
+
     staged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
+    ).select(
+        "neighbor_id",
+        "__q",
+        _centroid_cell(F.col("__q"), cents, exact=True).alias("cell"),
     )
     code_cols = []
     for s in range(m):
-        darr = _pq_subdists(F.col("__q"), codebooks[s], s, d)
+        darr = _pq_subdists(F.col("__v"), codebooks[s], s, d)
         code_cols.append(
             (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
         )
-    index = staged.select(
-        "neighbor_id",
-        _centroid_cell(F.col("__q"), cents, exact=True).alias("cell"),
-        F.array(*code_cols).alias("codes"),
+    index = _carrier(staged, ["neighbor_id", "cell"]).select(
+        "neighbor_id", "cell", F.array(*code_cols).alias("codes")
     )
+
     qstaged = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
@@ -1242,12 +1310,29 @@ def ivfpq_topk(
     ranked_cells = F.slice(
         F.transform(F.array_sort(indexed), lambda st: st["cell"]), 1, n_probe
     )
-    qtab = F.array(
-        *[_pq_subdists(F.col("__q"), codebooks[s], s, d) for s in range(m)]
-    )
-    q_probe = qstaged.select(
-        "query_id", ranked_cells.alias("__cells"), qtab.alias("tab")
-    ).select("query_id", F.explode("__cells").alias("cell"), "tab")
+    def _tab(src: str):
+        return F.array(
+            *[_pq_subdists(F.col(src), codebooks[s], s, d) for s in range(m)]
+        )
+
+    if residual:
+        # the residual (and so the ADC table) differs per probed cell —
+        # explode first, then stage __v and the per-(query, cell) table
+        q_probe = _carrier(
+            qstaged.select(
+                "query_id", "__q", ranked_cells.alias("__cells")
+            ).select(
+                "query_id", "__q", F.explode("__cells").alias("cell")
+            ),
+            ["query_id", "cell"],
+        ).select("query_id", "cell", _tab("__v").alias("tab"))
+    else:
+        # one table per query, reused by every probe row
+        q_probe = qstaged.select(
+            "query_id",
+            ranked_cells.alias("__cells"),
+            _tab("__q").alias("tab"),
+        ).select("query_id", F.explode("__cells").alias("cell"), "tab")
     cands = index.join(F.broadcast(q_probe), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -401,6 +401,114 @@ def test_ivfpq_topk_composition_and_recall(spark):
     assert len(fullset & approx) / len(fullset) >= 0.6
 
 
+def test_ivfpq_residual_matches_python_model(spark):
+    """residual=True (the IVFADC form): full python replication of cell
+    assignment, residual computation, residual-codebook encoding, and
+    per-(query, cell) ADC tables — exact long equality, no tolerance."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 2)
+    cents = S.sample_centroids(embs, 8)
+    books = S._residual_codebooks(embs, cents, m=8, n_codes=8)
+    got = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=8,
+            centroids=cents, codebooks=books, residual=True,
+        ).collect()
+    }
+
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        quantize_py,
+    )
+
+    qcents = [[quantize_py(x) for x in c] for c in cents]
+    vecs = {r.vec_id: [quantize_py(x) for x in r.embedding] for r in rows}
+
+    def cell_of(v):
+        ds = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in qcents]
+        return ds.index(min(ds))
+
+    def res_of(v, cell):
+        return [a - b for a, b in zip(v, qcents[cell])]
+
+    def codes_of(r):
+        out = []
+        for s in range(8):
+            sub = r[s * 2 : (s + 1) * 2]
+            ds = [
+                sum((a - b) ** 2 for a, b in zip(sub, code))
+                for code in books[s]
+            ]
+            out.append(ds.index(min(ds)))
+        return out
+
+    for (qid, nid), adist in got.items():
+        ncell = cell_of(vecs[nid])
+        ncodes = codes_of(res_of(vecs[nid], ncell))
+        # query residual against the PROBED cell == the neighbor's cell
+        qres = res_of(vecs[qid], ncell)
+        expected = sum(
+            sum(
+                (a - b) ** 2
+                for a, b in zip(qres[s * 2 : (s + 1) * 2], books[s][ncodes[s]])
+            )
+            for s in range(8)
+        )
+        assert adist == expected, (qid, nid, adist, expected)
+
+
+def test_ivfpq_residual_reduces_adc_distortion(spark):
+    """The IVFADC claim, measured where it is stable: at an equal
+    (m, codes) budget on a clustered corpus, residual codes only have
+    to cover the small within-cell offset ball while absolute codes
+    cover the full cluster span — so the ADC distance approximation
+    error drops (measured 0.053 vs 0.080 mean relative error here;
+    recall is a noisier proxy on corpora this small). Deterministic:
+    seeded data, seed-fixed KMeans cells, md5-sampled codebooks."""
+    import random
+
+    rnd = random.Random(42)
+    centers = [
+        [(1.0 if (c >> b) & 1 else -1.0) * 3.0 for b in range(8)]
+        for c in range(4)
+    ]
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[v + rnd.uniform(-0.3, 0.3) for v in centers[i % 4]],
+        )
+        for i in range(120)
+    ]
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 5)
+    cents = S.kmeans_centroids(embs, 4)
+
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        quantize_py,
+    )
+
+    vecs = {r.vec_id: [quantize_py(x) for x in r.embedding] for r in rows}
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def mean_rel_err(residual):
+        out = S.ivfpq_topk(
+            embs, q, k=30, n_centroids=4, n_probe=1,
+            centroids=cents, residual=residual,
+        ).collect()
+        errs = [
+            abs(r.adist - sqd(vecs[r.query_id], vecs[r.neighbor_id]))
+            / max(sqd(vecs[r.query_id], vecs[r.neighbor_id]), 1)
+            for r in out
+        ]
+        return sum(errs) / len(errs)
+
+    plain, residual = mean_rel_err(False), mean_rel_err(True)
+    assert residual < plain, (residual, plain)
+
+
 def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
     """Trained coarse quantizer vs hash-stratified sample: on a corpus
     with real cluster structure, seed-fixed KMeans centers align cells
