@@ -452,6 +452,25 @@ def test_supplier_part_counts_anti_join_and_distinct(spark):
     assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
 
 
+def test_ann_ivfpq_probe_side_broadcasts(spark):
+    """IVF-PQ serving shape: the corpus index (cell + codes projection)
+    must stay scan-fused with NO exchange before the probe join — the
+    bounded query batch broadcasts (BuildRight) — and the per-query
+    top-k must ride ONE query_id exchange with the rank limit pushed
+    below it (WindowGroupLimit partial top-k on the map side). A plan
+    that shuffles the corpus by cell, or sorts all candidates globally,
+    dies at 10^10 vectors."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # exactly one hash exchange: the final per-query window
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(query_id", plan), plan
+    # rank-limit pushdown: a partial top-k runs BEFORE the exchange
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("WindowGroupLimit") == 2, plan
+
+
 def test_product_profit_cost_leg_is_projection(spark):
     """Q9 shape: the partsupp leg of the profit bridge is a pure integer
     formula of the (partkey, suppkey) pair key (the derived ps has no
