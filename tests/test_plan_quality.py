@@ -452,6 +452,39 @@ def test_supplier_part_counts_anti_join_and_distinct(spark):
     assert m and m.group(1) == "l_partkey:bigint,l_suppkey:bigint", plan
 
 
+def test_bloom_decontam_one_verification_join(spark):
+    """Suite-heavy row insurance (r13): the bloom path's whole point is
+    that the corpus is probed IN-ROW against one binary literal and the
+    eval strings join only the pruned candidates — the plan must show
+    exactly ONE join (the LeftOuter verification), exactly TWO
+    documents scans (the train leg + the lazily recomputed eval slice,
+    the documented trade in bloom_decontaminate), one doc_id aggregate
+    exchange, and no Window. A second corpus-side join or a window here
+    means the bloom pruning silently stopped paying for itself."""
+    plan = _plan(spark, "bloom_decontam")
+    tree = plan.split("\n\n(1)")[0]
+    assert plan.count("documents.parquet") == 2, plan
+    assert len(re.findall(r"Join", tree)) == 1, plan
+    assert "LeftOuter" in tree, plan
+    assert "Window" not in plan, plan
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_corpus_curation_single_documents_scan(spark):
+    """Suite-heaviest row insurance (r13): the composed curation query
+    (quality + split + language rollup) must read documents ONCE — its
+    cost is the derived joins, never a second corpus pass — with no
+    cartesian/nested-loop fallback anywhere. (The compiled plan records
+    SortMergeJoin for the derived sides; AQE converts them at runtime
+    when a side is small — the pinned property is scan count, not the
+    join strategy.)"""
+    plan = _plan(spark, "corpus_curation")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _n_exchanges(plan) <= 5, plan
+
+
 def test_ann_ivfpq_probe_side_broadcasts(spark):
     """IVF-PQ serving shape: the corpus index (cell + codes projection)
     must stay scan-fused with NO exchange before the probe join — the
