@@ -129,3 +129,38 @@ def test_curation_pipeline_example(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_ann_serving_pipeline_example(spark):
+    """examples/ann_serving_pipeline.py composes the full ANN family
+    over one corpus. Structural pins: every path returns at most K rows
+    per query with valid ids; exact-RERANK paths (lsh, ivf) keep real
+    recall on the isotropic testdata while code-PRICED paths are
+    structurally valid but recall-weak there by design (distance
+    concentration — see the example's docstring)."""
+    import importlib.util
+    import pathlib
+
+    path = (
+        pathlib.Path(__file__).parent.parent
+        / "examples"
+        / "ann_serving_pipeline.py"
+    )
+    spec = importlib.util.spec_from_file_location("ann_serving_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    results, stats = mod.search(spark, "/root/testdata/sf0.001")
+    assert stats["corpus_vectors"] > 0
+    for name, got in results.items():
+        per_q = {}
+        for qid, nid in got:
+            assert 0 <= qid < mod.N_QUERIES and nid != qid
+            per_q[qid] = per_q.get(qid, 0) + 1
+        assert max(per_q.values()) <= mod.K, name
+    assert len(results["exact"]) == mod.N_QUERIES * mod.K
+    rec = stats["recall"]
+    assert rec["lsh_multiprobe"] >= 0.6
+    assert rec["ivf_flat"] >= 0.3
+    for name, r in rec.items():
+        assert 0.0 <= r <= 1.0, (name, r)
