@@ -70,12 +70,18 @@ def decontaminate_stream(
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
         )
         .distinct()
+        # persisted for the two EAGER index-build reads below, released
+        # before the streaming query starts (the per-micro-batch
+        # verification join recomputes the bounded eval slice lazily —
+        # the same trade bloom_decontaminate documents)
+        .persist()
     )
     # bounded driver scalar + bitset bytes (see bloom_decontaminate for
     # why the collect here adds no new driver liability)
     n_eval = eval_shingles.count()
     m, k = _bloom_geometry(n_eval, fpp)
     bitset = bloom_bitset_bytes(eval_shingles, m, k)
+    eval_shingles.unpersist()
     ev = eval_shingles.select(
         F.col("shingle").alias("__ev_shingle"), F.lit(1).alias("hit")
     )
