@@ -1025,22 +1025,17 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r13 rotation (executing the prefix r12
-# staged — r12 verdict ask #1): after r12 the freshness map is
-# r12x50 / r11x50 / r10x45 / never-verified x3 — the checked prefix is
-#   1. exactly r12's staged _CHECK_NEXT — positions 1-48: the three
-#      LATE r12 additions (local_supplier_volume / supplier_part_counts
-#      / market_share — never driver-verified; day-one verdict due),
-#      bm25_search (r10-latest; its r11 drift flag adjudicated ambient
-#      in BASELINE.md r12 notes), then every remaining r10-latest row
-#      (44 — three rounds stale after r13);
-#   2. queries NEW in r13 — positions 49-50: product_profit (TPC-H Q9
-#      multi-fact profit bridge, the last missing classic) and
-#      ann_ivfpq_topk (composed IVF-cell pruning + PQ-ADC pricing —
-#      r12 verdict stretch #7).
-# _CHECK_NEXT stages the r14 prefix: the 50 r11-latest rows (three
-# rounds stale after r14) — a full prefix with no free slots, so any
-# query NEW in r14 must displace staged tail rows INTO r15's prefix
+# most need a fresh verdict. r14 rotation (executing the prefix r13
+# staged — r13 verdict ask #1): after r13 the freshness map is a clean
+# r13x50 / r12x50 / r11x50 — the checked prefix is exactly r13's staged
+# _CHECK_NEXT, promoted verbatim: the 50 r11-latest rows (three rounds
+# stale after r14). No queries were added to the registry in r14 (the
+# r13 capacity rule — new capability ships as pytest-oracled operator
+# modes; see COVERAGE.md "Registry capacity policy"), so there are no
+# day-one rows to seat.
+# _CHECK_NEXT stages the r15 prefix: the 50 r12-latest rows (three
+# rounds stale after r15) — a full prefix with no free slots, so any
+# query NEW in r15 must displace staged tail rows INTO r16's prefix
 # (never dropped silently; the staleness-audit test in
 # tests/test_registry_consistency.py recomputes the required set from
 # bench_last.json and fails if staging misses a row).
@@ -1048,30 +1043,7 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # (1) r12's staged _CHECK_NEXT, promoted verbatim — positions 1-48
-    "local_supplier_volume", "supplier_part_counts", "market_share",
-    "bm25_search",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "bracket_revenue", "decontaminate", "dedup_minhash_lsh",
-    "dist_summary", "doc_attributes", "doc_chunks",
-    "domain_cap_salted", "dormant_customers", "embedding_near_dup",
-    "etl_conditions", "frame_sample", "graph_pagerank",
-    "importance_sample", "json_props", "knn_graph", "large_orders",
-    "lm_score", "media_channel_stats", "media_decode", "media_dhash",
-    "media_features", "mix_weights", "ml_features", "ml_preprocess",
-    "ml_risk_scores", "nation_trade", "order_priority", "pii_redact",
-    "promo_revenue", "report_cvd", "report_prediabetes",
-    "returned_items", "revenue_share", "rrf_fusion", "salted_agg",
-    "shipping_priority", "skew_audit", "source_terms",
-    "training_order", "wellness_monthly", "zscore_outliers",
-    # (2) NEW in r13 — positions 49-50
-    "product_profit", "ann_ivfpq_topk",
-]
-# Staged r14 prefix: every r11-latest row (50 — three rounds stale
-# after r14). No free slots: r14 additions must displace tail rows into
-# the r15 prefix explicitly (the staleness-audit test enforces
-# coverage).
-_CHECK_NEXT = [
+    # r13's staged _CHECK_NEXT, promoted verbatim — the 50 r11 rows
     "ann_multiprobe_topk", "asof_join", "basket_pairs",
     "bloom_decontam", "bpe_pair_counts", "dataset_card",
     "dedup_simhash", "disease_confidence", "distinct_sketch",
@@ -1087,6 +1059,27 @@ _CHECK_NEXT = [
     "small_qty_revenue", "source_overlap", "split_assign",
     "stratified_sample", "time_rollup", "token_budget_fill",
     "top_supplier", "unpivot_wide", "vocab_topk", "word_bigrams",
+]
+# Staged r15 prefix: every r12-latest row (50 — three rounds stale
+# after r15). No free slots: r15 additions must displace tail rows into
+# the r16 prefix explicitly (the staleness-audit test enforces
+# coverage).
+_CHECK_NEXT = [
+    "ann_pq_topk", "attribution", "between_filter", "cluster_split",
+    "cohort_retention", "corpus_curation", "cube_summary",
+    "curriculum_stages", "daily_latest", "debounce_events",
+    "dedup_exact", "dedup_weighted", "doc_fingerprint", "domain_cap",
+    "drift_monitor", "dsir_select", "dup_clusters", "etl_encounters",
+    "etl_obs_choice", "etl_observations", "etl_patients", "eval_draw",
+    "event_paths", "excess_suppliers", "filtered_count",
+    "first_last_delta", "frequency_count", "fuzzy_match",
+    "int8_quantize", "isin_filter", "k_anonymity", "keyed_dedup",
+    "latest_per_key", "linear_trend", "min_cost_supplier",
+    "mixture_draw", "order_count_distribution", "part_value_share",
+    "pricing_summary", "quality_calibrated", "rank_windows",
+    "revenue_by_nation", "rfm_segments", "scd2_history",
+    "semantic_dedup", "span_dedup", "span_scrub", "text_stats",
+    "top3_per_group", "zipf_slope",
 ]
 _CHECK_LAST: list[str] = []
 
