@@ -1163,7 +1163,7 @@ def pq_topk(
     )
 
 
-def _residual_codebooks(
+def residual_codebooks(
     corpus: DataFrame,
     cents: list[list[float]],
     m: int = PQ_M,
@@ -1177,7 +1177,14 @@ def _residual_codebooks(
     subspace. One codebook set serves every cell — residuals live in a
     common small-offset space. The argmin here is a driver-side replica
     of the engine's cell assignment (same exact long math, lowest cell
-    on ties), so index and codebooks agree bit-for-bit."""
+    on ties), so index and codebooks agree bit-for-bit.
+
+    This is the PUBLIC builder for :func:`ivfpq_topk`'s
+    ``residual=True`` mode: codebooks passed with ``residual=True``
+    MUST come from here (built against the SAME ``cents``), never from
+    :func:`pq_codebooks` — absolute books price ADC in a mismatched
+    space silently (r13 advice; ``ivfpq_topk`` flags the obvious
+    mismatch heuristically)."""
     sample = sample_centroids(corpus, n_codes, id_col, vec_col)
     qcents = [[quantize_py(x) for x in c] for c in cents]
     res = []
@@ -1225,7 +1232,7 @@ def ivfpq_topk(
 
     ``residual=True`` (the IVFADC refinement): codes quantize
     (vector − assigned centroid) against SHARED residual codebooks
-    (:func:`_residual_codebooks`) — residuals live in a common
+    (:func:`residual_codebooks`) — residuals live in a common
     small-offset space the codebooks resolve far more finely than
     absolute positions, so recall improves on clustered corpora at the
     same (m, codes) budget. The query side pays one ADC table per
@@ -1253,10 +1260,35 @@ def ivfpq_topk(
         cents = [[float(x) for x in c] for c in centroids]
     if codebooks is None:
         codebooks = (
-            _residual_codebooks(corpus, cents, id_col=id_col, vec_col=vec_col)
+            residual_codebooks(corpus, cents, id_col=id_col, vec_col=vec_col)
             if residual
             else pq_codebooks(corpus, id_col=id_col, vec_col=vec_col)
         )
+    elif residual:
+        # r13 advice: caller-supplied books with residual=True must be
+        # RESIDUAL-space books (built by residual_codebooks against
+        # these same centroids) — absolute pq_codebooks output prices
+        # ADC in a mismatched space with no other symptom. Absolute
+        # books are corpus samples, so their magnitude matches the
+        # (also corpus-sampled) centroids'; true residual entries are
+        # nearest-centroid offsets and come out strictly smaller in
+        # expectation. Flag the clearly-absolute case.
+        code_mag = [abs(x) for book in codebooks for c in book for x in c]
+        cent_mag = [abs(quantize_py(x)) for c in cents for x in c]
+        if code_mag and cent_mag:
+            code_mean = sum(code_mag) / len(code_mag)
+            cent_mean = sum(cent_mag) / len(cent_mag)
+            if code_mean >= cent_mean:
+                import warnings
+
+                warnings.warn(
+                    "ivfpq_topk(residual=True): supplied codebooks have "
+                    f"mean |entry| {code_mean:.0f} >= centroid mean "
+                    f"{cent_mean:.0f} — they look like ABSOLUTE "
+                    "pq_codebooks output, not residual_codebooks output; "
+                    "ADC pricing will be computed in a mismatched space.",
+                    stacklevel=2,
+                )
     m = len(codebooks)
     d = len(codebooks[0][0])
     qcent_lit = (

@@ -409,7 +409,7 @@ def test_ivfpq_residual_matches_python_model(spark):
     embs = spark.createDataFrame(rows)
     q = embs.filter(F.col("vec_id") < 2)
     cents = S.sample_centroids(embs, 8)
-    books = S._residual_codebooks(embs, cents, m=8, n_codes=8)
+    books = S.residual_codebooks(embs, cents, m=8, n_codes=8)
     got = {
         (r.query_id, r.neighbor_id): r.adist
         for r in S.ivfpq_topk(
@@ -456,6 +456,36 @@ def test_ivfpq_residual_matches_python_model(spark):
             for s in range(8)
         )
         assert adist == expected, (qid, nid, adist, expected)
+
+
+def test_ivfpq_residual_flags_absolute_codebooks(spark):
+    """r13 advice: residual=True with caller-supplied ABSOLUTE books
+    (pq_codebooks output — the natural mistake, since that is the public
+    default builder) prices ADC in a mismatched space with no other
+    symptom; the magnitude heuristic must warn. The matched
+    residual_codebooks supply must stay silent."""
+    import warnings
+
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 2)
+    cents = S.sample_centroids(embs, 8)
+    absolute = S.pq_codebooks(embs, m=8, n_codes=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=4,
+            centroids=cents, codebooks=absolute, residual=True,
+        )
+        assert any("ABSOLUTE" in str(x.message) for x in w)
+    matched = S.residual_codebooks(embs, cents, m=8, n_codes=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=4,
+            centroids=cents, codebooks=matched, residual=True,
+        )
+        assert not [x for x in w if "ABSOLUTE" in str(x.message)]
 
 
 def test_ivfpq_residual_reduces_adc_distortion(spark):

@@ -59,9 +59,17 @@ def main() -> int:
             f"{len(QUERIES) - 3 * CAP} row(s) will exceed the 3-round "
             "freshness gap every cycle."
         )
-    must_first = never + by_round.get(max_round - 2, [])
+    # Inclusive <= (not ==): rows 3+ rounds stale — the slip-recovery
+    # scenario this tool exists for — must be staged too, matching the
+    # enforcing test's predicate exactly (r13 advice).
+    stale = [
+        q
+        for q in QUERIES
+        if lv.get(q) is not None and lv[q] <= max_round - 2
+    ]
+    must_first = never + stale
     show(
-        f"_CHECK_FIRST must contain (never-verified + r{max_round - 2})",
+        f"_CHECK_FIRST must contain (never-verified + <= r{max_round - 2})",
         must_first,
     )
     free = CAP - len(must_first)
