@@ -138,7 +138,8 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name, fn in {**QUERIES, **extra_ml_fast()}.items():
+    probe_fns = extra_ml_fast()
+    for name, fn in {**QUERIES, **probe_fns}.items():
         fn(spark, sf_dir).collect()  # warm-up: JVM, file listing, codegen
         samples = []
         for _ in range(RUNS):
@@ -197,7 +198,13 @@ def main() -> None:
         "metric": "suite_total_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: timings[n] for n in QUERIES},
+        # Bench-only probes (r13 verdict ask #6): timed every capture so
+        # the parity-grid determinism tax stays visible, but kept OUT of
+        # "queries" — they carry no baseline row, so their position-
+        # effect swings (±6.5 s in the r12→r13 diff) would pollute every
+        # round-over-round comparison of the gated rows.
+        "probes": {n: timings[n] for n in probe_fns},
         "sf": sf,
         # capture-quality telemetry: per-query rows over the 2x accrued
         # baseline gate, suite ratio vs accrued baseline, and whether
