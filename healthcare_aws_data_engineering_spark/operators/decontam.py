@@ -344,3 +344,148 @@ FROM (
   GROUP BY tr.doc_id
 )
 """
+
+
+# ------------------------------------------------- cross-snapshot ledger --
+# r13 verdict stretch #8: screening an ALREADY-INGESTED corpus against a
+# NEW benchmark must not re-scan (re-decode, re-tokenize, re-shingle)
+# the corpus text — at 100 TB that is the single most expensive pass in
+# the warehouse, and benchmarks arrive long after ingest. The ledger is
+# the `incremental_dedup` admission-ledger pattern applied to
+# decontamination: at ingest time each snapshot persists one
+# fixed-width (doc_id, shingle_hash BIGINT) row per DISTINCT per-doc
+# shingle — an appendable index (ledger(s1) UNION ledger(s2) ==
+# ledger(s1 UNION s2), row-for-row) written next to the curated
+# parquet. Screening any future eval set is then a probe of those slim
+# rows: one ledger scan, zero text reads.
+#
+# Keys are xxhash64 of the shingle string (8 bytes vs ~40-byte
+# 3-gram strings): two DIFFERENT shingles collide with probability
+# ~n²/2⁶⁵ — at 10¹² distinct corpus shingles that is ~0.03 expected
+# collisions corpus-wide, and a collision can only nudge one doc's
+# n_shingles/n_overlap by 1. The equality pin in
+# tests/test_decontam_ledger.py holds exactly on any non-adversarial
+# fixture.
+
+
+def shingle_ledger(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-snapshot ingest artifact: ``doc_id, shingle_hash`` — one
+    row per DISTINCT word n-gram shingle per document (xxhash64-keyed).
+    Pure projection + explode; no shuffle — write it partitioned by the
+    same shard key as the documents and it appends per snapshot."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+    ).select("doc_id", F.xxhash64(F.col("__s")).alias("shingle_hash"))
+
+
+def ledger_decontaminate(
+    ledger: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = CONTAM_THRESHOLD,
+    n: int = 3,
+    text_col: str = "text",
+    prune_fpp: float | None = None,
+) -> DataFrame:
+    """Screen an ingested corpus — represented ONLY by its persisted
+    :func:`shingle_ledger` — against a NEW eval set. Same output schema
+    and semantics as :func:`decontaminate`; row-identical to the batch
+    text-side computation (pinned in tests) because the ledger carries
+    exactly the distinct-per-doc shingle keys the batch path explodes.
+
+    The eval side is benchmark-sized: shingled, hashed, deduplicated,
+    and broadcast — the ledger (the corpus-scale side) streams through
+    ONE left join + ONE doc_id aggregation and is never reshuffled by
+    shingle. With ``prune_fpp`` set, the eval hash set is additionally
+    folded into a bloom bitset literal (:func:`bloom_bitset_bytes`) and
+    probed IN-ROW before the join — the join condition gains the bloom
+    verdict, so non-candidate ledger rows never enter join hashing;
+    false positives die in the exact equality, false negatives are
+    impossible, result pinned identical."""
+    ev_hashes = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+        )
+        .select(F.xxhash64(F.col("__s")).alias("shingle_hash"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = ledger.select("doc_id", "shingle_hash")
+    if prune_fpp is not None:
+        ev_hashes = ev_hashes.persist()
+        n_eval = ev_hashes.count()
+        m, k = _bloom_geometry(n_eval, prune_fpp)
+        bitset = bloom_bitset_bytes(
+            ev_hashes.withColumnRenamed("shingle_hash", "shingle"), m, k
+        )
+        ev_hashes.unpersist()
+        cond = (
+            F.col("shingle_hash") == F.col("__ev_hash")
+        ) & _might_contain(F.col("shingle_hash"), F.lit(bitset), m, k)
+    else:
+        cond = F.col("shingle_hash") == F.col("__ev_hash")
+    ev = ev_hashes.withColumnRenamed("shingle_hash", "__ev_hash")
+    per_doc = (
+        probe.join(F.broadcast(ev), cond, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).cast("decimal(18,6)").cast("double").alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def decontaminate_external(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = CONTAM_THRESHOLD,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch text-side twin of :func:`ledger_decontaminate`: the
+    :func:`decontaminate` computation with an EXPLICIT eval corpus
+    instead of the deterministic in-table split — the re-scan the
+    ledger exists to avoid, kept as the correctness anchor the ledger
+    path is pinned against (and the right call when no ledger was
+    persisted)."""
+    train = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    ev = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        train.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).cast("decimal(18,6)").cast("double").alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
