@@ -808,6 +808,123 @@ def _centroid_cell(
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def _lit_nested3_long(groups: list[list[list[int]]]) -> Column:
+    """array<array<array<long>>> literal, one parse (the 3-deep sibling
+    of :func:`_lit_nested_long` — per-coarse-group child centroids)."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(c)}L" for c in v) + ")" for v in g
+        )
+        + ")"
+        for g in groups
+    )
+    return F.expr(f"array({body})")
+
+
+def _lit_nested3_double(groups: list[list[list[float]]]) -> Column:
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v)
+            + ")"
+            for v in g
+        )
+        + ")"
+        for g in groups
+    )
+    return F.expr(f"array({body})")
+
+
+def two_level_groups(
+    cents: list[list[float]],
+) -> tuple[list[int], list[list[int]]]:
+    """Driver-side coarse/fine grouping for two-level cell assignment:
+    coarse seeds are every stride-th fine centroid (⌈√n⌉ of them), each
+    fine centroid joins its nearest seed's group (exact micro-unit long
+    math, lowest seed on ties — deterministic and engine-free). A seed
+    whose group would end empty (possible only when two seeds are
+    bit-identical) keeps itself, so every group the assignment
+    expression can reach is non-empty."""
+    import math
+
+    n = len(cents)
+    n_coarse = max(1, math.isqrt(max(n - 1, 0)) + 1)
+    stride = (n + n_coarse - 1) // n_coarse
+    seeds = list(range(0, n, stride))[:n_coarse]
+    q = [[quantize_py(x) for x in c] for c in cents]
+    groups: list[list[int]] = [[] for _ in seeds]
+    for i in range(n):
+        ds = [
+            sum((a - b) ** 2 for a, b in zip(q[i], q[s])) for s in seeds
+        ]
+        groups[ds.index(min(ds))].append(i)
+    for j, s in enumerate(seeds):
+        if not groups[j]:
+            groups[j].append(s)
+    return seeds, groups
+
+
+def _centroid_cell_two_level(
+    vec: Column, centroids: list[list[float]], exact: bool = False
+) -> Column:
+    """Two-level (coarse → children) argmin cell id — the linear-build
+    escape hatch for the flat argmin's O(n_cells) per-row cost
+    (SCALING.md r14: the one super-linear heavy-probe row). Work per
+    row is O((√n_cells + max_group) · dim) instead of O(n_cells · dim).
+
+    APPROXIMATE assignment, exactly as production IVF builds (FAISS
+    assigns through its own quantizer search): a vector whose true
+    nearest fine cell hangs under a different coarse seed lands in the
+    best fine cell OF ITS COARSE GROUP instead — pure recall trade,
+    never a correctness trade (the probe/rerank machinery is unchanged;
+    agreement and recall pinned in tests/test_training_data_ops.py)."""
+    seeds, groups = two_level_groups(centroids)
+    coarse = _centroid_cell(vec, [centroids[s] for s in seeds], exact)
+    if exact:
+        kids_lit = _lit_nested3_long(
+            [[[quantize_py(x) for x in centroids[i]] for i in g] for g in groups]
+        )
+    else:
+        kids_lit = _lit_nested3_double(
+            [[[float(x) for x in centroids[i]] for i in g] for g in groups]
+        )
+    ids_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(i) for i in g) + ")" for g in groups
+        )
+        + ")"
+    )
+    kids = F.element_at(kids_lit, coarse + 1)
+    if exact:
+        dists = F.transform(
+            kids,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ),
+        )
+    else:
+        dists = F.transform(
+            kids,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    vec,
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    return F.element_at(F.element_at(ids_lit, coarse + 1), pos).cast("int")
+
+
 def sample_centroids(
     corpus: DataFrame,
     n: int,
@@ -860,10 +977,18 @@ def ivf_topk(
     centroids: str | list[list[float]] = "sample",
     exact: bool = False,
     target_cell: int = 200,
+    assign: str = "flat",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are assigned to coarse
     cells (argmin distance to centroids), each query probes only its
     ``n_probe`` nearest cells, and candidates are exactly reranked.
+
+    ``assign``: ``"flat"`` (exact argmin over every centroid — the
+    driver-oracled default) or ``"two_level"`` (coarse → children
+    argmin, :func:`_centroid_cell_two_level` — the linear-build hatch
+    for corpus-derived cell counts, where flat assignment is
+    O(n · n_cells · dim) = O(n²·dim/target); approximate assignment,
+    recall-pinned in tests).
 
     ``n_centroids=None`` (production default) derives the cell count
     from the corpus at index-build time — :func:`cells_for`, expected
@@ -904,10 +1029,13 @@ def ivf_topk(
         F.col(vec_col).alias("neighbor_vec"),
         (quantize_vec(F.col(vec_col)) if exact else F.col(vec_col)).alias("__v"),
     )
+    cell_of = (
+        _centroid_cell_two_level if assign == "two_level" else _centroid_cell
+    )
     c_cells = c_pre.select(
         "neighbor_id",
         "neighbor_vec",
-        _centroid_cell(F.col("__v"), cents, exact).alias("cell"),
+        cell_of(F.col("__v"), cents, exact).alias("cell"),
     )
     # per-query: n_probe nearest cells, exploded to probe rows
     qdists = _cell_dists(F.col("__v"), cents, exact)
@@ -1212,6 +1340,7 @@ def ivfpq_topk(
     codebooks: list[list[list[int]]] | None = None,
     target_cell: int = 200,
     residual: bool = False,
+    assign: str = "flat",
 ) -> DataFrame:
     """IVF-PQ top-k — the composed 100 TB serving shape (coarse IVF cells
     prune WHICH codes are scanned, PQ-ADC prices the survivors): the
@@ -1240,6 +1369,12 @@ def ivfpq_topk(
     still bounded: n_probe × m × codes subdistances per query, computed
     in the same broadcast projection. All arithmetic stays on the exact
     micro-unit long grid in both modes.
+
+    ``assign="two_level"``: coarse → children argmin for the index-side
+    cell assignment (same hatch and caveats as :func:`ivf_topk` —
+    linear build under corpus-derived cell counts, approximate
+    assignment, recall-pinned in tests; SCALING.md r14 names the flat
+    argmin as the probe's one super-linear cost).
 
     Scale shape: index build is one projection over the staged
     quantized vector (cell argmin + m code argmins share it — no
@@ -1311,13 +1446,16 @@ def ivfpq_topk(
             ).alias("__v"),
         )
 
+    cell_of = (
+        _centroid_cell_two_level if assign == "two_level" else _centroid_cell
+    )
     staged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
     ).select(
         "neighbor_id",
         "__q",
-        _centroid_cell(F.col("__q"), cents, exact=True).alias("cell"),
+        cell_of(F.col("__q"), cents, exact=True).alias("cell"),
     )
     code_cols = []
     for s in range(m):

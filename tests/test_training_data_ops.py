@@ -539,6 +539,108 @@ def test_ivfpq_residual_reduces_adc_distortion(spark):
     assert residual < plain, (residual, plain)
 
 
+def test_two_level_assignment_matches_python_model(spark):
+    """The Spark two-level argmin expression == a pure-python replica of
+    coarse-then-children assignment, EXACTLY per vector (long-grid math,
+    deterministic tie-breaks) — plus a high-agreement bound vs flat
+    assignment on an unstructured corpus."""
+    rows = _vec_rows()
+    embs = spark.createDataFrame(rows)
+    cents = S.sample_centroids(embs, 9)
+    staged = embs.select(
+        "vec_id", S.quantize_vec(F.col("embedding")).alias("__q")
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in staged.select(
+            "vec_id",
+            S._centroid_cell_two_level(F.col("__q"), cents, True).alias(
+                "cell"
+            ),
+        ).collect()
+    }
+
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        quantize_py,
+    )
+
+    qcents = [[quantize_py(x) for x in c] for c in cents]
+    seeds, groups = S.two_level_groups(cents)
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def model(v):
+        cd = [sqd(v, qcents[s]) for s in seeds]
+        g = groups[cd.index(min(cd))]
+        fd = [sqd(v, qcents[i]) for i in g]
+        return g[fd.index(min(fd))]
+
+    flat_agree = 0
+    for r in rows:
+        v = [quantize_py(x) for x in r.embedding]
+        assert got[r.vec_id] == model(v)
+        fl = [sqd(v, c) for c in qcents]
+        flat_agree += got[r.vec_id] == fl.index(min(fl))
+    # every group is a Voronoi-ish neighborhood: most vectors' true
+    # nearest cell lives under their coarse winner even without
+    # cluster structure
+    assert flat_agree / len(rows) >= 0.6, flat_agree / len(rows)
+
+
+def test_two_level_groups_partition_and_nonempty():
+    cents = [[float((i * 7) % 5 - 2)] * 4 for i in range(13)]
+    seeds, groups = S.two_level_groups(cents)
+    flat = sorted(i for g in groups for i in set(g))
+    assert flat == list(range(13)) or sorted(set(flat)) == list(range(13))
+    assert all(groups[j] for j in range(len(seeds)))
+
+
+def test_two_level_ivf_recall_holds_on_clusters(spark):
+    """On a clustered corpus the hatch is nearly free: coarse seeds and
+    fine cells align with the clusters, so two-level recall matches flat
+    at equal probe budget; ivfpq composes with it unchanged."""
+    import random
+
+    rnd = random.Random(42)
+    centers = [
+        [(1.0 if (c >> b) & 1 else -1.0) * 3.0 for b in range(8)]
+        for c in range(4)
+    ]
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[v + rnd.uniform(-0.3, 0.3) for v in centers[i % 4]],
+        )
+        for i in range(160)
+    ]
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, q, k=10).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                embs, q, k=10, n_centroids=8, n_probe=2,
+                centroids="kmeans", **kw,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    flat, two = recall(), recall(assign="two_level")
+    assert two >= flat - 0.1, (two, flat)
+    # composes through ivfpq (runs + produces full per-query k)
+    out = S.ivfpq_topk(
+        embs, q, k=5, n_centroids=8, n_probe=8, centroids="kmeans",
+        assign="two_level",
+    ).collect()
+    assert len(out) == 5 * 5
+
+
 def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
     """Trained coarse quantizer vs hash-stratified sample: on a corpus
     with real cluster structure, seed-fixed KMeans centers align cells

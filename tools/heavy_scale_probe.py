@@ -72,6 +72,14 @@ def main() -> None:
             "ann_ivfpq_serve",
             lambda: S.ivfpq_topk(embs, queries, k=10, n_probe=4),
         )
+        # the r14 linear-build hatch (coarse -> children assignment);
+        # same serve, same derived geometry
+        run(
+            "ann_ivfpq_serve_2lvl",
+            lambda: S.ivfpq_topk(
+                embs, queries, k=10, n_probe=4, assign="two_level"
+            ),
+        )
         run(
             "cc_dup_clusters",
             lambda: dup_clusters(
