@@ -137,3 +137,51 @@ def decontaminate_stream(
         .alias("overlap_ratio"),
         (ratio >= threshold).alias("contaminated"),
     )
+
+
+def shingle_ledger_ingest(
+    spark,
+    raw_path: str,
+    ledger_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    await_termination: bool = True,
+):
+    """Bookmarked ledger maintenance — the at-ingest half of
+    cross-snapshot decontamination (:func:`..operators.decontam.
+    shingle_ledger` / ``ledger_decontaminate``): one ``availableNow``
+    run drains document parquet files the checkpoint has not seen and
+    APPENDS their fixed-width (doc_id, shingle_hash) ledger rows to
+    ``ledger_path``. Because the ledger is appendable (union of
+    per-snapshot ledgers == ledger of the union, pinned in
+    tests/test_decontam_ledger.py), every ingested snapshot's index
+    accrues incrementally — a benchmark arriving months later is
+    screened by ONE ledger scan with zero corpus text re-reads.
+
+    Per micro-batch work is a pure projection + explode (no shuffle, no
+    state): exactly the Glue-bookmark ingest discipline
+    (:func:`.incremental.incremental_fhir_ingest`) applied to the
+    decontamination index. Returns the (terminated, unless
+    ``await_termination=False``) streaming query.
+    """
+    from ..operators.decontam import shingle_ledger
+
+    schema = spark.read.parquet(raw_path).schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(raw_path)
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: shingle_ledger(batch, n, id_col, text_col)
+            .write.mode("append")
+            .parquet(ledger_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -169,3 +169,39 @@ def test_short_doc_fallback_shingle(frames):
     got = _key(D.ledger_decontaminate(ledger, frames["eval"]).collect())
     ns, no, ratio, flag = got[8]
     assert ns == 1 and no == 0 and not flag
+
+
+def test_streaming_ledger_ingest_accrues_and_matches_batch(
+    spark, tmp_path, frames
+):
+    """The streaming arc (r14): two snapshots land as parquet files and
+    are drained by two bookmarked shingle_ledger_ingest runs — the
+    accrued ledger equals the batch ledger of the union row-for-row, a
+    third run is a no-op (bookmark semantics), and screening the
+    accrued ledger against the NEW eval set matches the batch text-side
+    twin exactly."""
+    from healthcare_aws_data_engineering_spark.streaming.decontam import (
+        shingle_ledger_ingest,
+    )
+
+    raw = str(tmp_path / "raw")
+    ledger_path = str(tmp_path / "ledger")
+    cp = str(tmp_path / "cp")
+    frames["s1"].coalesce(1).write.mode("append").parquet(raw)
+    shingle_ledger_ingest(spark, raw, ledger_path, cp)
+    frames["s2"].coalesce(1).write.mode("append").parquet(raw)
+    shingle_ledger_ingest(spark, raw, ledger_path, cp)
+    # bookmark: a third run with no new files appends nothing
+    shingle_ledger_ingest(spark, raw, ledger_path, cp)
+
+    accrued = spark.read.parquet(ledger_path)
+    want_rows = sorted(
+        map(tuple, D.shingle_ledger(frames["corpus"]).collect())
+    )
+    assert sorted(map(tuple, accrued.collect())) == want_rows
+
+    got = _key(D.ledger_decontaminate(accrued, frames["eval"]).collect())
+    want = _key(
+        D.decontaminate_external(frames["corpus"], frames["eval"]).collect()
+    )
+    assert got == want
