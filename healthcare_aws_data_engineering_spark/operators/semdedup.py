@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
     _centroid_cell,
+    _centroid_cell_two_level,
     _non_null,
     _resolve_index,
     band_keys_from_chunks,
@@ -50,6 +51,7 @@ def semantic_dedup(
     max_cluster: int = 256,
     target_cluster: int = 200,
     centroid_method: str = "sample",
+    assign: str = "flat",
 ) -> DataFrame:
     """SemDeDup: coarse-cluster the embedding space, then drop the
     higher-id member of every within-cluster pair whose cosine ≥
@@ -84,6 +86,14 @@ def semantic_dedup(
     truncation — the r5 recall probe measured the opposite arrangement
     (target 1000, cap 256) silently excluding ~75% of every cell's
     members from pair generation.
+
+    ``assign="two_level"`` (r14): coarse → children argmin assignment —
+    the same linear-build hatch as ``ivf_topk`` (SCALING.md r14), for
+    derived cell counts where the flat argmin's O(n·cells) build
+    dominates. Approximate assignment: a vector can land one cell over,
+    which only LOCALLY changes which pairs are generated (recall trade,
+    pinned in tests) — the keep/kept_by semantics per cluster are
+    unchanged.
 
     Scale note (100 TB): the literal-centroid projection assignment holds
     to ~10⁴ cells (plan-size bound). Past that, ``cells_for`` yields
@@ -129,7 +139,11 @@ def semantic_dedup(
             F.lit(0).cast("long"),
             lambda s, x: s + x,
         ).alias("__n2"),
-        _centroid_cell(F.col("__q"), centroids, exact=True).alias("cluster"),
+        (
+            _centroid_cell_two_level
+            if assign == "two_level"
+            else _centroid_cell
+        )(F.col("__q"), centroids, exact=True).alias("cluster"),
     ).persist()
     rn = F.row_number().over(
         W.partitionBy("cluster").orderBy(

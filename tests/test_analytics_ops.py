@@ -507,3 +507,26 @@ def test_debounce_transitive_chain(spark):
     ).collect()
     # chain 0-120 collapses to event 0 (burst 1); 500,530 to event 4
     assert {(r["event_id"], r["burst_seq"]) for r in kept} == {(0, 1), (4, 2)}
+
+
+def test_semantic_dedup_two_level_assign_catches_clones(spark):
+    """r14 linear-build hatch wired through SemDeDup: an exact clone is
+    bit-identical input to the (deterministic) two-level argmin, so it
+    lands in its original's cell and is dropped exactly like the flat
+    path; corpus coverage and keep/kept_by semantics are unchanged."""
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        sample_centroids,
+    )
+
+    corpus = _dup_corpus(spark)
+    cents = sample_centroids(corpus, 9)
+    flat = semantic_dedup(corpus, cents, threshold=0.9).collect()
+    two = semantic_dedup(
+        corpus, cents, threshold=0.9, assign="two_level"
+    ).collect()
+    assert len(two) == len(flat) == corpus.count()
+    by_id = {r["vec_id"]: r for r in two}
+    for vid in range(5):
+        clone = by_id[vid + 10_000]
+        assert clone["keep"] == 0
+        assert clone["kept_by"] == vid

@@ -536,3 +536,31 @@ def test_market_share_single_pass_two_sums(spark):
     assert "EqualTo(p_type,ECONOMY)" in plan, plan
     # exactly one aggregate pair: both sums in the same HashAggregate
     assert tree.count("HashAggregate") == 2, plan
+
+
+def test_ledger_decontaminate_broadcasts_eval_and_shuffles_once(spark):
+    """r14 cross-snapshot ledger screen: the corpus-scale ledger must
+    stream through ONE BroadcastHashJoin against the (benchmark-sized)
+    eval hash set and pay exactly ONE exchange — the final doc_id
+    aggregation. A shingle-keyed shuffle of the ledger would re-create
+    the 100 TB pass the ledger exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators import decontam as D
+
+    ledger = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("doc_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("shingle_hash"),
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    plan = plan_string(D.ledger_decontaminate(ledger, eval_docs))
+    # eval hashes are the BUILD side of a broadcast join — the ledger
+    # streams as the probe side
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan, plan
+    # exactly two exchanges: the benchmark-sized eval DISTINCT and the
+    # final doc_id aggregation — neither keyed on shingle over the
+    # corpus-scale ledger
+    assert _n_exchanges(plan) <= 2, plan
