@@ -633,12 +633,15 @@ def test_two_level_ivf_recall_holds_on_clusters(spark):
 
     flat, two = recall(), recall(assign="two_level")
     assert two >= flat - 0.1, (two, flat)
-    # composes through ivfpq (runs + produces full per-query k)
-    out = S.ivfpq_topk(
-        embs, q, k=5, n_centroids=8, n_probe=8, centroids="kmeans",
-        assign="two_level",
-    ).collect()
-    assert len(out) == 5 * 5
+    # composes through ivfpq (runs + produces full per-query k), in
+    # BOTH pricing modes — residual's per-cell ADC tables read the
+    # two-level cell column exactly like the flat one
+    for residual in (False, True):
+        out = S.ivfpq_topk(
+            embs, q, k=5, n_centroids=8, n_probe=8, centroids="kmeans",
+            assign="two_level", residual=residual,
+        ).collect()
+        assert len(out) == 5 * 5
 
 
 def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
