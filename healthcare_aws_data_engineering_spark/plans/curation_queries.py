@@ -123,6 +123,117 @@ def lm_score(
     )
 
 
+BIGRAM_LM_THRESHOLD = -6.0  # mean bigram logprob below this -> flagged
+BIGRAM_SMOOTH_K = 1  # Laplace add-k (integer: keeps every logprob a ln of a rational)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    threshold: float = BIGRAM_LM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram LM quality score — the order-1 step past :func:`lm_score`
+    toward CCNet's KenLM filter: per document, the mean conditional
+    log-probability ln P(w_i | w_{i-1}) under the corpus's OWN
+    Laplace-smoothed bigram model,
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V)
+
+    with k = ``BIGRAM_SMOOTH_K`` and V the corpus unigram vocabulary
+    size. Word-salad scores far below the corpus norm even when every
+    individual word is common — the signal unigram lm_score cannot see.
+    Documents with fewer than two tokens have no bigram and no row.
+
+    Cross-engine determinism, same recipe as lm_score: every bigram's
+    logprob is ONE ln of a rational of integers snapped to the
+    DECIMAL(18,6) grid; per-doc sums are exact decimal addition.
+
+    Scale shape: bigram pairs are built IN-ROW (zip_with against the
+    word array's own shifted slice — no token self-join); the bigram
+    and unigram count tables are bounded-key hash aggs (vocabulary-
+    scale, Heaps' law) broadcast back; the per-doc mean is one
+    map-side-combining agg by doc_id. Nothing corpus-sized shuffles.
+    At web scale the bigram table outgrows comfortable broadcast before
+    the unigram one does — prune it with a min-count floor there (the
+    smoothing term absorbs the pruned tail as unseen mass); the
+    unpruned form is what the tests pin.
+    """
+    from pyspark.sql import Window as _W, functions as F2
+
+    ws = F2.split(F2.trim(F2.col(text_col)), r"\s+")
+    pair = F2.filter(
+        F2.zip_with(
+            ws,
+            F2.slice(ws, 2, F2.greatest(F2.size(ws) - 1, F2.lit(0))),
+            lambda a, b: F2.when(
+                a.isNotNull() & b.isNotNull(), F2.concat(a, F2.lit(" "), b)
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    toks = docs.select(
+        F2.col(id_col).alias("doc_id"), F2.explode(ws).alias("w")
+    )
+    bigs = docs.select(
+        F2.col(id_col).alias("doc_id"), F2.explode(pair).alias("bg")
+    )
+    uni = toks.groupBy("w").agg(F2.count(F2.lit(1)).alias("cu"))
+    # V via the lm_score r9 pattern: one unpartitioned window over the
+    # vocab aggregate (vocabulary-sized funnel, never a corpus scan)
+    w_all = _W.partitionBy().rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    uni = uni.withColumn("v", F2.count(F2.lit(1)).over(w_all))
+    big = bigs.groupBy("bg").agg(F2.count(F2.lit(1)).alias("cb"))
+    k = BIGRAM_SMOOTH_K
+    # logprob table keyed by bigram: join unigram stats of the LEFT word
+    lp = (
+        big.withColumn("w", F2.split_part(F2.col("bg"), F2.lit(" "), F2.lit(1)))
+        .join(F2.broadcast(uni), "w")
+        .select(
+            "bg",
+            F2.log(
+                (F2.col("cb") + F2.lit(k))
+                / (F2.col("cu") + F2.lit(k) * F2.col("v")).cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("lpd"),
+        )
+    )
+    # unseen-bigram floor per LEFT word: ln(k / (cu + k·V)) — what a doc
+    # pays for a transition the corpus never saw (possible only for
+    # docs outside the training corpus; self-scoring always joins)
+    per = (
+        bigs.withColumn(
+            "w", F2.split_part(F2.col("bg"), F2.lit(" "), F2.lit(1))
+        )
+        .join(F2.broadcast(lp), "bg", "left")
+        .join(F2.broadcast(uni), "w")
+        .select(
+            "doc_id",
+            F2.coalesce(
+                F2.col("lpd"),
+                F2.log(
+                    F2.lit(k)
+                    / (F2.col("cu") + F2.lit(k) * F2.col("v")).cast("double")
+                ).cast("decimal(18,6)"),
+            ).alias("lpd"),
+        )
+        .groupBy("doc_id")
+        .agg(F2.sum("lpd").alias("s"), F2.count(F2.lit(1)).alias("n_bigrams"))
+    )
+    mean = F2.col("s").cast("double") / F2.col("n_bigrams")
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F2.round(mean, 6).cast("decimal(18,6)").cast("double").alias(
+            "mean_bigram_logprob"
+        ),
+        (mean < threshold).alias("bigram_lm_flag"),
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
 

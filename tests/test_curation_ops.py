@@ -785,3 +785,99 @@ def test_bloom_decontaminate_releases_its_cache(spark):
     assert jsc.getPersistentRDDs().size() == before  # eager phase released it
     assert out.count() > 0  # lazy verify leg recomputes, no cache needed
     assert jsc.getPersistentRDDs().size() == before
+
+
+# ------------------------------------------------ bigram LM score (r14) --
+_BG_PATTERNS = [
+    "the cat sat on the mat",
+    "the dog sat on the mat",
+    "the cat sat on the rug",
+    "the dog sat on the rug",
+]
+# 20 natural docs (5 repeats of each pattern) give real bigrams counts
+# the Laplace floor cannot drown; doc 21 is word salad — every WORD is
+# corpus-common, every BIGRAM novel, the order-1 signal the unigram
+# filter cannot see; doc 22 has no bigram and must get no row
+_BG_DOCS = (
+    [(i + 1, _BG_PATTERNS[i % 4]) for i in range(20)]
+    + [(21, "mat the on cat dog sat"), (22, "x")]
+)
+
+
+def _bg_python_twin(rows):
+    """Exact python replica of bigram_lm_score's math (decimal snaps,
+    decimal sums) for the fixture corpus."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def snap(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for _, text in rows:
+        ws = text.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for did, text in rows:
+        ws = text.split()
+        if len(ws) < 2:
+            continue
+        s = Decimal(0)
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            p = (big.get((a, b), 0) + 1) / (uni[a] + v)
+            s += snap(math.log(p))
+            n += 1
+        mean = float(s) / n
+        out[did] = (n, float(snap(mean)))
+    return out
+
+
+def test_bigram_lm_matches_python_twin(spark):
+    docs = spark.createDataFrame(_BG_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_bigram_logprob)
+        for r in cq.bigram_lm_score(docs).collect()
+    }
+    want = _bg_python_twin(_BG_DOCS)
+    assert set(got) == set(want)
+    for did, (n, m) in want.items():
+        assert got[did][0] == n
+        assert got[did][1] == pytest.approx(m, abs=2e-6)
+
+
+def test_bigram_lm_flags_word_salad_where_unigram_cannot(spark):
+    docs = spark.createDataFrame(_BG_DOCS, "doc_id long, text string")
+    bg = {
+        r.doc_id: r.mean_bigram_logprob
+        for r in cq.bigram_lm_score(docs).collect()
+    }
+    naturals = [bg[d] for d in range(1, 21)]
+    assert bg[21] < min(naturals) - 1.0, (bg[21], naturals)
+    # the unigram filter sees nothing: doc 21 reuses only corpus-common
+    # words, so its mean unigram logprob sits inside the natural band
+    uni = {
+        r.doc_id: r.mean_logprob for r in cq.lm_score(docs).collect()
+    }
+    assert min(uni[d] for d in range(1, 21)) - 0.5 <= uni[21]
+    # a threshold between the bands flags exactly the salad
+    mid = (bg[21] + min(naturals)) / 2
+    flags = {
+        r.doc_id: r.bigram_lm_flag
+        for r in cq.bigram_lm_score(docs, threshold=mid).collect()
+    }
+    assert flags[21] and not any(flags[d] for d in range(1, 21))
+
+
+def test_bigram_lm_short_docs_have_no_row_and_runs_deterministic(spark):
+    docs = spark.createDataFrame(_BG_DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, cq.bigram_lm_score(docs).collect()))
+    b = sorted(map(tuple, cq.bigram_lm_score(docs).collect()))
+    assert a == b
+    assert 22 not in {t[0] for t in a}
