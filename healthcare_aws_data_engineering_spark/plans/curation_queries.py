@@ -13,9 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.decontam import (
+    EVAL_PCT,
     bloom_decontaminate,
     decontaminate,
     decontaminate_sql,
+    eval_bucket,
+    ledger_decontaminate,
+    shingle_ledger,
 )
 from ..operators.ingest import (
     incremental_dedup,
@@ -45,6 +49,27 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's oracle verbatim (the strongest correctness statement a scale
     variant can make)."""
     return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def q_ledger_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ledger decontamination (r14 stretch, promoted to a
+    driver-oracled row in r15 via the capacity policy's retire clause):
+    the corpus side is represented ONLY by its persisted-shape shingle
+    ledger — fixed-width (doc_id, shingle_hash) rows, the artifact
+    :func:`..streaming.decontam.shingle_ledger_ingest` accrues at ingest
+    — and the eval split arrives as new text. Row-identical to
+    `decontaminate` on the same table (hash-keyed instead of
+    string-keyed probe; pinned in tests/test_decontam_ledger.py), so it
+    shares that query's oracle verbatim — the same
+    strongest-correctness-statement precedent as `bloom_decontam`."""
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = eval_bucket(F2.col("doc_id"))
+    return ledger_decontaminate(
+        shingle_ledger(docs.filter(bucket >= EVAL_PCT)),
+        docs.filter(bucket < EVAL_PCT),
+    )
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +157,7 @@ def bigram_lm_score(
     threshold: float = BIGRAM_LM_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 1,
 ) -> DataFrame:
     """Bigram LM quality score — the order-1 step past :func:`lm_score`
     toward CCNet's KenLM filter: per document, the mean conditional
@@ -155,9 +181,15 @@ def bigram_lm_score(
     scale, Heaps' law) broadcast back; the per-doc mean is one
     map-side-combining agg by doc_id. Nothing corpus-sized shuffles.
     At web scale the bigram table outgrows comfortable broadcast before
-    the unigram one does — prune it with a min-count floor there (the
-    smoothing term absorbs the pruned tail as unseen mass); the
-    unpruned form is what the tests pin.
+    the unigram one does — ``min_count`` is that floor (r14 advice):
+    bigrams seen fewer than ``min_count`` times are dropped from the
+    logprob table and priced by the unseen-transition coalesce floor
+    instead, so the Laplace term absorbs the pruned tail as unseen
+    mass. The lp join is deliberately UNHINTED — AQE broadcasts it
+    while it is small and demotes to a shuffle join when it is not
+    (the ``dedup_weighted`` precedent); the unigram table stays hinted
+    (vocabulary-bounded by Heaps' law). The default ``min_count=1``
+    (no pruning) is what the tests and the driver oracle pin.
     """
     from pyspark.sql import Window as _W, functions as F2
 
@@ -186,6 +218,8 @@ def bigram_lm_score(
     )
     uni = uni.withColumn("v", F2.count(F2.lit(1)).over(w_all))
     big = bigs.groupBy("bg").agg(F2.count(F2.lit(1)).alias("cb"))
+    if min_count > 1:
+        big = big.filter(F2.col("cb") >= min_count)
     k = BIGRAM_SMOOTH_K
     # logprob table keyed by bigram: join unigram stats of the LEFT word
     lp = (
@@ -208,7 +242,9 @@ def bigram_lm_score(
         bigs.withColumn(
             "w", F2.split_part(F2.col("bg"), F2.lit(" "), F2.lit(1))
         )
-        .join(F2.broadcast(lp), "bg", "left")
+        # UNHINTED lp join (r14 advice): at web scale the bigram table
+        # is the first to outgrow broadcast — let AQE pick the strategy
+        .join(lp, "bg", "left")
         .join(F2.broadcast(uni), "w")
         .select(
             "doc_id",
@@ -238,6 +274,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 LM filter (r14, promoted to a driver-oracled row in r15
+    via the capacity policy's retire clause) at its pinned defaults:
+    unpruned bigram table, Laplace k=1, threshold -6.0."""
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 _LM_SCORE_SQL = rf"""
 WITH
   w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
@@ -260,6 +303,49 @@ SELECT doc_id, n_tokens,
        CAST(CAST(round(CAST(s AS DOUBLE) / n_tokens, 6) AS DECIMAL(18,6))
             AS DOUBLE) AS mean_logprob,
        CAST(s AS DOUBLE) / n_tokens < {LM_THRESHOLD} AS lm_flag
+FROM per
+"""
+
+# Oracle twin of q_bigram_lm_score, built from the SAME constants so the
+# smoothing k / threshold can never drift. Same determinism recipe as
+# _LM_SCORE_SQL: every bigram's logprob is ONE ln of a rational of
+# integers — (cb + k) / (cu + k·V) — snapped to the DECIMAL(18,6) grid,
+# per-doc sums are exact decimal addition, and the mean's final
+# round+snap matches the Spark side cast-for-cast. Self-scoring means
+# every document bigram exists in the count table, so the Spark side's
+# unseen-transition coalesce floor is dead code here and the oracle can
+# use a plain inner join.
+_BIGRAM_LM_SCORE_SQL = rf"""
+WITH
+  w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
+  tok AS (
+    SELECT doc_id, ws[i] AS w
+    FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+  ),
+  uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY w),
+  vv AS (SELECT COUNT(*) AS v FROM uni),
+  big AS (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 2
+  ),
+  bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+  lp AS (
+    SELECT bg,
+           CAST(ln((cb + {BIGRAM_SMOOTH_K})
+                   / CAST(cu + {BIGRAM_SMOOTH_K} * (SELECT v FROM vv)
+                          AS DOUBLE))
+                AS DECIMAL(18,6)) AS lpd
+    FROM bc JOIN uni ON uni.w = split_part(bg, ' ', 1)
+  ),
+  per AS (
+    SELECT doc_id, SUM(lpd) AS s, COUNT(*) AS n_bigrams
+    FROM big JOIN lp USING (bg) GROUP BY doc_id
+  )
+SELECT doc_id, n_bigrams,
+       CAST(CAST(round(CAST(s AS DOUBLE) / n_bigrams, 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS mean_bigram_logprob,
+       CAST(s AS DOUBLE) / n_bigrams < {BIGRAM_LM_THRESHOLD} AS bigram_lm_flag
 FROM per
 """
 
@@ -519,11 +605,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bloom_decontam": q_bloom_decontam,
+    "ledger_decontaminate": q_ledger_decontaminate,
     "bm25_search": q_bm25_search,
     "repetition_filter": q_repetition_filter,
     "incremental_dedup": q_incremental_dedup,
     "shard_manifest": q_shard_manifest,
     "lm_score": q_lm_score,
+    "bigram_lm_score": q_bigram_lm_score,
     "pii_redact": q_pii_redact,
     "rrf_fusion": q_rrf_fusion,
     "dsir_select": q_dsir_select,
@@ -534,11 +622,17 @@ CURATION_ORACLE: dict[str, str] = {
     # identical semantics, different physical plan: the bloom path is
     # pinned to the SAME oracle as the exact path.
     "bloom_decontam": decontaminate_sql("documents"),
+    # identical semantics again: the ledger path probes xxhash64 keys
+    # instead of shingle strings (collision odds ~n²/2⁶⁵ — zero on this
+    # corpus, pinned in tests/test_decontam_ledger.py), so it shares the
+    # exact path's oracle too.
+    "ledger_decontaminate": decontaminate_sql("documents"),
     "bm25_search": bm25_sql("documents", BM25_TERMS, k=BM25_K),
     "repetition_filter": _repetition_sql(),
     "incremental_dedup": incremental_dedup_sql("documents"),
     "shard_manifest": shard_manifest_sql("documents"),
     "lm_score": _LM_SCORE_SQL,
+    "bigram_lm_score": _BIGRAM_LM_SCORE_SQL,
     "pii_redact": _pii_redact_sql(),
     "rrf_fusion": _rrf_fusion_sql(),
     "dsir_select": dsir_sql("documents"),

@@ -369,37 +369,16 @@ WHERE event_type = 'click' AND value < 70
 """
 
 
-def q_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7/O1: BETWEEN on the timestamp (repaired AWS_Athena_queries.sql:75-77)."""
-    ev = _events(spark, sf_dir)
-    return ev.filter(
-        F.col("ts").between(
-            F.lit("2024-01-05 00:00:00").cast("timestamp"),
-            F.lit("2024-01-10 00:00:00").cast("timestamp"),
-        )
-    ).select("event_id", "user_id", "event_type", "value", "ts")
-
-
-_BETWEEN_FILTER_SQL = """
-SELECT event_id, user_id, event_type, value, ts FROM events
-WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
-"""
-
-
-def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 + P10: IN-list filter with null-safe value guard."""
-    ev = _events(spark, sf_dir)
-    return ev.filter(
-        F.col("event_type").isin("signup", "error")
-        & F.col("value").isNotNull()
-        & (F.col("value") < 1.0)
-    ).select("event_id", "user_id", "event_type", "value")
-
-
-_ISIN_FILTER_SQL = """
-SELECT event_id, user_id, event_type, value FROM events
-WHERE event_type IN ('signup','error') AND value IS NOT NULL AND value < 1.0
-"""
+# `between_filter` (P7/O1 BETWEEN-on-timestamp) and `isin_filter`
+# (P8+P10 IN-list with null guard) were RETIRED from the registry in r15
+# — the first exercise of the COVERAGE.md capacity policy's retire
+# clause (r14 verdict ask #2), freeing their two rotation slots for
+# `ledger_decontaminate` and `bigram_lm_score`. Their operator coverage
+# survives elsewhere: BETWEEN/range predicates in `q_time_rollup`,
+# `q_rolling_avg`, the warehouse shipdate shapes, and
+# `adhoc.observations_in_range` (pytest); IN-list + null-guard filters
+# in `report_cvd`/`report_prediabetes` (`pdm.when.isin` legs) and
+# `q_filtered_count`'s pushed-predicate plan test.
 
 
 def q_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,8 +937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "semi_anti_join": q_semi_anti_join,
     "filtered_count": q_filtered_count,
-    "between_filter": q_between_filter,
-    "isin_filter": q_isin_filter,
     "keyed_dedup": q_keyed_dedup,
     "frequency_count": q_frequency_count,
     "daily_latest": q_daily_latest,
@@ -998,8 +975,6 @@ ORACLE: dict[str, str] = {
     "revenue_by_nation": _REVENUE_BY_NATION_SQL,
     "semi_anti_join": _SEMI_ANTI_SQL,
     "filtered_count": _FILTERED_COUNT_SQL,
-    "between_filter": _BETWEEN_FILTER_SQL,
-    "isin_filter": _ISIN_FILTER_SQL,
     "keyed_dedup": _KEYED_DEDUP_SQL,
     "frequency_count": _FREQUENCY_COUNT_SQL,
     "daily_latest": _DAILY_LATEST_SQL,
@@ -1025,17 +1000,19 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # --------------------------------------------------------------------------
 # The driver checks only the FIRST 50 registry entries per round. Order
 # the registry so the 50-entry checked prefix covers the queries that
-# most need a fresh verdict. r14 rotation (executing the prefix r13
-# staged — r13 verdict ask #1): after r13 the freshness map is a clean
-# r13x50 / r12x50 / r11x50 — the checked prefix is exactly r13's staged
-# _CHECK_NEXT, promoted verbatim: the 50 r11-latest rows (three rounds
-# stale after r14). No queries were added to the registry in r14 (the
-# r13 capacity rule — new capability ships as pytest-oracled operator
-# modes; see COVERAGE.md "Registry capacity policy"), so there are no
-# day-one rows to seat.
-# _CHECK_NEXT stages the r15 prefix: the 50 r12-latest rows (three
-# rounds stale after r15) — a full prefix with no free slots, so any
-# query NEW in r15 must displace staged tail rows INTO r16's prefix
+# most need a fresh verdict. r15 rotation (executing the prefix r14
+# staged — r14 verdict ask #1): the checked prefix is r14's staged
+# _CHECK_NEXT (the 50 r12-latest rows, three rounds stale after r15)
+# with ONE exchange: `between_filter` and `isin_filter` were RETIRED
+# this round (the capacity policy's retire clause, first exercise —
+# r14 verdict ask #2; operator coverage survives, see the retirement
+# note above the keyed-dedup query), and their two freed slots seat the
+# two day-one promotions `ledger_decontaminate` and `bigram_lm_score`
+# (new rows MUST be in the checked prefix — they have no verdict yet).
+# Registry stays at exactly 150 = the 3x50 rotation capacity.
+# _CHECK_NEXT stages the r16 prefix: the 50 r13-latest rows (three
+# rounds stale after r16) — a full prefix with no free slots, so any
+# query NEW in r16 must displace staged tail rows INTO r17's prefix
 # (never dropped silently; the staleness-audit test in
 # tests/test_registry_consistency.py recomputes the required set from
 # bench_last.json and fails if staging misses a row).
@@ -1043,29 +1020,9 @@ ORACLE.update(WAREHOUSE_ORACLE)
 # tests/test_registry_consistency.py::test_gate_ordering_lists_are_valid,
 # which pins len(_CHECK_FIRST) == 50 — the r7 advice count-drift class.)
 _CHECK_FIRST = [
-    # r13's staged _CHECK_NEXT, promoted verbatim — the 50 r11 rows
-    "ann_multiprobe_topk", "asof_join", "basket_pairs",
-    "bloom_decontam", "bpe_pair_counts", "dataset_card",
-    "dedup_simhash", "disease_confidence", "distinct_sketch",
-    "dup_ngrams", "forecast", "funnel", "gap_fill", "hard_negatives",
-    "heavy_hitters", "height_weight_bmi", "hist_quantiles",
-    "incremental_dedup", "late_suppliers", "length_buckets",
-    "media_dup_clusters", "media_entropy", "media_near_dup",
-    "media_stats", "mixture_draw_exact", "ngram_jaccard",
-    "pack_sequences", "ppjoin_pairs", "profile_columns",
-    "quality_classifier", "range_join", "repeated_spans",
-    "repetition_filter", "rolling_avg", "semi_anti_join", "sessionize",
-    "set_ops", "severity_topk", "shard_manifest", "shingle_novelty",
-    "small_qty_revenue", "source_overlap", "split_assign",
-    "stratified_sample", "time_rollup", "token_budget_fill",
-    "top_supplier", "unpivot_wide", "vocab_topk", "word_bigrams",
-]
-# Staged r15 prefix: every r12-latest row (50 — three rounds stale
-# after r15). No free slots: r15 additions must displace tail rows into
-# the r16 prefix explicitly (the staleness-audit test enforces
-# coverage).
-_CHECK_NEXT = [
-    "ann_pq_topk", "attribution", "between_filter", "cluster_split",
+    # r14's staged _CHECK_NEXT (the 50 r12 rows) minus the two retired
+    # rows, plus the two r15 day-one promotions
+    "ann_pq_topk", "attribution", "bigram_lm_score", "cluster_split",
     "cohort_retention", "corpus_curation", "cube_summary",
     "curriculum_stages", "daily_latest", "debounce_events",
     "dedup_exact", "dedup_weighted", "doc_fingerprint", "domain_cap",
@@ -1073,13 +1030,34 @@ _CHECK_NEXT = [
     "etl_obs_choice", "etl_observations", "etl_patients", "eval_draw",
     "event_paths", "excess_suppliers", "filtered_count",
     "first_last_delta", "frequency_count", "fuzzy_match",
-    "int8_quantize", "isin_filter", "k_anonymity", "keyed_dedup",
-    "latest_per_key", "linear_trend", "min_cost_supplier",
+    "int8_quantize", "k_anonymity", "keyed_dedup", "latest_per_key",
+    "ledger_decontaminate", "linear_trend", "min_cost_supplier",
     "mixture_draw", "order_count_distribution", "part_value_share",
     "pricing_summary", "quality_calibrated", "rank_windows",
     "revenue_by_nation", "rfm_segments", "scd2_history",
     "semantic_dedup", "span_dedup", "span_scrub", "text_stats",
     "top3_per_group", "zipf_slope",
+]
+# Staged r16 prefix: every r13-latest row (50 — three rounds stale
+# after r16). No free slots: r16 additions must displace tail rows into
+# the r17 prefix explicitly (the staleness-audit test enforces
+# coverage).
+_CHECK_NEXT = [
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+    "bm25_search", "bracket_revenue", "decontaminate",
+    "dedup_minhash_lsh", "dist_summary", "doc_attributes", "doc_chunks",
+    "domain_cap_salted", "dormant_customers", "embedding_near_dup",
+    "etl_conditions", "frame_sample", "graph_pagerank",
+    "importance_sample", "json_props", "knn_graph", "large_orders",
+    "lm_score", "local_supplier_volume", "market_share",
+    "media_channel_stats", "media_decode", "media_dhash",
+    "media_features", "mix_weights", "ml_features", "ml_preprocess",
+    "ml_risk_scores", "nation_trade", "order_priority", "pii_redact",
+    "product_profit", "promo_revenue", "report_cvd",
+    "report_prediabetes", "returned_items", "revenue_share",
+    "rrf_fusion", "salted_agg", "shipping_priority", "skew_audit",
+    "source_terms", "supplier_part_counts", "training_order",
+    "wellness_monthly", "zscore_outliers",
 ]
 _CHECK_LAST: list[str] = []
 

@@ -46,7 +46,9 @@ def test_revenue_by_nation_broadcasts_dims(spark):
 def test_filter_pushdown_reaches_scan(spark):
     """Predicates on scans must appear as PushedFilters in the parquet
     scan node (row-group pruning at 100 TB depends on it)."""
-    plan = _plan(spark, "isin_filter")
+    # (targeted isin_filter until its r15 retirement; filtered_count
+    # carries the same pushed equality+range predicate shape)
+    plan = _plan(spark, "filtered_count")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and ("In(event_type" in m.group(1) or "EqualTo" in m.group(1)), plan
 
