@@ -137,7 +137,12 @@ def em_fit(
     word frequency), M = renormalize to piece log-probabilities.
     Deterministic: words iterate in sorted order and float sums fold in
     that fixed order."""
-    max_len = max((len(p) for p in pieces), default=1)
+    # r14 advice: an empty inventory (corpus with no words above
+    # min_count) would otherwise surface as an opaque math-domain error
+    # from log(0) — return the empty model instead
+    if not pieces:
+        return {}
+    max_len = max(len(p) for p in pieces)
     # uniform init — every EM trajectory starts identically
     init = -math.log(len(pieces))
     logp = {p: init for p in pieces}
@@ -275,6 +280,11 @@ def unigram_train(
         wc = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_vocab)
     freqs = {r["word"]: r["n"] for r in wc.collect()}
     pieces = seed_pieces(freqs, max_piece_len, seed_size)
+    if not pieces:
+        raise ValueError(
+            "empty piece inventory — no word in the corpus meets "
+            f"min_count={min_count}; lower min_count or check text_col"
+        )
     logp = em_fit(freqs, pieces, em_iters)
     return prune_to_size(freqs, logp, vocab_size)
 

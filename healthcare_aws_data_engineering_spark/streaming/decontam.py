@@ -39,6 +39,7 @@ from ..operators.decontam import (
     _bloom_geometry,
     _might_contain,
     bloom_bitset_bytes,
+    shingle_ledger,
 )
 from ..operators.dedup import word_shingles
 
@@ -139,6 +140,34 @@ def decontaminate_stream(
     )
 
 
+def _write_ledger_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ledger_path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Idempotent per-micro-batch ledger write (r14 advice): each batch
+    lands in its OWN ``__batch_id`` partition with dynamic partition
+    overwrite, so a replayed batch (crash between the write and the
+    checkpoint commit — foreachBatch is at-least-once) OVERWRITES its
+    previous partial/complete output instead of appending a duplicate
+    copy. Duplicate (doc_id, shingle_hash) rows would silently inflate
+    n_shingles/n_overlap in ``ledger_decontaminate`` and break the
+    ledger == batch-twin row-identity pin; with the partition-keyed
+    overwrite, re-running any batch id is a no-op on the final rows
+    (pinned in tests/test_decontam_ledger.py)."""
+    (
+        shingle_ledger(batch, n, id_col, text_col)
+        .withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(ledger_path)
+    )
+
+
 def shingle_ledger_ingest(
     spark,
     raw_path: str,
@@ -153,12 +182,21 @@ def shingle_ledger_ingest(
     cross-snapshot decontamination (:func:`..operators.decontam.
     shingle_ledger` / ``ledger_decontaminate``): one ``availableNow``
     run drains document parquet files the checkpoint has not seen and
-    APPENDS their fixed-width (doc_id, shingle_hash) ledger rows to
-    ``ledger_path``. Because the ledger is appendable (union of
-    per-snapshot ledgers == ledger of the union, pinned in
-    tests/test_decontam_ledger.py), every ingested snapshot's index
-    accrues incrementally — a benchmark arriving months later is
-    screened by ONE ledger scan with zero corpus text re-reads.
+    writes their fixed-width (doc_id, shingle_hash) ledger rows to
+    ``ledger_path``, one ``__batch_id`` partition per micro-batch (an
+    idempotent sink — see :func:`_write_ledger_batch`; readers that
+    ``select`` the two ledger columns never see the partition key).
+    Because the ledger is appendable (union of per-snapshot ledgers ==
+    ledger of the union, pinned in tests/test_decontam_ledger.py),
+    every ingested snapshot's index accrues incrementally — a benchmark
+    arriving months later is screened by ONE ledger scan with zero
+    corpus text re-reads.
+
+    ``ledger_path`` and ``checkpoint_path`` are a PAIRED artifact:
+    batch ids are per-checkpoint, so pointing a fresh checkpoint at an
+    existing ledger would overwrite its earliest partitions — version
+    them together (the standard contract for any idempotent
+    foreachBatch sink).
 
     Per micro-batch work is a pure projection + explode (no shuffle, no
     state): exactly the Glue-bookmark ingest discipline
@@ -166,17 +204,15 @@ def shingle_ledger_ingest(
     decontamination index. Returns the (terminated, unless
     ``await_termination=False``) streaming query.
     """
-    from ..operators.decontam import shingle_ledger
-
     schema = spark.read.parquet(raw_path).schema
     stream = spark.readStream.schema(schema).option(
         "recursiveFileLookup", "true"
     ).parquet(raw_path)
     query = (
         stream.writeStream.foreachBatch(
-            lambda batch, _id: shingle_ledger(batch, n, id_col, text_col)
-            .write.mode("append")
-            .parquet(ledger_path)
+            lambda batch, batch_id: _write_ledger_batch(
+                batch, batch_id, ledger_path, n, id_col, text_col
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

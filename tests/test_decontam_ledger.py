@@ -198,10 +198,47 @@ def test_streaming_ledger_ingest_accrues_and_matches_batch(
     want_rows = sorted(
         map(tuple, D.shingle_ledger(frames["corpus"]).collect())
     )
-    assert sorted(map(tuple, accrued.collect())) == want_rows
+    # the idempotent sink adds a __batch_id partition key (r14 advice);
+    # the ledger's two payload columns are unchanged
+    assert sorted(
+        map(tuple, accrued.select("doc_id", "shingle_hash").collect())
+    ) == want_rows
 
     got = _key(D.ledger_decontaminate(accrued, frames["eval"]).collect())
     want = _key(
         D.decontaminate_external(frames["corpus"], frames["eval"]).collect()
+    )
+    assert got == want
+
+
+def test_ledger_ingest_batch_replay_is_idempotent(spark, tmp_path, frames):
+    """r14 advice (medium): foreachBatch is at-least-once — a crash
+    between the ledger write and the checkpoint commit replays the
+    batch on restart. The partition-keyed overwrite sink must make the
+    replay a no-op on the final rows: writing the SAME batch id twice
+    (even a partial first attempt) leaves exactly one copy, and other
+    batches' partitions are untouched."""
+    from healthcare_aws_data_engineering_spark.streaming.decontam import (
+        _write_ledger_batch,
+    )
+
+    ledger_path = str(tmp_path / "ledger")
+    _write_ledger_batch(frames["s1"], 0, ledger_path)
+    # simulate a crash-replay of batch 0: first attempt wrote only a
+    # prefix of the snapshot, the restarted attempt writes it whole
+    _write_ledger_batch(frames["s1"].limit(2), 0, ledger_path)
+    _write_ledger_batch(frames["s1"], 0, ledger_path)
+    _write_ledger_batch(frames["s2"], 1, ledger_path)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(ledger_path)
+            .select("doc_id", "shingle_hash")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, D.shingle_ledger(frames["corpus"]).collect())
     )
     assert got == want

@@ -107,6 +107,23 @@ def test_viterbi_unknown_char_fallback():
     assert "".join(U.viterbi_encode_word("zzz", TABLE)) == "zzz"
 
 
+def test_em_fit_empty_inventory_returns_empty_model():
+    """r14 advice: an empty piece inventory must not surface as an
+    opaque 'math domain error' from log(0)."""
+    assert U.em_fit({}, []) == {}
+
+
+def test_unigram_train_empty_inventory_raises_clear_error(spark):
+    """No word meets min_count → a named ValueError, not a log(0)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "each word appears exactly once here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="min_count"):
+        U.unigram_train(docs, min_count=10)
+
+
 def test_em_is_monotone_on_corpus_loglik():
     freqs = {"abab": 10, "ab": 5, "ba": 3, "abc": 2, "cab": 1}
     pieces = U.seed_pieces(freqs, max_piece_len=4, seed_size=50)
