@@ -37,6 +37,7 @@ from .similarity import (
     cells_for,
     kmeans_centroids,
     quantize_vec,
+    resolve_assign,
     sample_centroids,
     sig_chunks_q,
 )
@@ -51,7 +52,7 @@ def semantic_dedup(
     max_cluster: int = 256,
     target_cluster: int = 200,
     centroid_method: str = "sample",
-    assign: str = "flat",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup: coarse-cluster the embedding space, then drop the
     higher-id member of every within-cluster pair whose cosine ≥
@@ -87,13 +88,16 @@ def semantic_dedup(
     (target 1000, cap 256) silently excluding ~75% of every cell's
     members from pair generation.
 
-    ``assign="two_level"`` (r14): coarse → children argmin assignment —
-    the same linear-build hatch as ``ivf_topk`` (SCALING.md r14), for
-    derived cell counts where the flat argmin's O(n·cells) build
-    dominates. Approximate assignment: a vector can land one cell over,
-    which only LOCALLY changes which pairs are generated (recall trade,
-    pinned in tests) — the keep/kept_by semantics per cluster are
-    unchanged.
+    ``assign`` (r14 hatch, r15 auto): ``"auto"`` (default) resolves via
+    :func:`similarity.resolve_assign` — flat exact argmin at or below
+    ``similarity.TWO_LEVEL_AUTO_CELLS`` cells, two-level coarse →
+    children argmin above it, where the flat argmin's O(n·cells) build
+    is the measured super-linear cost (SCALING.md r14). The driver
+    query pins explicit literal centroids far below the bound, so gated
+    behavior is the flat path. Two-level is approximate assignment: a
+    vector can land one cell over, which only LOCALLY changes which
+    pairs are generated (recall trade, pinned in tests) — the
+    keep/kept_by semantics per cluster are unchanged.
 
     Scale note (100 TB): the literal-centroid projection assignment holds
     to ~10⁴ cells (plan-size bound). Past that, ``cells_for`` yields
@@ -121,6 +125,7 @@ def semantic_dedup(
             centroids = kmeans_centroids(corpus, n_cells, vec_col=vec_col)
         else:
             raise ValueError(f"unknown centroid_method {centroid_method!r}")
+    assign = resolve_assign(assign, len(centroids))
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),

@@ -837,6 +837,35 @@ def _lit_nested3_double(groups: list[list[list[float]]]) -> Column:
     return F.expr(f"array({body})")
 
 
+# Auto-select boundary for the assignment strategy (r14 verdict ask,
+# encoded r15): the flat argmin costs O(n_cells · dim) per row and the
+# heavy-scale probe measured it as THE super-linear build cost once
+# derived cell counts reach the low hundreds (SCALING.md r14: 160 cells
+# at M=16 ⇒ flat build 7.2× slower end-to-end than two_level; 320 cells
+# at M=32 ⇒ 5.2×). Below the bound flat stays the default — it is exact
+# (no 0.010 recall price) and its per-row cost is trivial at ≤128
+# centroids. Every driver-oracled corpus derives ≤~10 cells, so gated
+# behavior is unchanged by ``assign="auto"``.
+TWO_LEVEL_AUTO_CELLS = 128
+
+
+def resolve_assign(assign: str, n_cells: int) -> str:
+    """Resolve an ``assign`` knob (``"auto"``/``"flat"``/``"two_level"``)
+    against the index's actual cell count: ``"auto"`` picks the flat
+    exact argmin at or below :data:`TWO_LEVEL_AUTO_CELLS` cells and the
+    two-level coarse→children hatch above it (where the flat build's
+    O(n·cells·dim) cost is measured super-linear — SCALING.md r14).
+    Explicit values pass through untouched, so the driver-oracled flat
+    pin and the probe's forced-hatch runs both stay expressible."""
+    if assign == "auto":
+        return "two_level" if n_cells > TWO_LEVEL_AUTO_CELLS else "flat"
+    if assign not in ("flat", "two_level"):
+        raise ValueError(
+            f"assign must be 'auto', 'flat' or 'two_level', got {assign!r}"
+        )
+    return assign
+
+
 def two_level_groups(
     cents: list[list[float]],
 ) -> tuple[list[int], list[list[int]]]:
@@ -977,16 +1006,19 @@ def ivf_topk(
     centroids: str | list[list[float]] = "sample",
     exact: bool = False,
     target_cell: int = 200,
-    assign: str = "flat",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are assigned to coarse
     cells (argmin distance to centroids), each query probes only its
     ``n_probe`` nearest cells, and candidates are exactly reranked.
 
-    ``assign``: ``"flat"`` (exact argmin over every centroid — the
-    driver-oracled default) or ``"two_level"`` (coarse → children
-    argmin, :func:`_centroid_cell_two_level` — the linear-build hatch
-    for corpus-derived cell counts, where flat assignment is
+    ``assign``: ``"auto"`` (the default — flat at or below
+    :data:`TWO_LEVEL_AUTO_CELLS` cells, two-level above, via
+    :func:`resolve_assign`; every driver-oracled corpus derives ≤~10
+    cells so gated behavior is the flat pin), ``"flat"`` (exact argmin
+    over every centroid) or ``"two_level"`` (coarse → children argmin,
+    :func:`_centroid_cell_two_level` — the linear-build hatch for
+    corpus-derived cell counts, where flat assignment is
     O(n · n_cells · dim) = O(n²·dim/target); approximate assignment,
     recall-pinned in tests).
 
@@ -1029,6 +1061,7 @@ def ivf_topk(
         F.col(vec_col).alias("neighbor_vec"),
         (quantize_vec(F.col(vec_col)) if exact else F.col(vec_col)).alias("__v"),
     )
+    assign = resolve_assign(assign, len(cents))
     cell_of = (
         _centroid_cell_two_level if assign == "two_level" else _centroid_cell
     )
@@ -1340,7 +1373,7 @@ def ivfpq_topk(
     codebooks: list[list[list[int]]] | None = None,
     target_cell: int = 200,
     residual: bool = False,
-    assign: str = "flat",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF-PQ top-k — the composed 100 TB serving shape (coarse IVF cells
     prune WHICH codes are scanned, PQ-ADC prices the survivors): the
@@ -1370,8 +1403,10 @@ def ivfpq_topk(
     in the same broadcast projection. All arithmetic stays on the exact
     micro-unit long grid in both modes.
 
-    ``assign="two_level"``: coarse → children argmin for the index-side
-    cell assignment (same hatch and caveats as :func:`ivf_topk` —
+    ``assign``: same knob as :func:`ivf_topk` — ``"auto"`` (default:
+    flat at or below :data:`TWO_LEVEL_AUTO_CELLS` cells, two-level
+    above, :func:`resolve_assign`), ``"flat"``, or ``"two_level"``
+    (coarse → children argmin for the index-side cell assignment —
     linear build under corpus-derived cell counts, approximate
     assignment, recall-pinned in tests; SCALING.md r14 names the flat
     argmin as the probe's one super-linear cost).
@@ -1446,6 +1481,7 @@ def ivfpq_topk(
             ).alias("__v"),
         )
 
+    assign = resolve_assign(assign, len(cents))
     cell_of = (
         _centroid_cell_two_level if assign == "two_level" else _centroid_cell
     )

