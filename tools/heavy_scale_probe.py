@@ -18,7 +18,24 @@ Families probed (each is a full pipeline, not a primitive):
   in-row probe + exact verify over candidates — bitset size follows
   the 10%-bucket eval set, probe is O(rows).
 
-Run:   python tools/heavy_scale_probe.py [multipliers ...]   # default 1 2 4 8 16
+r15 additions (r14 verdict ask #4 — the families sharing the
+flat-assignment/banding geometry the IVF probe caught super-linear):
+
+- **knn_graph**: corpus×corpus banded-LSH candidate join + per-vector
+  top-k — derived bands, bucket caps.
+- **semantic_dedup** at derived cells, flat AND two_level assignment —
+  the direct analogue of the ivfpq flat-vs-hatch pair (cells_for grows
+  cells with the corpus, so the flat argmin is the suspect stage).
+- **ppjoin** (`prefix_jaccard_join`): exact set-similarity join —
+  prefix-filtered candidate join, no LSH.
+- **media decode→dHash** (`encoded_media_from_documents` →
+  `media_dhash`): the Arrow-codec image leg — container decode +
+  exact-integer perceptual hash, expected flat per row (zero-exchange
+  mapInPandas).
+
+Run:   python tools/heavy_scale_probe.py [multipliers ...] [ops ...]
+       # default M = 1 2 4 8 16; numeric args are multipliers,
+       # non-numeric args name ops to run (default: all)
 
 Prints one JSON line per (op, M); a final line gives per-doubling cost
 ratios (≈2 linear, ≈4 quadratic). Record results in SCALING.md.
@@ -41,6 +58,17 @@ from healthcare_aws_data_engineering_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from healthcare_aws_data_engineering_spark.operators.graph import dup_clusters
+from healthcare_aws_data_engineering_spark.operators.multimodal import (
+    encoded_media_from_documents,
+    media_dhash,
+)
+from healthcare_aws_data_engineering_spark.operators.ppjoin import (
+    prefix_jaccard_join,
+)
+from healthcare_aws_data_engineering_spark.operators.semdedup import (
+    knn_graph,
+    semantic_dedup,
+)
 from healthcare_aws_data_engineering_spark.operators.spans import span_dedup
 from healthcare_aws_data_engineering_spark.session import get_spark
 from healthcare_aws_data_engineering_spark.sources.tables import load_table
@@ -48,7 +76,8 @@ from tools.scale_probe import SF_DIR, replicate, timed
 
 
 def main() -> None:
-    ms = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8, 16]
+    ms = [int(x) for x in sys.argv[1:] if x.isdigit()] or [1, 2, 4, 8, 16]
+    only = {x for x in sys.argv[1:] if not x.isdigit()}
     spark = get_spark("heavy-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     embs0 = load_table(spark, SF_DIR, "embeddings")
@@ -61,6 +90,8 @@ def main() -> None:
         queries = embs0.filter(F.col("vec_id") < 50)
 
         def run(name, fn):
+            if only and name not in only:
+                return
             sec, rows = timed(fn)
             results.setdefault(name, {})[m] = sec
             print(json.dumps({"op": name, "m": m, "sec": sec, "rows": rows}),
@@ -88,6 +119,27 @@ def main() -> None:
         )
         run("span_dedup", lambda: span_dedup(docs))
         run("bloom_decontam", lambda: bloom_decontaminate(docs))
+        # r15 additions — the unprobed heavy families
+        run("knn_graph", lambda: knn_graph(embs))
+        # derived cells (cells_for = n/200): the flat argmin is the
+        # suspect super-linear stage; the 2lvl row prices the hatch
+        run(
+            "semdedup_flat",
+            lambda: semantic_dedup(embs, assign="flat"),
+        )
+        run(
+            "semdedup_2lvl",
+            lambda: semantic_dedup(embs, assign="two_level"),
+        )
+        run("ppjoin", lambda: prefix_jaccard_join(docs))
+        run(
+            "media_dhash",
+            lambda: media_dhash(
+                encoded_media_from_documents(docs).filter(
+                    F.col("kind") == "image"
+                )
+            ),
+        )
         embs.unpersist()
         docs.unpersist()
         spark.catalog.clearCache()
