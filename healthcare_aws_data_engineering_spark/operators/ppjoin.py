@@ -48,10 +48,37 @@ PPJ_SHINGLE_W = 3
 
 
 def _shingles(w: int) -> Column:
-    """Distinct word w-grams, built in-row from the staged ``__ws`` array."""
+    """Distinct word w-grams, built in-row from the staged ``__ws``
+    array. TOTAL on short arrays (r15): ``sequence(0, size-w)`` turns
+    DESCENDING when size < w and the concat then indexes out of bounds
+    — the below-width filter used to be the only guard, which broke the
+    moment a plan rewrite (the grouped path's join pushdown) evaluated
+    the projection against an unfiltered row; the conditional makes the
+    expression safe under any plan shape."""
     parts = " , ' ', ".join(f"__ws[i+{j}]" for j in range(w))
+    body = F.expr(
+        f"transform(sequence(0, size(__ws)-{w}), i -> concat({parts}))"
+    )
     return F.array_distinct(
-        F.expr(f"transform(sequence(0, size(__ws)-{w}), i -> concat({parts}))")
+        F.when(F.size(F.col("__ws")) >= w, body).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def _staged_shingles(
+    docs: DataFrame, shingle_w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __sh) — each doc's distinct shingle ARRAY (in-row), docs
+    below the shingle width dropped (both paths share this staging, so
+    their doc universes agree)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("__ws"),
+        )
+        .filter(F.size("__ws") >= shingle_w)
+        .select("id", _shingles(shingle_w).alias("__sh"))
     )
 
 
@@ -61,22 +88,38 @@ def prefix_jaccard_join(
     shingle_w: int = PPJ_SHINGLE_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedup_first: bool = False,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ t100/100 — exact, no LSH misses.
 
     Returns (a_id, b_id, shared, union_sz, jaccard), a_id < b_id.
-    """
+
+    ``dedup_first=True`` (r15): collapse EXACT-duplicate token sets to
+    one representative before the prefix join, then expand pairs back
+    through group membership — an EXACT rewrite (Jaccard is a function
+    of the token SET alone: members of a group are interchangeable in
+    every pair, and intra-group pairs are Jaccard 1.0 ≥ any t), pinned
+    row-identical to the default path in tests/test_ppjoin.py. This is
+    the remedy for the probe-measured failure mode of prefix filtering
+    on duplicate-heavy corpora (SCALING.md r15): the prefix filter
+    prunes by token RARITY and cannot separate identical sets, so d
+    copies of a doc cost d² candidate verifications — the heavy probe
+    measured the verify stage growing ~M² on clone replicas. Grouped,
+    the verify cost depends on DISTINCT sets only; the expansion join
+    is output-sized (irreducible — the pairs themselves are the
+    answer). Web corpora are duplicate-heavy (~30% exact dups), so
+    this is the production default posture; it composes the exact
+    `dedup.py::exact_dups` discipline into the join rather than
+    requiring a separate pipeline stage."""
+    if dedup_first:
+        return _grouped_prefix_join(docs, t100, shingle_w, id_col, text_col)
     # Persisted: the (id, tok) set feeds FIVE subtrees (sizes, df, rank,
     # and both verification legs) — without it Spark re-runs the shingle
     # explode per subtree. At cluster scale this is the materialized
     # token-set table every set-similarity system builds first.
     toks = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            tokens(F.col(text_col)).alias("__ws"),
-        )
-        .filter(F.size("__ws") >= shingle_w)
-        .select("id", F.explode(_shingles(shingle_w)).alias("tok"))
+        _staged_shingles(docs, shingle_w, id_col, text_col)
+        .select("id", F.explode("__sh").alias("tok"))
         .persist()
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -154,6 +197,76 @@ def prefix_jaccard_join(
             (F.col("shared") / F.col("union_sz")).alias("jaccard"),
         )
     )
+
+
+def _grouped_prefix_join(
+    docs: DataFrame,
+    t100: int,
+    shingle_w: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The ``dedup_first`` path: md5-fingerprint each doc's SORTED
+    distinct shingle array (set identity, order-free), run the prefix
+    join over one representative per fingerprint, then expand —
+    cross-group rep pairs fan out through membership (shared/union/
+    jaccard carry over unchanged: equal sets are interchangeable), and
+    intra-group pairs emit directly at Jaccard 1.0. Verify cost is now
+    a function of DISTINCT token sets; only the output-sized expansion
+    scales with duplication."""
+    fp_tbl = (
+        _staged_shingles(docs, shingle_w, id_col, text_col)
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws("\x01", F.array_sort("__sh")).cast("binary")
+            ).alias("fp"),
+            F.size("__sh").alias("sz"),
+        )
+        .persist()
+    )
+    reps = fp_tbl.groupBy("fp").agg(F.min("id").alias("rep"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep").alias(id_col)), id_col
+    )
+    rep_pairs = prefix_jaccard_join(
+        rep_docs, t100, shingle_w, id_col, text_col, dedup_first=False
+    )
+    # rep -> every member of its group (the rep maps to itself too)
+    mem = fp_tbl.join(reps, "fp").select("rep", "id")
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("a_id"), F.col("id").alias("__x")),
+            "a_id",
+        )
+        .join(
+            mem.select(F.col("rep").alias("b_id"), F.col("id").alias("__y")),
+            "b_id",
+        )
+        .select(
+            F.least("__x", "__y").alias("a_id"),
+            F.greatest("__x", "__y").alias("b_id"),
+            "shared",
+            "union_sz",
+            "jaccard",
+        )
+    )
+    intra = (
+        fp_tbl.alias("p")
+        .join(
+            fp_tbl.alias("q"),
+            (F.col("p.fp") == F.col("q.fp"))
+            & (F.col("p.id") < F.col("q.id")),
+        )
+        .select(
+            F.col("p.id").alias("a_id"),
+            F.col("q.id").alias("b_id"),
+            F.col("p.sz").alias("shared"),
+            F.col("p.sz").alias("union_sz"),
+            (F.col("p.sz") / F.col("p.sz")).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def brute_force_sql(

@@ -1459,8 +1459,32 @@ def ivfpq_topk(
                     "ADC pricing will be computed in a mismatched space.",
                     stacklevel=2,
                 )
-    m = len(codebooks)
-    d = len(codebooks[0][0])
+    index = ivfpq_index_rows(
+        corpus,
+        cents,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        residual=residual,
+        assign=assign,
+    )
+    return ivfpq_serve(
+        index,
+        queries,
+        cents,
+        codebooks,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        residual=residual,
+    )
+
+
+def _residual_carrier(cents, residual):
+    """Shared (build/serve) stager: __v is the code-space vector — __q
+    itself, or the residual against the row's ``cell`` (exact long
+    subtraction versus the quantized centroid literal)."""
     qcent_lit = (
         _lit_nested_long([[quantize_py(x) for x in c] for c in cents])
         if residual
@@ -1468,8 +1492,6 @@ def ivfpq_topk(
     )
 
     def _carrier(df: DataFrame, keep: list[str]) -> DataFrame:
-        """Stage the code-space vector __v (= __q, or the residual
-        against the row's cell) as a real column before any HOF reads."""
         if not residual:
             return df.select(*keep, F.col("__q").alias("__v"))
         return df.select(
@@ -1481,6 +1503,30 @@ def ivfpq_topk(
             ).alias("__v"),
         )
 
+    return _carrier
+
+
+def ivfpq_index_rows(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    assign: str = "auto",
+) -> DataFrame:
+    """The IVF-PQ INDEX BUILD against FROZEN quantizers, factored out of
+    :func:`ivfpq_topk` (r15, for incremental index maintenance): one
+    projection per corpus row yielding ``(neighbor_id, cell, codes)`` —
+    a cell id plus m code bytes, raw floats never retained. Because
+    ``cents``/``codebooks`` are explicit (frozen), index rows are a pure
+    per-row function of the vector: the index of a union IS the union
+    of the indexes, which is what makes the streaming ingest leg
+    (:func:`..streaming.ann_index.ivfpq_index_ingest`) sound — pinned
+    row-identical in tests/test_ann_index_ingest.py."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    _carrier = _residual_carrier(cents, residual)
     assign = resolve_assign(assign, len(cents))
     cell_of = (
         _centroid_cell_two_level if assign == "two_level" else _centroid_cell
@@ -1499,10 +1545,32 @@ def ivfpq_topk(
         code_cols.append(
             (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
         )
-    index = _carrier(staged, ["neighbor_id", "cell"]).select(
+    return _carrier(staged, ["neighbor_id", "cell"]).select(
         "neighbor_id", "cell", F.array(*code_cols).alias("codes")
     )
 
+
+def ivfpq_serve(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """The IVF-PQ SERVE side factored out of :func:`ivfpq_topk` (r15):
+    top-k over a PREBUILT ``(neighbor_id, cell, codes)`` index table —
+    the persisted-index twin of the inline path, so an index accrued
+    across snapshot ingests (:func:`ivfpq_index_rows` appended per
+    snapshot) serves identically to a from-scratch build (pinned in
+    tests/test_ann_index_ingest.py). Quantizers must be the FROZEN
+    ones the index rows were coded against."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    _carrier = _residual_carrier(cents, residual)
     qstaged = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),

@@ -403,6 +403,47 @@ def test_ppjoin_threshold_and_ordering(spark):
         assert r["jaccard"] == r["shared"] / r["union_sz"]
 
 
+def test_ppjoin_dedup_first_identical_on_duplicate_heavy_corpus(spark):
+    """r15: the grouped rewrite (collapse exact-duplicate token sets,
+    join representatives, expand) must be row-identical to the default
+    path — exercised on a corpus with clone groups (the regime the
+    heavy probe measured the naive verify growing ~M² on), including
+    permuted-word clones (same token SET, different text — the set
+    fingerprint must group them) and below-width docs (dropped by both
+    paths)."""
+    from healthcare_aws_data_engineering_spark.operators.ppjoin import (
+        prefix_jaccard_join,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "the quick brown fox jumps over the lazy cat tonight"),
+        (4, "sphinx of black quartz judge my vow said the king"),
+        (5, "a b"),  # below shingle width: dropped by both paths
+    ]
+    clones = [
+        (did + 100 * k, text)
+        for did, text in base
+        if did != 5
+        for k in range(1, 4)
+    ]
+    docs = spark.createDataFrame(
+        base + clones, "doc_id long, text string"
+    )
+    key = lambda rows: sorted(
+        (r["a_id"], r["b_id"], r["shared"], r["union_sz"], r["jaccard"])
+        for r in rows
+    )
+    got = key(prefix_jaccard_join(docs, dedup_first=True).collect())
+    want = key(prefix_jaccard_join(docs).collect())
+    assert got == want
+    # clone groups make intra-group 1.0 pairs and cross-group expansion
+    # both non-trivial
+    assert any(j == 1.0 for *_, j in got)
+    assert any(j < 1.0 for *_, j in got)
+
+
 def test_source_terms_lift_semantics(spark):
     from healthcare_aws_data_engineering_spark.plans.corpus_queries import (
         ST_TOP_K,

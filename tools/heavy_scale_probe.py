@@ -132,6 +132,12 @@ def main() -> None:
             lambda: semantic_dedup(embs, assign="two_level"),
         )
         run("ppjoin", lambda: prefix_jaccard_join(docs))
+        # the r15 remedy for the naive row's measured ~M² verify blowup
+        # on clone replicas: collapse exact-duplicate token sets first
+        run(
+            "ppjoin_grouped",
+            lambda: prefix_jaccard_join(docs, dedup_first=True),
+        )
         run(
             "media_dhash",
             lambda: media_dhash(
