@@ -590,3 +590,46 @@ def test_trigram_lm_score_no_corpus_window_and_broadcast_uni(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_serve_from_persisted_index_same_shape(spark, tmp_path):
+    """r15 incremental-index serve: reading the index from PARQUET (the
+    accrued-artifact path) must keep the inline plan's serving shape —
+    index scan streams with no exchange before the probe join, bounded
+    query batch broadcasts, one query_id exchange with the rank limit
+    pushed below it. If persisting the index cost the plan its shape,
+    the appendable-artifact story would be a regression in disguise."""
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from healthcare_aws_data_engineering_spark.operators import (
+        similarity as S,
+    )
+    from healthcare_aws_data_engineering_spark.streaming.ann_index import (
+        load_index,
+    )
+
+    rnd = random.Random(5)
+    embs = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rnd.uniform(-2, 2) for _ in range(8)])
+            for i in range(80)
+        ]
+    )
+    cents = S.sample_centroids(embs, 4)
+    books = S.pq_codebooks(embs)
+    idx_path = str(tmp_path / "idx")
+    S.ivfpq_index_rows(embs, cents, books).withColumn(
+        "__batch_id", F.lit(0)
+    ).write.partitionBy("__batch_id").parquet(idx_path)
+    queries = embs.filter("vec_id < 3")
+    plan = plan_string(
+        S.ivfpq_serve(load_index(spark, idx_path), queries, cents, books, k=5)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(query_id", plan), plan
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("WindowGroupLimit") == 2, plan
