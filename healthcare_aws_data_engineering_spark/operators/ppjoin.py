@@ -113,25 +113,25 @@ def prefix_jaccard_join(
     requiring a separate pipeline stage."""
     if dedup_first:
         return _grouped_prefix_join(docs, t100, shingle_w, id_col, text_col)
-    # Persisted: the (id, tok) set feeds FIVE subtrees (sizes, df, rank,
-    # and both verification legs) — without it Spark re-runs the shingle
-    # explode per subtree. At cluster scale this is the materialized
-    # token-set table every set-similarity system builds first.
-    toks = (
-        _staged_shingles(docs, shingle_w, id_col, text_col)
-        .select("id", F.explode("__sh").alias("tok"))
-        .persist()
+    # Persisted: the (id, __sh) ARRAY table feeds four subtrees (df,
+    # rank, and both verification legs) — without it Spark re-runs the
+    # tokenize+shingle pipeline per subtree. Persisting the arrays
+    # instead of the exploded (id, tok) rows (r15) keeps the cached
+    # bytes smaller (no per-token id duplication) and makes per-doc
+    # sizes a PROJECTION (size of the distinct array) instead of a
+    # full groupBy shuffle over the token table, and verification an
+    # in-row array_intersect over candidates only (the ngram_jaccard
+    # pattern) instead of a two-join + re-aggregation fan-out.
+    staged = _staged_shingles(docs, shingle_w, id_col, text_col).persist()
+    # sz rides along through the explode — no separate sizes aggregate.
+    toks = staged.select(
+        "id", F.size("__sh").cast("long").alias("sz"), F.explode("__sh").alias("tok")
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # Global rarest-first total order; ties on the shingle string keep
     # the order engine-independent.
     pos = F.row_number().over(W.partitionBy("id").orderBy("df", "tok"))
-    ranked = (
-        toks.join(dfreq, "tok")
-        .join(sizes, "id")
-        .withColumn("pos", pos)
-    )
+    ranked = toks.join(dfreq, "tok").withColumn("pos", pos)
     # prefix length = sz - ceil(t·sz) + 1, all-integer ceil via DIV
     prefix = ranked.filter(
         F.col("pos")
@@ -173,20 +173,21 @@ def prefix_jaccard_join(
         .select("a_id", "b_id")
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("a_id"), "tok")
-    tb = toks.select(F.col("id").alias("b_id"), "tok")
-    shared = (
-        cand.join(ta, "a_id")
-        .join(tb, ["b_id", "tok"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("__sza"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("__szb"))
+    # Candidates-only verification, in-row (the ngram_jaccard pattern):
+    # join the slim (id, __sh) arrays to each side and intersect
+    # natively — no token fan-out, no re-aggregation shuffle, and the
+    # per-doc sizes fall out of the same arrays.
+    va = staged.select(F.col("id").alias("a_id"), F.col("__sh").alias("__sha"))
+    vb = staged.select(F.col("id").alias("b_id"), F.col("__sh").alias("__shb"))
+    shared = F.size(F.array_intersect("__sha", "__shb")).cast("long")
     return (
-        shared.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("union_sz", F.col("__sza") + F.col("__szb") - F.col("shared"))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("shared", shared)
+        .withColumn(
+            "union_sz",
+            F.size("__sha").cast("long") + F.size("__shb").cast("long") - F.col("shared"),
+        )
         # cross-multiplied integer compare — no float threshold edge
         .filter(F.col("shared") * 100 >= F.col("union_sz") * t100)
         .select(
