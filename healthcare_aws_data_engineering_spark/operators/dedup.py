@@ -90,27 +90,29 @@ def exact_dedup(
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (projection only).
 
-    Built by zip_with-folding the word array against its own shifted
-    slices: lambdas only touch their ELEMENT arguments, so the underlying
-    split is evaluated once per row. (A transform whose lambda body calls
-    ``element_at(ws, i+j)`` inlines the whole split expression per element
-    — O(words²) work per document; that shape took ~10x longer.)"""
+    The word array is bound as a LAMBDA VARIABLE (transform over a
+    one-element array wrapper) so the split evaluates once per row, and
+    the grams index into that variable — a cheap attribute reference.
+    (A transform whose lambda body calls ``element_at(ws, i+j)`` on the
+    raw split COLUMN inlines the whole split expression per element —
+    O(words²) per document, ~10x slower; the r15 measurement also
+    retired the earlier zip_with-fold form, which allocated two slices
+    plus two zipped arrays per row and benched ~1.5x slower than this
+    index form at identical output.)"""
     ws = F.split(F.trim(text), r"\s+")
-    k = F.size(ws)
-    grams = ws
-    for j in range(1, n):
-        shifted = F.slice(ws, j + 1, F.greatest(k - j, F.lit(0)))
-        grams = F.zip_with(
-            grams,
-            shifted,
-            lambda a, b: F.when(
-                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
-            ),
+
+    def inner(arr: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(arr) - n)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(arr, i + j + 1) for j in range(n)]
         )
-    full = F.filter(grams, lambda g: g.isNotNull())
-    return F.when(k >= n, F.array_distinct(full)).otherwise(
-        F.array_distinct(F.array(F.concat_ws(" ", ws)))
-    )
+        return F.array_distinct(
+            F.when(F.size(arr) >= n, F.transform(idx, gram)).otherwise(
+                F.array(F.concat_ws(" ", arr))
+            )
+        )
+
+    return F.element_at(F.transform(F.array(ws), inner), 1)
 
 
 def _bucket_cap(
