@@ -428,3 +428,36 @@ def test_bands_for_degenerate_design_fails_loudly():
     assert bands_for(9, design_cos=0.9) <= 10
     # hamming1 multiprobe keeps moderately-weak designs under the guard
     assert bands_for(12, design_cos=0.75, hamming1=True) <= 512
+
+
+# ------------------------------------------- arrow form == expression twin
+
+
+def test_sig_chunks_arrow_matches_expression_twin(spark):
+    """The default Arrow signature stage (r15: one int64 matmul per
+    batch) must produce bit-identical packed chunks to the pure-HOF
+    expression form it replaced — including a >63-plane multi-chunk
+    geometry, where the chunk boundaries must land identically."""
+    from healthcare_aws_data_engineering_spark.operators.similarity import (
+        sig_chunks_q_expr,
+    )
+
+    for n_planes, width in ((16, 4), (104, 26)):
+        planes = rademacher_planes(n_planes, 64)
+        embs = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .limit(200)
+            .select("vec_id", quantize_vec(F.col("embedding")).alias("__q"))
+        )
+        rows = embs.select(
+            "vec_id",
+            sig_chunks_q(F.col("__q"), planes, width).alias("arrow"),
+            sig_chunks_q_expr(F.col("__q"), planes, width).alias("expr"),
+        ).collect()
+        assert rows, "empty comparison"
+        for r in rows:
+            assert list(r["arrow"]) == list(r["expr"]), (
+                n_planes,
+                width,
+                r["vec_id"],
+            )
