@@ -345,6 +345,33 @@ def encoded_media_from_documents(
     px_hex = _chain_hex(F.col("text"), n)
     if perturb:
         px_hex = F.concat(F.lit("ff"), px_hex.substr(F.lit(3), (n * 2 - 2).cast("int")))
+    kind, content, meta = _encoded_cols(px_hex)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def _encoded_cols(px_hex: F.Column):
+    """(kind, content, meta) container-assembly columns over a payload
+    hex column — every other input (w/h/rate/container) derives from
+    ``doc_id``. Factored out so :func:`encoded_media_variants` can feed
+    a STAGED chain column instead of re-evaluating the md5 chain."""
+    w = F.expr(_ENC_W).cast("int")
+    h = F.expr(_ENC_H).cast("int")
+    n_samples = F.expr(_ENC_NSAMP).cast("int")
+    rate = F.expr(_ENC_RATE).cast("int")
+    container = F.element_at(
+        F.array(F.lit("ppm"), F.lit("wav"), F.lit("bmp")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n = (
+        F.when(container == "wav", n_samples * 2)
+        .otherwise(w * h * 3)
+        .cast("int")
+    )
 
     ppm_header = F.concat(
         F.lit("P6\n"),
@@ -418,19 +445,65 @@ def encoded_media_from_documents(
         .otherwise(bmp_file)
     )
     is_wav = container == "wav"
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(is_wav, F.lit("audio")).otherwise(F.lit("image")).alias("kind"),
+    kind = F.when(is_wav, F.lit("audio")).otherwise(F.lit("image"))
+    meta = F.struct(
+        F.when(~is_wav, w).alias("width"),
+        F.when(~is_wav, h).alias("height"),
+        F.when(is_wav, rate).alias("sample_rate"),
+        F.when(is_wav, (n_samples * 1000 / rate).cast("int")).alias(
+            "duration_ms"
+        ),
+        container.alias("format"),
+    )
+    return kind, content, meta
+
+
+def encoded_media_variants(docs: DataFrame) -> DataFrame:
+    """Original + one-byte-perturbed variant (id offset 1e9) from ONE
+    md5-chain evaluation (r15): the chain is the dominant encode cost
+    (n_blocks md5 passes over the full doc text), and the perceptual
+    near-dup queries previously synthesized it twice — once per union
+    leg. Staging the chain as a real column and exploding the two
+    variants halves the encode work; rows are identical to
+    ``encoded_media_from_documents(docs).unionByName(
+    encoded_media_from_documents(docs, perturb=True).withColumn(
+    media_id + 1e9))`` (pinned in tests/test_multimodal.py)."""
+    w = F.expr(_ENC_W).cast("int")
+    h = F.expr(_ENC_H).cast("int")
+    n_samples = F.expr(_ENC_NSAMP).cast("int")
+    container = F.element_at(
+        F.array(F.lit("ppm"), F.lit("wav"), F.lit("bmp")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n = (
+        F.when(container == "wav", n_samples * 2)
+        .otherwise(w * h * 3)
+        .cast("int")
+    )
+    staged = docs.select(
+        "doc_id", _chain_hex(F.col("text"), n).alias("__hx")
+    ).select(
+        "doc_id",
+        "__hx",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("__v"),
+    )
+    n2 = (
+        F.when(container == "wav", n_samples * 2).otherwise(w * h * 3)
+    ).cast("int")
+    px_hex = F.when(
+        F.col("__v") == 1,
+        F.concat(
+            F.lit("ff"), F.col("__hx").substr(F.lit(3), (n2 * 2 - 2).cast("int"))
+        ),
+    ).otherwise(F.col("__hx"))
+    kind, content, meta = _encoded_cols(px_hex)
+    return staged.select(
+        (F.col("doc_id") + F.col("__v").cast("long") * 1_000_000_000).alias(
+            "media_id"
+        ),
+        kind.alias("kind"),
         content.alias("content"),
-        F.struct(
-            F.when(~is_wav, w).alias("width"),
-            F.when(~is_wav, h).alias("height"),
-            F.when(is_wav, rate).alias("sample_rate"),
-            F.when(
-                is_wav, (n_samples * 1000 / rate).cast("int")
-            ).alias("duration_ms"),
-            container.alias("format"),
-        ).alias("meta"),
+        meta.alias("meta"),
     )
 
 

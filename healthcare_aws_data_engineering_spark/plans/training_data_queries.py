@@ -1860,11 +1860,9 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan must agree EXACTLY — the LSH recall proof is baked into the
     gate."""
     docs = _docs(spark, sf_dir)
-    orig = M.encoded_media_from_documents(docs)
-    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
-        "media_id", F.col("media_id") + F.lit(1_000_000_000)
-    )
-    both = orig.unionByName(pert).filter(F.col("kind") == "image")
+    # one md5-chain evaluation for both variants (r15) — pinned
+    # row-identical to the two-leg union form in tests
+    both = M.encoded_media_variants(docs).filter(F.col("kind") == "image")
     return M.dhash_near_dup_pairs(M.media_dhash(both), max_hamming=3)
 
 
@@ -1880,11 +1878,8 @@ def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pair-bounded input, one shuffle join per CC round,
     lineage truncation — identical to the text path."""
     docs = _docs(spark, sf_dir)
-    orig = M.encoded_media_from_documents(docs)
-    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
-        "media_id", F.col("media_id") + F.lit(1_000_000_000)
-    )
-    both = orig.unionByName(pert).filter(F.col("kind") == "image")
+    # one md5-chain evaluation for both variants (r15, see q_media_near_dup)
+    both = M.encoded_media_variants(docs).filter(F.col("kind") == "image")
     pairs = M.dhash_near_dup_pairs(
         M.media_dhash(both), max_hamming=3
     ).select("media_a", "media_b")

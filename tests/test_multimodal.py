@@ -594,3 +594,29 @@ def test_dhash_zero_exchange_plan(spark):
     plan = _plan(tq.q_media_dhash(spark, "/root/testdata/sf0.001"))
     assert _n_exchanges(plan) == 0, plan
     assert "MapInPandas" in plan
+
+
+def test_encoded_media_variants_match_two_leg_union(spark):
+    """encoded_media_variants (one staged md5 chain, exploded to both
+    variants — r15) must be row-identical to the original two-leg
+    union-of-encodes it replaced in the perceptual dedup queries."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aws_data_engineering_spark.operators import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    orig = M.encoded_media_from_documents(docs)
+    pert = M.encoded_media_from_documents(docs, perturb=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000_000)
+    )
+    legacy = orig.unionByName(pert)
+    new = M.encoded_media_variants(docs)
+    a = sorted(
+        (r["media_id"], r["kind"], bytes(r["content"]), tuple(r["meta"]))
+        for r in legacy.collect()
+    )
+    b = sorted(
+        (r["media_id"], r["kind"], bytes(r["content"]), tuple(r["meta"]))
+        for r in new.collect()
+    )
+    assert a == b and len(a) > 0
