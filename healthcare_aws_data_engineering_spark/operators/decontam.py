@@ -135,10 +135,11 @@ def _bloom_geometry(n: int, fpp: float = BLOOM_FPP) -> tuple[int, int]:
 
 def _bloom_positions(shingle: Column, m: int, k: int) -> Column:
     """array<long> of the k bit positions for one shingle: pmod of k
-    independently-seeded xxhash64 draws."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(F.xxhash64(shingle, i), F.lit(m)),
+    independently-seeded xxhash64 draws. Unrolled to a flat CreateArray
+    (k is a plan-time int) instead of transform-over-sequence — the HOF
+    form evaluated every draw on the interpreted path (r15)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(shingle, F.lit(i)), F.lit(m)) for i in range(k)]
     )
 
 
@@ -212,7 +213,15 @@ def _might_contain(shingle: Column, bitset: Column, m: int, k: int) -> Column:
             != 0
         )
 
-    return F.forall(_bloom_positions(shingle, m, k), bit_set)
+    # flat AND chain instead of forall-over-positions (r15): every probe
+    # is then plain codegen (the HOF pair ran interpreted, ~25% slower
+    # measured on the gate corpus); whole-stage subexpression
+    # elimination shares each xxhash64 draw between its two pos uses.
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(shingle, F.lit(i)), F.lit(m))
+        cond = cond & bit_set(pos)
+    return cond
 
 
 def bloom_decontaminate(
@@ -243,28 +252,38 @@ def bloom_decontaminate(
         word_shingles(F.col(text_col), n).alias("shingles"),
         eval_bucket(F.col(id_col)).alias("bucket"),
     )
+    eval_docs = base.filter(F.col("bucket") < eval_pct)
+    # Bitset sizing from a SHUFFLE-FREE upper bound (r15): per-doc
+    # arrays are already distinct, so sum(size(shingles)) over the eval
+    # slice bounds the distinct-shingle count from above (duplicates
+    # are only cross-doc repeats). Oversizing m only LOWERS the
+    # false-positive rate — the result is identical for any geometry
+    # (exact verification), so the old persist + distinct + count job
+    # is pure overhead. Bounded driver scalar either way: eval sets are
+    # benchmarks, never corpus-scale.
+    n_eval = (
+        eval_docs.agg(
+            F.coalesce(F.sum(F.size("shingles")), F.lit(0)).alias("n")
+        ).collect()[0]["n"]
+    )
+    m, k = _bloom_geometry(n_eval, fpp)
+    # Materialize the bitset NOW (m/8 bytes via ≤ m/64 fixed-width agg
+    # rows — the exact bytes a broadcast would ship from the driver
+    # anyway, so collecting them first adds no new driver liability).
+    # bit_or is idempotent, so the build reads the exploded stream
+    # DIRECTLY — duplicate shingles set the same bits; no distinct
+    # shuffle, no persist (r15; the r6 leak concern disappears with the
+    # cache). The verification join below computes the distinct eval
+    # slice once, lazily — one benchmark-sized pass, noise next to the
+    # corpus-side scan it guards.
+    bitset = bloom_bitset_bytes(
+        eval_docs.select(F.explode("shingles").alias("shingle")), m, k
+    )
     eval_shingles = (
-        base.filter(F.col("bucket") < eval_pct)
-        .select(F.explode("shingles").alias("shingle"))
+        eval_docs.select(F.explode("shingles").alias("shingle"))
         .distinct()
         .withColumn("hit", F.lit(1))
-        # read three times (count, bitset build, verification join) and
-        # bounded by the eval set — persist for the two EAGER reads below,
-        # released before return (r6 verdict: a long-lived session must not
-        # accumulate one cached eval set per call)
-        .persist()
     )
-    # bounded driver scalar: eval sets are benchmarks, never corpus-scale
-    n_eval = eval_shingles.count()
-    m, k = _bloom_geometry(n_eval, fpp)
-    # Materialize the bitset NOW (m/8 bytes via ≤ m/8 fixed-width agg
-    # rows — the exact bytes a broadcast would ship from the driver
-    # anyway, so collecting them first adds no new driver liability),
-    # then drop the eval cache. The verification join below recomputes
-    # the eval slice once, lazily — one benchmark-sized pass, noise next
-    # to the corpus-side scan it guards.
-    bitset = bloom_bitset_bytes(eval_shingles, m, k)
-    eval_shingles.unpersist()
 
     train = base.filter(F.col("bucket") >= eval_pct).select(
         "doc_id", F.explode("shingles").alias("shingle")
