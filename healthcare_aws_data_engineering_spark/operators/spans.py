@@ -50,14 +50,21 @@ def span_dedup(
     # (operators/text.py): spans are re-joined with ' ' to REBUILD the
     # deduplicated text, so the segmentation must round-trip the original
     # bytes exactly (same contract as operators/chunking.py).
-    toks = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    # The token array is STAGED as a real column before the span
+    # transform indexes it (r15): an inline split column inside the
+    # lambda re-evaluates the split per span — the O(words²) trap the
+    # word_shingles docstring names.
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__tk"),
+    )
+    n_spans = F.ceil(F.size(F.col("__tk")) / F.lit(k)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        lambda i: F.array_join(F.slice(F.col("__tk"), i * k + 1, k), " "),
     )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_idx", "span_text")
+    exploded = staged.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span_text")
     )
     # Globally keep the first (doc_id, span_idx) occurrence of each span.
     w = Window.partitionBy(F.md5(F.col("span_text"))).orderBy(
@@ -186,6 +193,9 @@ def repeated_spans(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__ws")
     ).filter(F.size("__ws") >= window)
+    # Persisted: the window table feeds both the corpus-wide count and
+    # the mark join — without it the tokenize+hash explode re-runs per
+    # subtree (the ppjoin staging precedent). Slim fixed-width rows.
     wins = staged.select(
         "doc_id",
         F.posexplode(
@@ -194,7 +204,7 @@ def repeated_spans(
                 f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
             )
         ).alias("pos", "h"),
-    )
+    ).persist()
     repeated = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -305,6 +315,8 @@ def scrub_repeated(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__ws")
     )
+    # Persisted: three subtrees read the window table (count, first-pos,
+    # mark join) — see repeated_spans. Slim fixed-width rows.
     wins = staged.filter(F.size("__ws") >= window).select(
         "doc_id",
         F.posexplode(
@@ -313,7 +325,7 @@ def scrub_repeated(
                 f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
             )
         ).alias("pos", "h"),
-    )
+    ).persist()
     rep = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"), F.min("doc_id").alias("__d0"))
