@@ -311,7 +311,9 @@ def _chain_hex(text: F.Column, n: F.Column) -> F.Column:
         F.sequence(F.lit(0), n_blocks - 1),
         lambda b: F.md5(F.concat(text, F.lit("#px:"), b.cast("string"))),
     )
-    joined = F.aggregate(blocks, F.lit(""), lambda acc, x: F.concat(acc, x))
+    # single-pass array_join (r15): the aggregate-concat fold copied the
+    # accumulator per block — O(blocks²) bytes
+    joined = F.array_join(blocks, "")
     return joined.substr(F.lit(1), (n * 2).cast("int"))
 
 
@@ -406,16 +408,27 @@ def _encoded_cols(px_hex: F.Column):
     # BMP 24bpp: rows stored bottom-up, each padded to 4 bytes — the
     # encode walks rows h-1..0 over the hex chain so the DECODER has to
     # really flip and un-pad to recover the chain.
+    # transform + ONE array_join (r15): the old aggregate-concat fold
+    # re-copied the accumulator per row (O(h²·row_hex) bytes); the
+    # chain column is bound as a lambda variable so it is evaluated
+    # once however the per-row slices reference it.
     row_bytes = w * 3
     pad = (F.lit(4) - row_bytes % 4) % 4
-    stride_rows_hex = F.aggregate(
-        F.sequence(h - 1, F.lit(0), F.lit(-1)),
-        F.lit(""),
-        lambda acc, r: F.concat(
-            acc,
-            px_hex.substr(r * row_bytes * 2 + 1, row_bytes * 2),
-            F.lit("000000").substr(F.lit(1), pad * 2),
+    stride_rows_hex = F.element_at(
+        F.transform(
+            F.array(px_hex),
+            lambda hx: F.array_join(
+                F.transform(
+                    F.sequence(h - 1, F.lit(0), F.lit(-1)),
+                    lambda r: F.concat(
+                        hx.substr(r * row_bytes * 2 + 1, row_bytes * 2),
+                        F.lit("000000").substr(F.lit(1), pad * 2),
+                    ),
+                ),
+                "",
+            ),
         ),
+        1,
     )
     image_size = (row_bytes + pad) * h
     bmp_file = F.unhex(
