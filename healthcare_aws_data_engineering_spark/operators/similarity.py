@@ -1164,16 +1164,20 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("query_vec"),
-            _pairwise_sum(F.col(vec_col), F.col(vec_col), exact).alias(
-                "__n2q"
-            ),
             (quantize_vec(F.col(vec_col)) if exact else F.col(vec_col)).alias(
                 "__v"
             ),
         )
-        .select("query_id", "query_vec", "__n2q", ranked_cells.alias("__cells"))
-        .select(
-            "query_id", "query_vec", "__n2q", F.explode("__cells").alias("cell")
+        .select("query_id", "query_vec", ranked_cells.alias("__cells"))
+        .select("query_id", "query_vec", F.explode("__cells").alias("cell"))
+        # query-side squared norm AFTER the explode (probe rows are
+        # queries × n_probe — still tiny) rather than alongside __v:
+        # an identical pre-explode fold on both subtrees of the shared
+        # scan tripped an attribute-binding INTERNAL_ERROR in the
+        # generator pruning path on some plan orders.
+        .withColumn(
+            "__n2q",
+            _pairwise_sum(F.col("query_vec"), F.col("query_vec"), exact),
         )
     )
     cands = (
