@@ -878,9 +878,43 @@ def _cell_dists(
 def _centroid_cell(
     vec: Column, centroids: list[list[float]], exact: bool = False
 ) -> Column:
-    """argmin-distance cell id (first match on ties → deterministic)."""
+    """argmin-distance cell id (first match on ties → deterministic).
+
+    Exact mode (quantized long carrier) runs as ONE vectorized Arrow
+    stage (r15): squared distances via the integer identity
+    Σ(x−c)² = Σx² + Σc² − 2·x·c — every term an exact int64, addition
+    order-independent, so the argmin (numpy first-occurrence — the same
+    first-match-on-ties rule as array_position) is bit-identical to the
+    expression fold it replaces. The float path keeps the expression
+    fold: float reassociation is not value-preserving."""
+    if exact:
+        return _centroid_cell_arrow(centroids)(vec)
     darr = _cell_dists(vec, centroids, exact)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _centroid_cell_arrow(centroids: list[list[float]]):
+    """Vectorized exact-mode cell assignment (see :func:`_centroid_cell`)."""
+    import pandas as pd
+
+    cents_q = [[quantize_py(x) for x in c] for c in centroids]
+
+    @F.pandas_udf("int")
+    def assign(qv):
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.vstack(qv.to_numpy())  # (n, dim) int64
+        C = np.asarray(cents_q, dtype=np.int64)  # (cells, dim)
+        d = (
+            (X * X).sum(1)[:, None]
+            + (C * C).sum(1)[None, :]
+            - 2 * (X @ C.T)
+        )
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
 
 
 def _lit_nested3_long(groups: list[list[list[int]]]) -> Column:
@@ -1364,11 +1398,35 @@ def pq_encode(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
     )
-    codes = []
-    for s in range(m):
-        darr = _pq_subdists(F.col("__q"), codebooks[s], s, d)
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return staged.select("vec_id", F.array(*codes).alias("codes"))
+    # ONE vectorized Arrow stage for all m subspace argmins (r15): the
+    # per-row expression form ran m × codes × sub_dim interpreted HOF
+    # evaluations per vector. Same exact-integer identity and
+    # first-occurrence argmin as _centroid_cell — bit-identical codes
+    # (subspace codebooks are quantized already).
+    import pandas as pd
+
+    books = codebooks
+
+    @F.pandas_udf("array<int>")
+    def encode(qv):
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(qv.to_numpy())  # (n, dim) int64
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * d : (s + 1) * d]
+            B = np.asarray(books[s], dtype=np.int64)  # (codes, d)
+            dm = (
+                (Xs * Xs).sum(1)[:, None]
+                + (B * B).sum(1)[None, :]
+                - 2 * (Xs @ B.T)
+            )
+            out[:, s] = np.argmin(dm, axis=1)
+        return pd.Series(list(out))
+
+    return staged.select("vec_id", encode(F.col("__q")).alias("codes"))
 
 
 def pq_topk(
