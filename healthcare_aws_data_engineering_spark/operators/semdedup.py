@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
+    dot_q_arrow,
     _centroid_cell,
     _centroid_cell_two_level,
     _non_null,
@@ -162,11 +163,8 @@ def semantic_dedup(
     # One exact long dot per pair; the norm sums ride in from the staged
     # assignment (same hoist as knn_graph — 3× less interpreted HOF work
     # on the pair fan-out, identical doubles for the oracle).
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__q"), F.col("b.__q"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
+    # vectorized Arrow integer dot (r15) — bit-identical to the HOF fold
+    dot = dot_q_arrow()(F.col("a.__q"), F.col("b.__q"))
     sim = dot.cast("double") / (
         F.sqrt(F.col("a.__n2").cast("double"))
         * F.sqrt(F.col("b.__n2").cast("double"))
@@ -314,6 +312,11 @@ def knn_graph(
     # dot is exact long addition; the sqrt/divide sees the identical
     # integer operands in any engine (same recipe as similarity.cosine_q,
     # with the norm sums hoisted out of the pair fan-out).
+    # NOTE (r15): the Arrow dot (see semantic_dedup) was MEASURED SLOWER
+    # here — the k-NN candidate fan-out is large, and shipping both
+    # 64-long arrays per pair across the Arrow boundary cost more than
+    # the interpreted fold it replaced (17s cold vs ~5s). The in-JVM
+    # exact long fold stays.
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),

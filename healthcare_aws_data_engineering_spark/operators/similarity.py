@@ -78,6 +78,28 @@ def cosine_q(qa: Column, qb: Column) -> Column:
     )
 
 
+def dot_q_arrow():
+    """Vectorized exact integer dot for PRE-QUANTIZED long vectors — one
+    Arrow batch per partition instead of an interpreted per-pair HOF
+    fold (r15). int64 multiplication/addition is exact and
+    order-independent, so the value is bit-identical to the
+    zip_with/aggregate form it replaces on every candidate-pair scoring
+    leg (knn_graph, semantic_dedup)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def dotf(a, b):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        return pd.Series((A * B).sum(axis=1))
+
+    return dotf
+
+
 def _non_null(df: DataFrame, vec_col: str) -> DataFrame:
     """Drop rows with NULL vectors before staging — applied at the entry
     of every vector operator. A NULL embedding otherwise signs to the
