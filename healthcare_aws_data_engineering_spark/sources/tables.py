@@ -84,6 +84,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    the guide-§2.5 remedy for unsplittable inputs, applied where a scan
+    otherwise yields fewer tasks than cores.
+
+    The testdata parquet files are single-row-group (one file, one row
+    group), so every scan stage is ONE task and every scan-fused
+    per-row stage (md5 chains, shingle HOFs, Arrow UDFs) runs on ONE
+    core no matter how many the session has (measured r15/r16: the
+    whole suite's 8-vs-32-core ratios sit near 1). Spreading the rows
+    first lets those stages use the cores the driver granted; at
+    cluster scale, where ``maxPartitionBytes`` produces real splits,
+    the same call is a cheap rebalance of an already-parallel scan.
+
+    Scale-adaptive by construction: the target count is
+    ``defaultParallelism`` (from ``local[$SPARK_GRAFT_CPUS]`` here, the
+    executor-core total on a cluster), never a constant. Deterministic:
+    Spark sorts each input partition before round-robin distribution
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207), so
+    retries and reruns land rows identically. Results-neutral: callers
+    are the per-row-CPU-bound paths whose downstream groupings carry
+    their own keys/orderings (re-verified against the oracle).
+
+    Use at heavy per-row-work call sites only — an extra exchange on a
+    0.2 s scan+agg query is pure overhead.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES, register: bool = False
 ) -> dict[str, DataFrame]:
