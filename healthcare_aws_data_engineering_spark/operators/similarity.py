@@ -1381,7 +1381,17 @@ def pq_codebooks(
     sample vectors sliced per subspace (deterministic, engine-replayable;
     a trained per-subspace KMeans drops in for clustered corpora the same
     way kmeans_centroids does for IVF)."""
-    sample = sample_centroids(corpus, n_codes, id_col, vec_col)
+    return pq_codebooks_from_sample(
+        sample_centroids(corpus, n_codes, id_col, vec_col), m
+    )
+
+
+def pq_codebooks_from_sample(
+    sample: list[list[float]], m: int = PQ_M
+) -> list[list[list[int]]]:
+    """Slice an already-collected md5-stratified sample into [m] PQ
+    codebooks — lets a caller that needs BOTH the IVF centroids and the
+    PQ codebooks (ivfpq) pay the bounded sample collect once."""
     dim = len(sample[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

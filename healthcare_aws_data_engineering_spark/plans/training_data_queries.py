@@ -20,7 +20,7 @@ from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .pipeline_queries import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT, with_split
 
 # Shared SQL fragments -------------------------------------------------------
@@ -68,6 +68,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the scan spread over the session's cores (guide
+    §2.5: the testdata files are single-row-group, so an unspread scan
+    runs every fused per-row stage — shingle HOFs, md5 chains, regex
+    passes — on ONE task). Used by the per-row-CPU-heavy query paths;
+    cheap scan+agg queries keep the plain scan."""
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -87,6 +96,9 @@ def _doc_stats(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     path = spark.conf.get(ATTRS_PATH_CONF, "")
     if path:
         return spark.read.parquet(path).select(*cols)
+    # NOT spread: text_stats' per-row work is light enough that the extra
+    # exchange costs more than the parallelism buys (measured r16:
+    # token_budget_fill 1.55 s as-is vs 1.67 s spread).
     return T.text_stats(_docs(spark, sf_dir)).select(*cols)
 
 
@@ -104,7 +116,7 @@ def _dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = spark.conf.get(CLUSTERS_PATH_CONF, "")
     if path:
         return spark.read.parquet(path)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_s(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(
         docs, num_perm=6, bands=3, backend="md5", max_bucket=50
     )
@@ -143,7 +155,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, md5 backend (6 perms, 3 bands of 2) —
     the full shingle→signature→band→bucket-join pipeline, oracle-checked."""
     return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_perm=6, bands=3, backend="md5", max_bucket=50
+        _docs_s(spark, sf_dir), num_perm=6, bands=3, backend="md5", max_bucket=50
     )
 
 
@@ -155,7 +167,7 @@ SELECT doc_a, doc_b FROM lsh_pairs
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verification over the LSH candidates."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_s(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, num_perm=6, bands=3, backend="md5", max_bucket=50)
     return D.ngram_jaccard(docs, pairs)
 
@@ -427,7 +439,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, oracle-checked leg for leg in DuckDB. The cheaper xxhash64
     64-bit production backend shares all plumbing and is pytest-covered."""
     return D.simhash_pairs(
-        _docs(spark, sf_dir), bands=4, max_hamming=3, backend="md5digit"
+        _docs_s(spark, sf_dir), bands=4, max_hamming=3, backend="md5digit"
     )
 
 
@@ -762,11 +774,12 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
-# IVF coarse quantizer per sf_dir: an IVF index is BUILT ONCE and queried
-# many times — the centroid derivation (bounded 16-row collect) is the
-# index-build step, so it is cached across query invocations. Derivation
-# stays the deterministic md5-stratified sample the SQL oracle re-derives.
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+# Index-build state (IVF centroids, PQ codebooks) is derived INSIDE each
+# query, every invocation (r16, r15 verdict #2 generalized): the old
+# per-sf_dir module caches memoized data-derived collects across the
+# bench's warm-up/timed boundary — the gaming class the brief bans. Both
+# derivations are bounded 16-row collects over the md5-stratified sample
+# the SQL oracle re-derives.
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,12 +790,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB; the trained-KMeans centroid path is pytest-covered for
     recall."""
     embs = _embs(spark, sf_dir)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = S.sample_centroids(embs, 16)
     queries = embs.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
         embs, queries, k=10, n_centroids=16, n_probe=6,
-        centroids=_IVF_CENTROIDS[sf_dir], exact=True,
+        centroids=S.sample_centroids(embs, 16), exact=True,
     )
 
 
@@ -1003,7 +1014,7 @@ def q_doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan — the manifest a snapshot materializes once so every
     downstream filter reads slim attribute rows instead of re-scanning
     100 TB of text. Test-pinned equal to the standalone twins."""
-    return T.doc_attributes(_docs(spark, sf_dir))
+    return T.doc_attributes(_docs_s(spark, sf_dir))
 
 
 _DOC_ATTRIBUTES_SQL = rf"""
@@ -1494,7 +1505,7 @@ FROM c, t
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact (normalized md5) + winnowing-style
     rolling minimum over 16-char grams."""
-    staged = T.with_normalized(_docs(spark, sf_dir))
+    staged = T.with_normalized(_docs_s(spark, sf_dir))
     return staged.select(
         "doc_id",
         F.md5(F.col("norm_text").cast("binary")).alias("fingerprint"),
@@ -1703,7 +1714,7 @@ def q_media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     between channels and breaks the match) and signed-int16 RMS for
     audio. Exact integer sums; one double divide + IEEE sqrt, identical
     in both engines."""
-    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
+    media = M.encoded_media_from_documents(_docs_s(spark, sf_dir))
     return M.media_channel_stats(media)
 
 
@@ -1763,7 +1774,7 @@ def q_media_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative iff its high byte >= 0x80, so the sign test never needs the
     reassembled sample. Entropy sums run in ascending byte-value order
     on both engines and land on the DECIMAL(18,6) grid."""
-    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
+    media = M.encoded_media_from_documents(_docs_s(spark, sf_dir))
     ent = M.media_entropy(media)
 
     def dec6(c):
@@ -2000,9 +2011,6 @@ _MEDIA_NEAR_DUP_SQL = _dhash_oracle_sql(near_dup=True)
 _MEDIA_DUP_CLUSTERS_SQL = _dhash_oracle_sql(near_dup=True, clusters=True)
 
 
-_PQ_BOOKS: dict[str, list] = {}
-
-
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 — the compression leg of the ANN
     family (LSH buckets, IVF cells, PQ codes): the corpus collapses to
@@ -2011,10 +2019,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     math. Codebooks are sliced from the md5-stratified sample, so the
     whole index build + encode + search replays in DuckDB."""
     embs = _embs(spark, sf_dir)
-    if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = S.pq_codebooks(embs)
     queries = embs.filter(F.col("vec_id") < 5)
-    return S.pq_topk(embs, queries, k=10, codebooks=_PQ_BOOKS[sf_dir])
+    return S.pq_topk(embs, queries, k=10, codebooks=S.pq_codebooks(embs))
 
 
 _ANN_PQ_SQL = f"""
@@ -2070,14 +2076,13 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row sample, so one oracle CTE replays both halves; all distance
     math is exact long micro-units."""
     embs = _embs(spark, sf_dir)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = S.sample_centroids(embs, 16)
-    if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = S.pq_codebooks(embs)
+    # cells and codebooks derive from the SAME 16-row sample — collect it
+    # once per invocation and slice, instead of two collect jobs
+    sample = S.sample_centroids(embs, 16)
     queries = embs.filter(F.col("vec_id") < 5)
     return S.ivfpq_topk(
         embs, queries, k=10, n_centroids=16, n_probe=6,
-        centroids=_IVF_CENTROIDS[sf_dir], codebooks=_PQ_BOOKS[sf_dir],
+        centroids=sample, codebooks=S.pq_codebooks_from_sample(sample),
     )
 
 
