@@ -46,16 +46,15 @@ SEM_CENTROIDS = 16
 SEM_THRESHOLD = 0.30  # near-orthogonal synthetic corpus; see near_dup note
 SEM_MAX_CLUSTER = 256
 
-_SEM_CENTROIDS_CACHE: dict[str, list[list[float]]] = {}
-
-
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Index-build state is derived INSIDE the query, every invocation
+    # (r16, r15 verdict #2): the centroid sample is a bounded 16-row
+    # collect, and memoizing it per sf_dir let the timed bench runs skip
+    # the build the oracle replays — the gaming class the brief bans.
     embs = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _SEM_CENTROIDS_CACHE:
-        _SEM_CENTROIDS_CACHE[sf_dir] = S.sample_centroids(embs, SEM_CENTROIDS)
     return semantic_dedup(
         embs,
-        _SEM_CENTROIDS_CACHE[sf_dir],
+        S.sample_centroids(embs, SEM_CENTROIDS),
         threshold=SEM_THRESHOLD,
         max_cluster=SEM_MAX_CLUSTER,
     )
@@ -1008,34 +1007,31 @@ FROM scored
 PR_ITER = 3
 
 
-_KNN_EDGES_CACHE: dict[str, DataFrame] = {}
-
-
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     embs = load_table(spark, sf_dir, "embeddings")
-    # The edge list is the index-build artifact: built and persisted ONCE
-    # per corpus (module cache keyed on sf_dir), reused by every PageRank
-    # run — re-persisting per call both recomputes the knn chain and
-    # leaks a new cached generation each invocation.
-    if sf_dir not in _KNN_EDGES_CACHE:
-        _KNN_EDGES_CACHE[sf_dir] = (
-            knn_graph(
-                embs,
-                k=KNN_K,
-                plane_matrix=_PLANES16,
-                bands=KNN_BANDS,
-                max_bucket=KNN_MAX_BUCKET,
-            )
-            .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    # The k-NN edge build runs INSIDE the query, every invocation (r16,
+    # r15 verdict #2): the old module-level edge cache keyed on sf_dir
+    # let timed bench runs serve PageRank without paying the index
+    # build the oracle replays — the gaming class the brief bans. The
+    # edge list is staged per call with localCheckpoint (eager: the
+    # chain is referenced by out-degree AND the degree join inside
+    # pagerank) — block cleanup rides the ContextCleaner when the
+    # DataFrame is dropped, so repeated calls cannot accumulate cache
+    # generations the way per-call persist() did.
+    edges = (
+        knn_graph(
+            embs,
+            k=KNN_K,
+            plane_matrix=_PLANES16,
+            bands=KNN_BANDS,
+            max_bucket=KNN_MAX_BUCKET,
         )
-    # persist() is idempotent: on a fresh entry it registers the cache;
-    # on a hit it re-registers an entry that an external
-    # spark.catalog.clearCache() (bench.py runs one per query) silently
-    # unpersisted — otherwise later calls would recompute the full LSH
-    # knn chain on every PageRank action.
-    return pagerank(embs, _KNN_EDGES_CACHE[sf_dir].persist(), n_iter=PR_ITER)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return pagerank(embs, edges, n_iter=PR_ITER)
 
 
 def _pagerank_oracle() -> str:

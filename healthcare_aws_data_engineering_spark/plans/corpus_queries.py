@@ -27,7 +27,7 @@ from ..operators.spans import (
     span_dedup_sql,
 )
 from ..operators.text import token_count, token_count_sql, tokens, tokens_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # Every word-level query below tokenizes through the ONE shared tokenizer
 # (operators/text.py tokens()/tokens_sql(), i.e. split on \s+ after trim)
@@ -285,10 +285,10 @@ def mixture_draw(
     runs exactly once regardless of how many legs reference the
     factors — calling this function triggers that one aggregation job
     eagerly, UNLESS a pre-materialized ``factors`` frame is supplied
-    (the r10 advice: consumers drawing several epochs/variants over the
-    same corpus snapshot should build the factor table once — see
-    ``_mixture_factors_cached`` — instead of paying the text scan per
-    call)."""
+    (consumers drawing several epochs/variants over the same corpus
+    snapshot in ONE pipeline run may build the factor table once and
+    pass it in; registry query paths must NOT memoize it across
+    invocations — r15 verdict #2)."""
     if factors is None:
         factors = materialize_factors(
             docs, mixture_factors(docs, epoch_docs, n_tokens_col)
@@ -411,47 +411,26 @@ def _mixture_draw_exact(
     return full_rows.unionByName(kept_partial)
 
 
-# Per-session factor-table cache keyed by the corpus snapshot (sf_dir;
-# the _PQ_BOOKS house pattern): the factors do not depend on the draw
-# mode, so approx + exact draws over the same snapshot share ONE
-# token-counting text scan — the r10 advice's standalone +0.2 s. Cached
-# as plain (rows, schema), rebuilt into a local relation per session.
-#
-# Staleness contract (r11 advice): the key is the PATH, so the cache
-# assumes a path names an immutable corpus snapshot for the life of the
-# session — true for the driver's read-only testdata and the normal
-# lake layout (new snapshot => new directory). A caller that rewrites a
-# corpus in place at the same path must call
-# :func:`invalidate_mixture_factors` (or restart the session) or the
-# remaining draws silently reuse the old factor table.
-_MIX_FACTORS: dict[str, tuple] = {}
+# The factor table is derived INSIDE each draw query, every invocation
+# (r16, r15 verdict #2 generalized): the old per-sf_dir module cache
+# memoized a data-derived collect across the bench's warm-up/timed
+# boundary — the gaming class the brief bans. The token-counting text
+# scan it saved is instead parallelized with ``spread`` (guide §2.5),
+# so the honest per-call build stays cheap.
 
 
-def invalidate_mixture_factors(sf_dir: str | None = None) -> None:
-    """Drop the cached mixture factor table for ``sf_dir`` (or all
-    snapshots when None) — required after rewriting a corpus in place
-    at an already-drawn path; see the cache's staleness contract."""
-    if sf_dir is None:
-        _MIX_FACTORS.clear()
-    else:
-        _MIX_FACTORS.pop(sf_dir, None)
-
-
-def _mixture_factors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _MIX_FACTORS:
-        f = mixture_factors(
-            load_table(spark, sf_dir, "documents"), MIXTURE_DRAW_EPOCH_DOCS
-        )
-        _MIX_FACTORS[sf_dir] = (f.collect(), f.schema)
-    rows, schema = _MIX_FACTORS[sf_dir]
-    return spark.createDataFrame(rows, schema)
+def _mixture_factors_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return materialize_factors(
+        docs, mixture_factors(spread(docs), MIXTURE_DRAW_EPOCH_DOCS)
+    )
 
 
 def q_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_draw(
         load_table(spark, sf_dir, "documents"),
         MIXTURE_DRAW_EPOCH_DOCS,
-        factors=_mixture_factors_cached(spark, sf_dir),
+        factors=_mixture_factors_fresh(spark, sf_dir),
     )
 
 
@@ -460,7 +439,7 @@ def q_mixture_draw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         MIXTURE_DRAW_EPOCH_DOCS,
         exact=True,
-        factors=_mixture_factors_cached(spark, sf_dir),
+        factors=_mixture_factors_fresh(spark, sf_dir),
     )
 
 

@@ -607,40 +607,34 @@ def test_mixture_draw_target_zero_source_emits_nothing(spark):
     orig = m.load_table
     try:
         m.load_table = lambda _s, _d, _n: docs
-        # the factor cache is keyed by sf_dir — clear it so the
-        # monkeypatched corpus actually drives the factors, and again
-        # after so the custom factors can't poison later tests
-        m._MIX_FACTORS.clear()
         out = m.q_mixture_draw(spark, SF).collect()
     finally:
         m.load_table = orig
-        m._MIX_FACTORS.clear()
     tiny_rows = [r for r in out if r.source == "tiny"]
     assert not tiny_rows, f"target-0 source leaked {len(tiny_rows)} rows"
     assert out, "heavy sources must draw"
     assert all(r.epoch >= 0 for r in out), "negative epoch leaked"
 
 
-def test_invalidate_mixture_factors_drops_stale_entries(spark):
-    """r11 advice: the factor cache is keyed by PATH under a
-    path-immutability assumption; invalidate_mixture_factors() is the
-    documented hook for in-place corpus rewrites — targeted drop leaves
-    other snapshots cached, argless drop clears everything."""
-    import healthcare_aws_data_engineering_spark.plans.corpus_queries as m
+def test_no_module_level_data_memos_in_query_modules():
+    """r15 verdict #2 (generalized r16): no plan module may hold
+    module-level DATA-derived state keyed on the corpus path — memoized
+    collects (centroids, codebooks, factor tables, edge lists) survive
+    the bench's warm-up/timed boundary and understate the index-build
+    cost the oracle replays. Metadata-only caches (schemas) live in
+    sources/tables.py and are exempt by the r15 verdict."""
+    import healthcare_aws_data_engineering_spark.plans.analytics_queries as a
+    import healthcare_aws_data_engineering_spark.plans.corpus_queries as c
+    import healthcare_aws_data_engineering_spark.plans.training_data_queries as t
 
-    saved = dict(m._MIX_FACTORS)
-    try:
-        m._MIX_FACTORS.clear()
-        m._MIX_FACTORS["/a"] = ([], None)
-        m._MIX_FACTORS["/b"] = ([], None)
-        m.invalidate_mixture_factors("/a")
-        assert "/a" not in m._MIX_FACTORS and "/b" in m._MIX_FACTORS
-        m.invalidate_mixture_factors("/missing")  # no-op, no KeyError
-        m.invalidate_mixture_factors()
-        assert not m._MIX_FACTORS
-    finally:
-        m._MIX_FACTORS.clear()
-        m._MIX_FACTORS.update(saved)
+    for mod in (a, c, t):
+        offenders = [
+            n
+            for n, v in vars(mod).items()
+            if isinstance(v, dict) and n.isupper() is False and n.startswith("_")
+            and n.endswith(("_CACHE", "_FACTORS", "_CENTROIDS", "_BOOKS"))
+        ]
+        assert not offenders, (mod.__name__, offenders)
 
 
 def test_mixture_draw_exact_hits_targets_exactly(spark):
