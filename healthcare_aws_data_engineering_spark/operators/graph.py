@@ -93,11 +93,16 @@ def connected_components(
         offered = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "lbl")
+        # ONE action per round (r16): the lazily-marked localCheckpoint
+        # is materialized BY the convergence aggregate's collect, so the
+        # round costs one job instead of an eager-checkpoint job plus a
+        # separate collect job (the r15 verdict's build-time finding:
+        # the CC consumers spend ~3 s / 26-30 jobs in eager build work).
         labels = (
             labels.unionByName(offered)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = labels.agg(
             F.sum("lbl").alias("s"), F.count(F.lit(1)).alias("n")
@@ -175,7 +180,9 @@ def _connected_components_star(
             .union(mins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates(["u", "v"])
-            .localCheckpoint(eager=True)
+            # lazily marked; materialized by the stationarity collect
+            # below — one job per round, not two (see the label variant)
+            .localCheckpoint(eager=False)
         )
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -256,23 +263,25 @@ def pagerank(
     "influence score" depth for corpus-graph weighting, not a numeric
     fixpoint claim.
 
-    Scale shape per iteration: one deg_edges⋈ranks shuffle join on
-    ``src`` (deg_edges is degree-annotated, pre-partitioned on ``src``
-    and materialized ONCE — the big side never re-shuffles and never
-    re-joins out_deg), one hash agg on ``dst``, one broadcast of the
-    O(1) dangling aggregate (a flag-filtered scan of ranks, no
-    anti-join). ``ranks`` is ``localCheckpoint``-ed every round: each
-    round's DataFrame is referenced three times (contrib join, dangling
-    agg, update join), so without materialization the round-(i−1)
-    subtree re-executes 3× per reference — 3^iter subtree blowup that
-    dominated the r3 wall time (4.2→6s at 3 iters on 500 nodes).
+    Scale shape per iteration (r16 fusion — one job, was two): one
+    deg_edges⋈ranks shuffle join on ``src`` (deg_edges is
+    degree-annotated, pre-partitioned on ``src`` and materialized ONCE —
+    the big side never re-shuffles and never re-joins out_deg), one hash
+    agg on ``dst``, and the O(1) dangling aggregate collected by the
+    SAME action that materializes the round's lazily-marked
+    ``localCheckpoint`` — the dangling mass then enters the next
+    round's update as a driver LITERAL instead of a per-round broadcast
+    exchange (identical BIGINT value: the sum of longs is exact either
+    way). The final round is left lazy: its lineage is one join over
+    checkpointed inputs, so the caller's action pays it directly and no
+    trailing checkpoint/collect jobs run. ``ranks`` materialization per
+    round is still required — each round's DataFrame would otherwise
+    re-execute the full prior-round subtree per reference (3^iter
+    blowup, the r3 finding).
 
     Output: one row per vertex, ``(id, rank_u12)`` — BIGINT grid units
     summing to ≈ PR_GRID (floor losses are deterministic).
     """
-    n = vertices.count()  # bounded driver scalar: graph cardinality
-    init = PR_GRID // n
-    base = ((100 - PR_DAMP_PCT) * PR_GRID // n) // 100
     out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
     # Degree-annotated edges, staged once for all iterations. localCheckpoint
     # (not persist) also truncates lineage into the caller's edge-build plan.
@@ -288,6 +297,9 @@ def pagerank(
     )
     # Static vertex list with a dangling flag: the per-round dangling mass
     # is then a filter+sum over ranks instead of a per-round anti-join.
+    # Lazily marked; the fused count/dangling aggregate below materializes
+    # it and yields the graph cardinality + initial dangling mass in the
+    # same job (was: vertices.count() + eager checkpoint = two jobs).
     verts = (
         vertices.select(F.col(id_col).alias("id"))
         .join(
@@ -298,12 +310,24 @@ def pagerank(
             "left",
         )
         .select("id", F.coalesce("__has_out", F.lit(0)).alias("__has_out"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    vrow = verts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__has_out") == 0, 1)), F.lit(0)
+        ).alias("n_dang"),
+    ).collect()[0]
+    n = vrow["n"]  # bounded driver scalar: graph cardinality
+    init = PR_GRID // n
+    base = ((100 - PR_DAMP_PCT) * PR_GRID // n) // 100
+    # round-0 dangling mass: every node starts at ``init`` exactly, so
+    # the filtered sum is init · |dangling| — the identical BIGINT.
+    dang = init * vrow["n_dang"]
     ranks = verts.select(
         "id", "__has_out", F.lit(init).cast("long").alias("rank")
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             deg_edges.join(
                 ranks.select(F.col("id").alias("src"), "rank"), "src"
@@ -315,25 +339,26 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )
-        dang = ranks.filter(F.col("__has_out") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang")
+        # Python // == Spark DIV on non-negative longs, so the literal
+        # carries the exact same grid value the broadcast column did.
+        ranks = verts.join(contrib, "id", "left").select(
+            "id",
+            "__has_out",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"CAST(({PR_DAMP_PCT} * (COALESCE(__in, 0)"
+                    f" + {dang // n}L)) DIV 100 AS BIGINT)"
+                )
+            ).alias("rank"),
         )
-        ranks = (
-            verts.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                "__has_out",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"CAST(({PR_DAMP_PCT} * (COALESCE(__in, 0)"
-                        f" + __dang DIV {n})) DIV 100 AS BIGINT)"
-                    )
-                ).alias("rank"),
+        if it < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+            dang = (
+                ranks.filter(F.col("__has_out") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang"))
+                .collect()[0]["__dang"]
             )
-            .localCheckpoint(eager=True)
-        )
     return ranks.select(F.col("id").alias(id_col), F.col("rank").alias("rank_u12"))
 
 
