@@ -421,19 +421,39 @@ def ngram_jaccard(
     n: int = 3,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given candidate (doc_a, doc_b) pairs —
-    the verification stage after LSH. Joins shingle arrays to the pairs
-    (two broadcast-able hash joins at candidate scale), set math is native
-    array_intersect/array_union."""
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
+    the verification stage after LSH. Joins the raw TEXT to the pairs
+    (two broadcast-able hash joins at candidate scale) and shingles only
+    the matched rows; set math is native array_intersect/array_union.
+
+    Candidates-only shingling (r16): the prior form joined per-doc
+    shingle ARRAYS to the pairs, which computed the word_shingles
+    projection over the ENTIRE corpus once per join leg — two full
+    corpus passes to verify a pair set that touches a fraction of the
+    docs (the inner join discards the rest unread). Shingling after the
+    join costs work proportional to the PAIR list instead (a doc in m
+    pairs shingles m times — pair lists are corpus-fraction-sized even
+    at web-crawl dup rates, so candidates ≪ corpus at any scale).
+    Shingle arrays are staged as real columns so intersect/union read
+    attributes, not re-evaluated subtrees."""
+    a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
     )
-    a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b"))
-    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    staged = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            word_shingles(F.col("__ta"), n).alias("sh_a"),
+            word_shingles(F.col("__tb"), n).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return joined.select(
+    return staged.select(
         "doc_a",
         "doc_b",
         inter.alias("n_intersect"),

@@ -285,13 +285,19 @@ def knn_graph(
     capped = _bucket_cap(banded, "band_key", max_bucket).select(
         "band", "band_key", "vec_id"
     )
+    # Bucket co-membership is symmetric, so the directed candidate set is
+    # exactly the symmetric closure of the a<b pairs — generate UNordered
+    # pairs, score each cosine ONCE, and mirror the scored rows (r16;
+    # was: != join scoring every pair twice — the probe measured 886k
+    # directed pair rows at sf0.1, i.e. 2× the distinct shuffle and 2×
+    # the 64-dim dot folds for identical output).
     cands = (
         capped.alias("a")
         .join(
             capped.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id"),
@@ -316,7 +322,9 @@ def knn_graph(
     # here — the k-NN candidate fan-out is large, and shipping both
     # 64-long arrays per pair across the Arrow boundary cost more than
     # the interpreted fold it replaced (17s cold vs ~5s). The in-JVM
-    # exact long fold stays.
+    # exact long fold stays. (r16 re-measured the flat element_at unroll
+    # too: 64-term codegen trees fall back to interpreted eval and run
+    # 4× slower than the fold — tools note in OPTIMIZATION_r16.md.)
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -325,13 +333,26 @@ def knn_graph(
     sim = dot.cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
+    # Materialized once (slim pair-bounded rows): the mirror union below
+    # references the scored table twice, and without staging each leg
+    # would recompute every dot.
+    scored = (
+        cands.join(qa, "vec_id")
+        .join(qb, "neighbor_id")
+        .select("vec_id", "neighbor_id", sim.alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
     w = W.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cands.join(qa, "vec_id")
-        .join(qb, "neighbor_id")
-        .select("vec_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
