@@ -141,6 +141,14 @@ def main() -> None:
     probe_fns = extra_ml_fast()
     for name, fn in {**QUERIES, **probe_fns}.items():
         fn(spark, sf_dir).collect()  # warm-up: JVM, file listing, codegen
+        # Honesty tweak (r15 verdict #8): drop whatever the warm-up run
+        # persisted BEFORE the timed runs, so a staging-persist change
+        # cannot borrow its warm-up materialization — the first timed
+        # run pays its own persists. (Operator persists are additionally
+        # generation-bounded per call — operators/staging.py — so each
+        # timed run re-stages regardless; this clear covers any future
+        # persist that escapes that discipline.)
+        spark.catalog.clearCache()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

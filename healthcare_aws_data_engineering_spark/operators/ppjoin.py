@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from .staging import staged_persist
 from .text import tokens, tokens_sql
 
 PPJ_T100 = 50  # Jaccard threshold, percent
@@ -122,7 +123,9 @@ def prefix_jaccard_join(
     # full groupBy shuffle over the token table, and verification an
     # in-row array_intersect over candidates only (the ngram_jaccard
     # pattern) instead of a two-join + re-aggregation fan-out.
-    staged = _staged_shingles(docs, shingle_w, id_col, text_col).persist()
+    staged = staged_persist(
+        _staged_shingles(docs, shingle_w, id_col, text_col), "ppjoin.staged"
+    )
     # sz rides along through the explode — no separate sizes aggregate.
     toks = staged.select(
         "id", F.size("__sh").cast("long").alias("sz"), F.explode("__sh").alias("tok")
@@ -215,7 +218,7 @@ def _grouped_prefix_join(
     intra-group pairs emit directly at Jaccard 1.0. Verify cost is now
     a function of DISTINCT token sets; only the output-sized expansion
     scales with duplication."""
-    fp_tbl = (
+    fp_tbl = staged_persist(
         _staged_shingles(docs, shingle_w, id_col, text_col)
         .select(
             "id",
@@ -223,8 +226,8 @@ def _grouped_prefix_join(
                 F.concat_ws("\x01", F.array_sort("__sh")).cast("binary")
             ).alias("fp"),
             F.size("__sh").alias("sz"),
-        )
-        .persist()
+        ),
+        "ppjoin.fp_tbl",
     )
     reps = fp_tbl.groupBy("fp").agg(F.min("id").alias("rep"))
     rep_docs = docs.join(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .staging import staged_persist
 from .similarity import (
     dot_q_arrow,
     _centroid_cell,
@@ -150,7 +151,8 @@ def semantic_dedup(
             if assign == "two_level"
             else _centroid_cell
         )(F.col("__q"), centroids, exact=True).alias("cluster"),
-    ).persist()
+    )
+    assigned = staged_persist(assigned, "semdedup.assigned")
     rn = F.row_number().over(
         W.partitionBy("cluster").orderBy(
             F.md5(F.col("vec_id").cast("string").cast("binary")),
@@ -266,8 +268,8 @@ def knn_graph(
             # staged: band_keys_from_chunks reads it `bands` times
             sig_chunks_q(F.col("__q"), plane_matrix, width).alias("__sigc"),
         )
-        .persist()
     )
+    staged = staged_persist(staged, "knn_graph.staged")
     # Candidate generation is ID-ONLY: corpus × corpus buckets fan out to
     # ~|bucket|² pair rows per bucket, so the banding / capping / DISTINCT
     # shuffles must carry (long, long), never the vectors — the near_dup

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .staging import staged_persist
+
 SPAN_TOKENS = 8
 
 
@@ -204,7 +206,8 @@ def repeated_spans(
                 f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
             )
         ).alias("pos", "h"),
-    ).persist()
+    )
+    wins = staged_persist(wins, "spans.repeated_wins")
     repeated = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -325,7 +328,8 @@ def scrub_repeated(
                 f" i -> md5(array_join(slice(__ws, i+1, {window}), ' ')))"
             )
         ).alias("pos", "h"),
-    ).persist()
+    )
+    wins = staged_persist(wins, "spans.scrub_wins")
     rep = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"), F.min("doc_id").alias("__d0"))

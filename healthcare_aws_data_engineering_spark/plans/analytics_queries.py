@@ -484,11 +484,17 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens_staged(F.col("text")).alias("__ws")
     )
     n_bg, logit = quality_score(F.col("__ws"))
+    from ..operators.staging import staged_persist
+
     # Persisted score table: the histogram leg AND the final stage
     # projection both read it — without persistence each re-runs the
     # md5-bigram scoring HOF over the corpus (the expensive part). At
     # cluster scale this materializes as the scored-corpus table.
-    logits = staged.select(F.col("doc_id"), logit.alias("logit_e6")).persist()
+    # Generation-bounded (r16): see operators/staging.py.
+    logits = staged_persist(
+        staged.select(F.col("doc_id"), logit.alias("logit_e6")),
+        "curriculum.logits",
+    )
     bucket = F.expr(
         f"CAST((logit_e6 + {CURRICULUM_SHIFT}) DIV {CURRICULUM_BUCKET} AS BIGINT)"
     )

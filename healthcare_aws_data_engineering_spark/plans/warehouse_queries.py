@@ -615,19 +615,22 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit(GF_END).cast("timestamp"))
         & (F.col("event_type") == GF_TYPE)
     )
+    from ..operators.staging import staged_persist
+
     # Persisted: the daily rollup feeds both the spine bounds and the
     # fill join — without it each subtree re-scans events (the NANOS
     # timestamp column defeats the vectorized reader, so that scan is
-    # the expensive part of this query).
-    daily = (
+    # the expensive part of this query). Generation-bounded (r16): see
+    # operators/staging.py.
+    daily = staged_persist(
         events.select(
             "user_id",
             F.expr(floordiv("unix_millis(ts)", 86400000)).alias("day"),
             "value",
         )
         .groupBy("user_id", "day")
-        .agg(dsum(F.col("value")).alias("v"))
-        .persist()
+        .agg(dsum(F.col("value")).alias("v")),
+        "gap_fill.daily",
     )
     spine = (
         daily.groupBy("user_id")
