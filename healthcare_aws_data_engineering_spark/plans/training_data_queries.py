@@ -438,8 +438,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, 4 bands of 8) — the full votes→pack→band→bucket-join→Hamming
     pipeline, oracle-checked leg for leg in DuckDB. The cheaper xxhash64
     64-bit production backend shares all plumbing and is pytest-covered."""
+    # NOT spread (r16): matched-window A/B vs the r15 tree measured the
+    # spread form slower in suite context (3.2s vs 2.2s median).
     return D.simhash_pairs(
-        _docs_s(spark, sf_dir), bands=4, max_hamming=3, backend="md5digit"
+        _docs(spark, sf_dir), bands=4, max_hamming=3, backend="md5digit"
     )
 
 
@@ -1714,7 +1716,10 @@ def q_media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     between channels and breaks the match) and signed-int16 RMS for
     audio. Exact integer sums; one double divide + IEEE sqrt, identical
     in both engines."""
-    media = M.encoded_media_from_documents(_docs_s(spark, sf_dir))
+    # NOT spread (r16): matched-window A/B measured 2.14s spread vs
+    # 1.13s plain in suite context (the isolated probe's win did not
+    # transfer - Arrow decode stages pay per-partition worker costs).
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
     return M.media_channel_stats(media)
 
 
@@ -1774,7 +1779,7 @@ def q_media_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative iff its high byte >= 0x80, so the sign test never needs the
     reassembled sample. Entropy sums run in ascending byte-value order
     on both engines and land on the DECIMAL(18,6) grid."""
-    media = M.encoded_media_from_documents(_docs_s(spark, sf_dir))
+    media = M.encoded_media_from_documents(_docs(spark, sf_dir))
     ent = M.media_entropy(media)
 
     def dec6(c):
