@@ -27,7 +27,7 @@ from ..operators.quality import (
 )
 from ..operators.semdedup import knn_graph, semantic_dedup
 from ..operators.text import token_count, token_count_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .training_data_queries import (
     _EMB_DIM,
     _PLANES16,
@@ -1092,7 +1092,7 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_join
 
-    clean = load_table(spark, sf_dir, "customer").select(
+    clean = spread(load_table(spark, sf_dir, "customer")).select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("key")
     )
     return fuzzy_join(

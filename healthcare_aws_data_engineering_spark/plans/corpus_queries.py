@@ -618,7 +618,7 @@ CMS_TOP_K = 40
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(tokens(F.col("text"))).alias("w")
     )
@@ -643,7 +643,7 @@ BG_TOP_K = 100
 
 
 def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(tokens(F.col("text")).alias("__ws"))
         .filter(F.size("__ws") >= 2)
@@ -726,7 +726,7 @@ def duplicated_ngrams(
 
 
 def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicated_ngrams(load_table(spark, sf_dir, "documents"))
+    return duplicated_ngrams(spread(load_table(spark, sf_dir, "documents")))
 
 
 _DUP_NGRAMS_SQL = f"""
@@ -999,7 +999,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles twice."""
     from pyspark.sql import Window as _W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "source",
         F.explode(tokens(F.col("text"))).alias("w"),

@@ -30,7 +30,7 @@ from ..operators.ingest import (
 from ..operators.retrieval import bm25_sql, bm25_topk
 from ..operators.selection import dsir_select, dsir_sql
 from ..operators.text import repetition_stats
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # Query terms: three common words + one rare ('dup' ~ 3% of the doc-freq
 # of the common terms) so the idf spread actually exercises the BM25 math.
@@ -39,7 +39,7 @@ BM25_K = 25
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decontaminate(load_table(spark, sf_dir, "documents"))
+    return decontaminate(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +48,7 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — result-identical to `decontaminate`, so it shares that
     query's oracle verbatim (the strongest correctness statement a scale
     variant can make)."""
-    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+    return bloom_decontaminate(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_ledger_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +77,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,14 +532,14 @@ def trigram_lm_score(
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lm_score(load_table(spark, sf_dir, "documents"))
+    return lm_score(spread(load_table(spark, sf_dir, "documents")))
 
 
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-1 LM filter (r14, promoted to a driver-oracled row in r15
     via the capacity policy's retire clause) at its pinned defaults:
     unpruned bigram table, Laplace k=1, threshold -6.0."""
-    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+    return bigram_lm_score(spread(load_table(spark, sf_dir, "documents")))
 
 
 _LM_SCORE_SQL = rf"""
@@ -860,7 +860,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (operators/selection.py): the 50 non-English
     documents whose hashed uni+bigram profile is most English-like,
     drawn without replacement via deterministic Gumbel top-k."""
-    return dsir_select(load_table(spark, sf_dir, "documents"))
+    return dsir_select(spread(load_table(spark, sf_dir, "documents")))
 
 
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators.latest import first_last_delta, latest_per_key
-from ..sources.tables import load_table, observation_view_from_events
+from ..sources.tables import load_table, observation_view_from_events, spread
 from .reports import cvd_report, prediabetes_report
 
 # Analyte-key mapping for the events→observation analog (FIXTURES.md §5).
@@ -234,7 +234,7 @@ FROM (
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the generic groupBy/agg surface (A1/
     A2 family) at scale — single hash aggregate with partial map-side agg."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = spread(load_table(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
